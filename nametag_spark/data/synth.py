@@ -1,0 +1,182 @@
+"""Deterministic synthetic multi-turn transcripts with planted gold entities.
+
+Schema per BASELINE.json input_hint:
+  (conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+   ts:timestamp)
+
+Turns are assembled token-by-token from sentence templates, so gold mention
+spans (token-indexed, per sentence) are known by construction and the
+tokenizer is expected to round-trip the text exactly (FIXTURES.md §1).
+No external data; fully seeded.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pandas as pd
+
+FIRST_NAMES = (
+    "Alice Bob Carol David Erin Frank Grace Henry Irene Jack Karen Liam Mona "
+    "Nathan Olga Peter Quinn Rosa Steve Tina Ursula Victor Wendy Xavier Yara Zane "
+    "Adam Bella Carl Dana Edgar Fiona Gideon Hana Igor Jana Kevin Lena Marek Nora"
+).split()
+LAST_NAMES = (
+    "Johnson Smith Novak Brown Garcia Miller Davis Wilson Moore Taylor Anderson "
+    "Thomas Jackson White Harris Martin Thompson Martinez Robinson Clark Lewis "
+    "Walker Hall Allen Young King Wright Scott Green Baker Adams Nelson Hill "
+    "Campbell Mitchell Roberts Carter Phillips Evans Turner"
+).split()
+ORG_FIRST = (
+    "Acme Globex Initech Umbrella Hooli Vandelay Wayne Stark Wonka Cyberdyne "
+    "Tyrell Aperture Sirius Massive Pied Oceanic Virtucon Duff Soylent Monarch"
+).split()
+ORG_SECOND = "Industries Labs Systems Group Technologies Analytics Dynamics Holdings Networks Software".split()
+LOCATIONS = (
+    "Prague Berlin London Paris Vienna Madrid Rome Dublin Oslo Helsinki Warsaw "
+    "Lisbon Athens Amsterdam Brussels Copenhagen Stockholm Budapest Zagreb Bratislava"
+).split()
+TOOLS = ["search", "calendar", "crm", "mailer", "wiki", ""]
+FILLER = (
+    "the a quick status update please review this item and confirm details "
+    "we should discuss next steps before deadline also note that results look "
+    "good overall but need minor changes soon thanks again for checking"
+).split()
+
+DOMAINS = ["acme.com", "globex.org", "initech.net", "example.com", "hooli.io"]
+
+
+def _sentence_templates(rng: random.Random):
+    """Yield (tokens, mentions) where mentions are (tok_start, tok_len, type)."""
+    first = rng.choice(FIRST_NAMES)
+    last = rng.choice(LAST_NAMES)
+    first2 = rng.choice(FIRST_NAMES)
+    last2 = rng.choice(LAST_NAMES)
+    org = [rng.choice(ORG_FIRST), rng.choice(ORG_SECOND)]
+    loc = rng.choice(LOCATIONS)
+    year = str(rng.randint(1990, 2030))
+    day = str(rng.randint(1, 28))
+    domain = rng.choice(DOMAINS)
+    email = f"{first.lower()}.{last.lower()}@{domain}"
+    url = f"https://{domain}/{rng.choice(['docs', 'wiki', 'x', 'report'])}"
+
+    kind = rng.randint(0, 7)
+    if kind == 0:
+        toks = [first, last, "works", "at", org[0], org[1], "in", loc, "."]
+        mentions = [(0, 2, "PER"), (4, 2, "ORG"), (7, 1, "LOC")]
+    elif kind == 1:
+        toks = [first, "emailed", email, "about", "the", "meeting", "."]
+        mentions = [(0, 1, "PER"), (2, 1, "EMAIL")]
+    elif kind == 2:
+        toks = ["see", url, "for", "details", "from", org[0], org[1], "."]
+        mentions = [(1, 1, "URL"), (5, 2, "ORG")]
+    elif kind == 3:
+        toks = [first, last, "met", first2, last2, "in", loc, "on", day, "May", year, "."]
+        mentions = [(0, 2, "PER"), (3, 2, "PER"), (6, 1, "LOC"), (8, 3, "TIME")]
+    elif kind == 4:
+        toks = [org[0], org[1], "opened", "an", "office", "in", loc, "in", year, "."]
+        mentions = [(0, 2, "ORG"), (6, 1, "LOC"), (8, 1, "TIME")]
+    elif kind == 5:
+        n = rng.randint(4, 9)
+        toks = [rng.choice(FILLER) for _ in range(n)] + ["."]
+        mentions = []
+    elif kind == 6:
+        toks = [first2, "visited", loc, "last", "week", "."]
+        mentions = [(0, 1, "PER"), (2, 1, "LOC")]
+    else:
+        toks = ["contact", first, last, "at", email, "or", url, "."]
+        mentions = [(1, 2, "PER"), (4, 1, "EMAIL"), (6, 1, "URL")]
+    # Capitalize the sentence-initial token so the eos rule (which requires
+    # an upper-case char after the terminator) segments turns exactly as
+    # planted; gold surfaces are recorded after this.
+    toks[0] = toks[0][:1].upper() + toks[0][1:]
+    return toks, mentions
+
+
+def synth_transcripts(
+    n_conversations: int = 50,
+    seed: int = 42,
+    avg_turns: int = 6,
+    mega_conversation: bool = False,
+):
+    """-> (transcripts_df, gold_df) as pandas DataFrames.
+
+    gold columns: conv_id, turn_idx, sent_idx, tok_start, tok_len, type,
+    surface (mention token spans are sentence-local).
+    """
+    rng = random.Random(seed)
+    base_ts = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    rows = []
+    gold = []
+    for c in range(n_conversations):
+        conv_id = f"conv-{c:06d}"
+        n_turns = rng.randint(max(2, avg_turns - 3), avg_turns + 3)
+        if mega_conversation and c == 0:
+            n_turns = avg_turns * 100  # skew fixture: one mega-conversation
+        for t in range(n_turns):
+            role = ("user", "assistant", "tool")[t % 3]
+            tool = rng.choice(TOOLS[:-1]) if role == "tool" else ""
+            n_sents = rng.randint(1, 3)
+            words = []
+            for s in range(n_sents):
+                toks, mentions = _sentence_templates(rng)
+                for (ms, ml, mt) in mentions:
+                    gold.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": t,
+                            "sent_idx": s,
+                            "tok_start": ms,
+                            "tok_len": ml,
+                            "type": mt,
+                            "surface": " ".join(toks[ms : ms + ml]),
+                        }
+                    )
+                words.extend(toks)
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": role,
+                    "text": " ".join(words),
+                    "tool": tool,
+                    "ts": base_ts + dt.timedelta(hours=c, seconds=37 * t),
+                }
+            )
+
+    tdf = pd.DataFrame(rows)
+    tdf["turn_idx"] = tdf["turn_idx"].astype("int32")
+    gdf = pd.DataFrame(
+        gold,
+        columns=["conv_id", "turn_idx", "sent_idx", "tok_start", "tok_len", "type", "surface"],
+    )
+    return tdf, gdf
+
+
+def gold_to_conll(transcripts: pd.DataFrame, gold: pd.DataFrame) -> str:
+    """Render gold as CoNLL 2-column training data (form<TAB>label).
+
+    Sentences are re-derived with the tokenizer to guarantee the labels are
+    aligned with what the pipeline will see.
+    """
+    from ..tokenizer.rules import tokenize_forms
+
+    key = {}
+    for r in gold.itertuples(index=False):
+        key.setdefault((r.conv_id, r.turn_idx, r.sent_idx), []).append(r)
+
+    lines = []
+    for row in transcripts.itertuples(index=False):
+        sents = tokenize_forms(row.text)
+        for s_idx, forms in enumerate(sents):
+            labels = ["O"] * len(forms)
+            for m in key.get((row.conv_id, row.turn_idx, s_idx), ()):
+                for k in range(m.tok_len):
+                    if m.tok_start + k < len(labels):
+                        labels[m.tok_start + k] = ("B-" if k == 0 else "I-") + m.type
+            for f, l in zip(forms, labels):
+                lines.append(f"{f}\t{l}")
+            lines.append("")
+    return "\n".join(lines)

@@ -1,0 +1,742 @@
+"""Feature-template featurizer (SURVEY.md §2.4-§2.5).
+
+Re-creates the reference's feature-template framework from scratch in
+Python/numpy, preserving the exact id-allocation and window-application
+semantics so a model trained by our trainer decodes identically in the
+Spark pipeline and the local oracle:
+
+  - lookup(key): id = window + total_features; total_features += 2*window+1
+      (/root/reference/src/features/feature_processor.h:40-47)
+  - apply_in_window(i, f): positions w in [i-window, i+window] (clipped)
+      receive feature id  f + (w - i)
+      (/root/reference/src/features/feature_processor_instances.cpp:26-35)
+  - outer (virtual) words use the literal id `window`
+      (feature_processor_instances.cpp:46; a reference quirk we replicate
+      because training and inference share it)
+  - omnipresent feature id 0; total_features starts at 1
+      (/root/reference/src/features/feature_templates.cpp:49-52,
+       feature_templates_encoder.cpp:20)
+
+Template-file syntax `Name/window args...` per
+/root/reference/src/features/feature_templates_encoder.cpp:24-47.
+"""
+
+from __future__ import annotations
+
+import os
+import unicodedata
+
+import numpy as np
+
+from ..tokenizer.rules import EMAIL_RE, URL_RE, tokenize_forms
+
+ENTITY_UNKNOWN = -1
+BILOU_B, BILOU_I, BILOU_L, BILOU_O, BILOU_U = 0, 1, 2, 3, 4
+BILOU_UNKNOWN = -1
+
+
+class Sentence:
+    """Per-sentence workspace (SoA) used inside Arrow batches.
+
+    Mirrors ner_sentence (/root/reference/src/bilou/ner_sentence.h:20-45)
+    with the trivial tagger applied: raw_lemma = lemma_id = form, tag = ''
+    (/root/reference/src/tagger/trivial_tagger.cpp:23-33).
+    """
+
+    __slots__ = (
+        "forms",
+        "features",
+        "local",
+        "local_ent",
+        "local_filled",
+        "prev_bilou",
+        "prev_ent",
+        "size",
+    )
+
+    def __init__(self, forms):
+        self.forms = forms
+        self.size = len(forms)
+        self.features = None
+        self.local = None
+        self.local_ent = None
+        self.local_filled = None
+        self.prev_bilou = [BILOU_UNKNOWN] * self.size
+        self.prev_ent = [ENTITY_UNKNOWN] * self.size
+
+    def clear_features(self):
+        # omnipresent feature id 0 (feature_templates.cpp:49-52)
+        self.features = [[0] for _ in range(self.size)]
+
+    def clear_probabilities_local_filled(self):
+        self.local = np.zeros((self.size, 5), dtype=np.float64)
+        self.local_ent = np.full((self.size, 5), ENTITY_UNKNOWN, dtype=np.int64)
+        self.local_filled = [False] * self.size
+
+    def clear_previous_stage(self):
+        self.prev_bilou = [BILOU_UNKNOWN] * self.size
+        self.prev_ent = [ENTITY_UNKNOWN] * self.size
+
+
+class EntityMap:
+    """Bidirectional entity-type dictionary
+    (/root/reference/src/ner/entity_map.cpp:17-50)."""
+
+    def __init__(self, names=None):
+        self.id2str = list(names or [])
+        self.str2id = {n: i for i, n in enumerate(self.id2str)}
+
+    def parse(self, name, add=False):
+        if name in self.str2id:
+            return self.str2id[name]
+        if add:
+            self.str2id[name] = len(self.id2str)
+            self.id2str.append(name)
+            return self.str2id[name]
+        return ENTITY_UNKNOWN
+
+    def name(self, entity):
+        return self.id2str[entity] if 0 <= entity < len(self.id2str) else ""
+
+    def __len__(self):
+        return len(self.id2str)
+
+
+class _Total:
+    """Mutable total_features counter shared across processors."""
+
+    def __init__(self, value=1):
+        self.value = value
+
+
+def _cat(c):
+    return unicodedata.category(c)
+
+
+def _case_normalize(s):
+    """First char as-is, rest lowercased (feature_processor_instances.cpp:243-257)."""
+    return s[:1] + s[1:].lower() if len(s) > 1 else s
+
+
+class FeatureProcessor:
+    name = "FeatureProcessor"
+
+    def __init__(self):
+        self.window = 0
+        self.map = {}
+        self.args = []
+
+    # --- id allocation --------------------------------------------------
+    def parse(self, window, args, entities, total, base_dir=""):
+        if window < 0:
+            raise ValueError("window must be >= 0")
+        self.window = window
+        self.args = list(args)
+        self.map = {}
+        self.lookup("", total)
+
+    def lookup(self, key, total=None):
+        fid = self.map.get(key)
+        if fid is None and total is not None:
+            fid = self.window + total.value
+            self.map[key] = fid
+            total.value += 2 * self.window + 1
+        return fid  # None == ner_feature_unknown
+
+    def lookup_empty(self):
+        # reference macro returns the literal window value
+        return self.window
+
+    # --- window application ----------------------------------------------
+    def apply_in_range(self, sent, i, feature, left, right):
+        if feature is None:
+            return
+        w = i + left if i + left > 0 else 0
+        end = i + right + 1 if i + right + 1 < sent.size else sent.size
+        feats = sent.features
+        while w < end:
+            feats[w].append(feature + w - i)
+            w += 1
+
+    def apply_in_window(self, sent, i, feature):
+        self.apply_in_range(sent, i, feature, -self.window, self.window)
+
+    def apply_outer_words_in_window(self, sent, feature):
+        if feature is None:
+            return
+        for k in range(1, self.window + 1):
+            self.apply_in_window(sent, -k, feature)
+            self.apply_in_window(sent, sent.size - 1 + k, feature)
+
+    # --- stages ------------------------------------------------------------
+    def process_sentence(self, sent, total=None):
+        pass
+
+    def process_entities(self, sent, entities, entity_map):
+        pass
+
+    # --- serialization -------------------------------------------------
+    def state(self):
+        return {"window": self.window, "args": self.args, "map": self.map}
+
+    def load_state(self, st, base_dir=""):
+        self.window = st["window"]
+        self.args = list(st["args"])
+        self.map = {k: int(v) for k, v in st["map"].items()}
+
+
+class Form(FeatureProcessor):
+    name = "Form"
+
+    def process_sentence(self, sent, total=None):
+        for i in range(sent.size):
+            self.apply_in_window(sent, i, self.lookup(sent.forms[i], total))
+        self.apply_outer_words_in_window(sent, self.lookup_empty())
+
+
+class FormCapitalization(FeatureProcessor):
+    """feature_processor_instances.cpp:214-239"""
+
+    name = "FormCapitalization"
+
+    def process_sentence(self, sent, total=None):
+        fst = self.lookup("f", total)
+        allc = self.lookup("a", total)
+        mixed = self.lookup("m", total)
+        for i in range(sent.size):
+            form = sent.forms[i]
+            was_upper = was_lower = False
+            for k, ch in enumerate(form):
+                c = _cat(ch)
+                was_upper = was_upper or c in ("Lu", "Lt")
+                was_lower = was_lower or c == "Ll"
+                if k == 0 and was_upper:
+                    self.apply_in_window(sent, i, fst)
+            if was_upper and not was_lower:
+                self.apply_in_window(sent, i, allc)
+            if was_upper and was_lower:
+                self.apply_in_window(sent, i, mixed)
+
+
+class FormCaseNormalized(FeatureProcessor):
+    name = "FormCaseNormalized"
+
+    def process_sentence(self, sent, total=None):
+        for i in range(sent.size):
+            self.apply_in_window(sent, i, self.lookup(_case_normalize(sent.forms[i]), total))
+        self.apply_outer_words_in_window(sent, self.lookup_empty())
+
+
+class Suffix(FeatureProcessor):
+    """*Suffix family (feature_processor_instances.cpp:903-956).
+
+    Keys are built reversed (last char first), exactly like the reference.
+    """
+
+    name = "FormSuffix"
+    normalized = False
+
+    def parse(self, window, args, entities, total, base_dir=""):
+        super().parse(window, args, entities, total, base_dir)
+        if len(args) != 2:
+            raise ValueError("*Suffix requires shortest and longest length")
+        self.shortest = int(args[0])
+        self.longest = int(args[1])
+
+    def process_sentence(self, sent, total=None):
+        for i in range(sent.size):
+            form = sent.forms[i]
+            if self.normalized:
+                form = _case_normalize(form)
+            buf = []
+            for s in range(1, min(self.longest, len(form)) + 1):
+                buf.append(form[len(form) - s])
+                if s >= self.shortest:
+                    self.apply_in_window(sent, i, self.lookup("".join(buf), total))
+        self.apply_outer_words_in_window(sent, self.lookup_empty())
+
+    def state(self):
+        st = super().state()
+        st["shortest"] = self.shortest
+        st["longest"] = self.longest
+        return st
+
+    def load_state(self, st, base_dir=""):
+        super().load_state(st, base_dir)
+        self.shortest = int(st["shortest"])
+        self.longest = int(st["longest"])
+
+
+class FormCaseNormalizedSuffix(Suffix):
+    name = "FormCaseNormalizedSuffix"
+    normalized = True
+
+
+# With the trivial tagger raw_lemma == form, so the RawLemma* family shares
+# implementations but keeps separate feature maps (distinct template lines).
+class RawLemma(Form):
+    name = "RawLemma"
+
+
+class RawLemmaCapitalization(FormCapitalization):
+    name = "RawLemmaCapitalization"
+
+
+class RawLemmaCaseNormalized(FormCaseNormalized):
+    name = "RawLemmaCaseNormalized"
+
+
+class RawLemmaSuffix(Suffix):
+    name = "RawLemmaSuffix"
+
+
+class RawLemmaCaseNormalizedSuffix(Suffix):
+    name = "RawLemmaCaseNormalizedSuffix"
+    normalized = True
+
+
+class Lemma(Form):
+    name = "Lemma"
+
+
+class Tag(FeatureProcessor):
+    name = "Tag"
+
+    def process_sentence(self, sent, total=None):
+        # trivial tagger: tag == ""
+        for i in range(sent.size):
+            self.apply_in_window(sent, i, self.lookup("", total))
+        self.apply_outer_words_in_window(sent, self.lookup_empty())
+
+
+class NumericTimeValue(FeatureProcessor):
+    """feature_processor_instances.cpp:773-812"""
+
+    name = "NumericTimeValue"
+
+    def process_sentence(self, sent, total=None):
+        hour = self.lookup("H", total)
+        minute = self.lookup("M", total)
+        time = self.lookup("t", total)
+        day = self.lookup("d", total)
+        month = self.lookup("m", total)
+        year = self.lookup("y", total)
+        for i in range(sent.size):
+            form = sent.forms[i]
+            k = 0
+            num = 0
+            while k < len(form) and "0" <= form[k] <= "9":
+                num = num * 10 + ord(form[k]) - 48
+                k += 1
+            digit = k > 0
+            if digit and k == len(form):
+                if num < 24:
+                    self.apply_in_window(sent, i, hour)
+                if num < 60:
+                    self.apply_in_window(sent, i, minute)
+                if 1 <= num <= 31:
+                    self.apply_in_window(sent, i, day)
+                if 1 <= num <= 12:
+                    self.apply_in_window(sent, i, month)
+                if 1000 <= num <= 2200:
+                    self.apply_in_window(sent, i, year)
+            if digit and num < 24 and k < len(form) and form[k] in ".:":
+                k += 1
+                num = 0
+                start = k
+                while k < len(form) and "0" <= form[k] <= "9":
+                    num = num * 10 + ord(form[k]) - 48
+                    k += 1
+                if k > start and k == len(form) and num < 60:
+                    self.apply_in_window(sent, i, time)
+
+
+class PreviousStage(FeatureProcessor):
+    """feature_processor_instances.cpp:816-838 — applied to +1..+window only;
+    key is nibble-reversed hex of (bilou, entity)."""
+
+    name = "PreviousStage"
+
+    @staticmethod
+    def _encode(value):
+        if value < 0:
+            out = "-"
+            value = -value
+        else:
+            out = ""
+        while value:
+            out += "0123456789abcdef"[value & 0xF]
+            value >>= 4
+        return out
+
+    def process_sentence(self, sent, total=None):
+        for i in range(sent.size):
+            if sent.prev_bilou[i] != BILOU_UNKNOWN:
+                key = self._encode(sent.prev_bilou[i]) + " " + self._encode(sent.prev_ent[i])
+                self.apply_in_range(sent, i, self.lookup(key, total), 1, self.window)
+
+
+class URLEmailDetector(FeatureProcessor):
+    """Hard-decision operator (feature_processor_instances.cpp:972-1019):
+    URL/email tokens get a pinned local distribution (U prob 1) and are
+    skipped by the classifier."""
+
+    name = "URLEmailDetector"
+
+    def parse(self, window, args, entities, total, base_dir=""):
+        super().parse(window, args, entities, total, base_dir)
+        if len(args) != 2:
+            raise ValueError("URLEmailDetector requires URL and email entity types")
+        self.url = entities.parse(args[0], True)
+        self.email = entities.parse(args[1], True)
+
+    def process_sentence(self, sent, total=None):
+        for i in range(sent.size):
+            if sent.local_filled[i]:
+                continue
+            form = sent.forms[i]
+            if EMAIL_RE.fullmatch(form):
+                etype = self.email
+            elif URL_RE.fullmatch(form) or ("://" in form):
+                etype = self.url
+            else:
+                continue
+            sent.local[i, :] = 0.0
+            sent.local_ent[i, :] = ENTITY_UNKNOWN
+            sent.local[i, BILOU_U] = 1.0
+            sent.local_ent[i, BILOU_U] = etype
+            sent.local_filled[i] = True
+
+    def state(self):
+        st = super().state()
+        st["url"] = self.url
+        st["email"] = self.email
+        return st
+
+    def load_state(self, st, base_dir=""):
+        super().load_state(st, base_dir)
+        self.url = int(st["url"])
+        self.email = int(st["email"])
+
+
+def _append_unless_exists(array, value):
+    if value not in array:
+        array.append(value)
+
+
+class GazetteersEnhanced(FeatureProcessor):
+    """Token-trie gazetteer matcher with soft features and hard_pre /
+    hard_post constraint modes (feature_processor_instances.cpp:369-757).
+
+    G/U/B/L/I positional feature blocks per list; longest-earliest-lowest-id
+    tie-breaks for hard matches; recasing per RECASE_NATIVE (trie build) and
+    RECASE_ANY (matching).
+    """
+
+    name = "GazetteersEnhanced"
+
+    SOFT, HARD_PRE, HARD_POST = 0, 1, 2
+    G, U, B, L, I = 0, 1, 2, 3, 4
+    SUFFIXES = [".txt", ".hard_pre.txt", ".hard_post.txt"]
+
+    def parse(self, window, args, entities, total, base_dir=""):
+        super().parse(window, args, entities, total, base_dir)
+        if len(args) < 4 or len(args) % 2:
+            raise ValueError("GazetteersEnhanced needs match mode, embed mode, and (file, entity) pairs")
+        if args[0] not in ("form", "rawlemma", "rawlemmas"):
+            raise ValueError("bad match mode")
+        self.match = args[0]
+        self.metas = []
+        for k in range(2, len(args), 2):
+            feature = total.value + window
+            total.value += 5 * (2 * window + 1)
+            entity = -1 if args[k + 1] == "NONE" else entities.parse(args[k + 1], True)
+            self.metas.append({"basename": args[k], "feature": feature, "entity": entity})
+        self.entity_list = [entities.name(i) for i in range(len(entities))]
+        self._load_lists(base_dir)
+        self._build_trie()
+
+    def _load_lists(self, base_dir):
+        self.lists = []
+        for meta in self.metas:
+            for mode in (self.SOFT, self.HARD_PRE, self.HARD_POST):
+                path = os.path.join(base_dir, meta["basename"] + self.SUFFIXES[mode])
+                if not os.path.exists(path):
+                    continue
+                entries = []
+                with open(path, encoding="utf-8") as f:
+                    for line in f:
+                        line = line.rstrip("\n")
+                        if line and not line.startswith("#"):
+                            entries.append(line)
+                self.lists.append(
+                    {"gazetteers": entries, "feature": meta["feature"], "entity": meta["entity"], "mode": mode}
+                )
+
+    @staticmethod
+    def _recase_text(text, perform):
+        if perform == 0:  # TO_LOWER
+            return text.lower()
+        if perform == 1:  # TO_TITLE
+            return text[:1].upper() + text[1:].lower()
+        return text.upper()  # TO_UPPER
+
+    def _recase_match_source(self, form, native):
+        """feature_processor_instances.cpp:708-755 (match on form; the
+        trivial tagger makes rawlemma == form for our models)."""
+        any_lower = any(_cat(c) == "Ll" for c in form)
+        first_uc = bool(form) and _cat(form[0]) in ("Lu", "Lt")
+        out = []
+        for perform in (0, 1, 2):  # LOWER, TITLE, UPPER
+            if native:
+                if perform == 2 and not (first_uc and not any_lower):
+                    continue
+                if perform == 1 and not (first_uc and any_lower):
+                    continue
+                if perform == 0 and first_uc:
+                    continue
+            else:
+                if perform == 2 and not (first_uc and not any_lower):
+                    continue
+                if perform == 1 and not first_uc:
+                    continue
+            out.append(self._recase_text(form, perform))
+        return out
+
+    def _build_trie(self):
+        # node: {"children": {str: [node_ids]}, "features": [], "mode": SOFT, "entity": -1}
+        self.trie = [{"children": {}, "features": [], "mode": self.SOFT, "entity": -1}]
+        prefixes = {}
+        for lst in self.lists:
+            for gaz in lst["gazetteers"]:
+                tokens = [t for sent in tokenize_forms(gaz) for t in sent]
+                if not tokens:
+                    continue
+                node = 0
+                prefix = ""
+                for k, tok in enumerate(tokens):
+                    prefix = prefix + "\t" + tok if k else tok
+                    nxt = prefixes.get(prefix)
+                    if nxt is None:
+                        nxt = len(self.trie)
+                        self.trie.append({"children": {}, "features": [], "mode": self.SOFT, "entity": -1})
+                        prefixes[prefix] = nxt
+                        for src in self._recase_match_source(tok, native=True):
+                            self.trie[node]["children"].setdefault(src, []).append(nxt)
+                    node = nxt
+                _append_unless_exists(self.trie[node]["features"], lst["feature"])
+                if (lst["mode"] == self.HARD_PRE and self.trie[node]["mode"] != self.HARD_PRE) or (
+                    lst["mode"] == self.HARD_POST and self.trie[node]["mode"] == self.SOFT
+                ):
+                    self.trie[node]["mode"] = lst["mode"]
+                    self.trie[node]["entity"] = lst["entity"]
+
+    def _frontier_step(self, nodes, sources):
+        new_nodes = []
+        for node in nodes:
+            children = self.trie[node]["children"]
+            if children:
+                for src in sources:
+                    for nxt in children.get(src, ()):
+                        _append_unless_exists(new_nodes, nxt)
+        return new_nodes
+
+    def process_sentence(self, sent, total=None):
+        T = sent.size
+        feats = [[] for _ in range(T)]
+        sources = [self._recase_match_source(sent.forms[i], native=False) for i in range(T)]
+        span = 2 * self.window + 1
+
+        for i in range(T):
+            hard_pre_length = 0
+            hard_pre_node = None
+            hard_pre_possible = True
+            nodes = [0]
+            j = i
+            while j < T and nodes:
+                new_nodes = self._frontier_step(nodes, sources[j])
+
+                hard_pre_possible = hard_pre_possible and not sent.local_filled[j]
+                if hard_pre_possible:
+                    for node in new_nodes:
+                        if self.trie[node]["mode"] == self.HARD_PRE and (
+                            (j - i + 1) > hard_pre_length
+                            or (hard_pre_node is not None and node < hard_pre_node)
+                            or hard_pre_node is None
+                        ):
+                            hard_pre_length = j - i + 1
+                            hard_pre_node = node
+
+                for node in new_nodes:
+                    for feature in self.trie[node]["features"]:
+                        for k in range(i, j + 1):
+                            btype = (
+                                self.U if j == i else self.B if k == i else self.L if k == j else self.I
+                            )
+                            _append_unless_exists(feats[k], feature + self.G * span)
+                            _append_unless_exists(feats[k], feature + btype * span)
+
+                nodes = new_nodes
+                j += 1
+
+            if hard_pre_length:
+                for j in range(i, i + hard_pre_length):
+                    sent.local[j, :] = 0.0
+                    sent.local_ent[j, :] = ENTITY_UNKNOWN
+                    btype = (
+                        BILOU_U
+                        if hard_pre_length == 1
+                        else BILOU_B
+                        if j == i
+                        else BILOU_L
+                        if j + 1 == i + hard_pre_length
+                        else BILOU_I
+                    )
+                    sent.local[j, btype] = 1.0
+                    sent.local_ent[j, btype] = self.trie[hard_pre_node]["entity"]
+                    sent.local_filled[j] = True
+
+        for i in range(T):
+            for feature in feats[i]:
+                self.apply_in_window(sent, i, feature)
+
+    def process_entities(self, sent, entities, entity_map):
+        """hard_post: fill unlabeled gaps (feature_processor_instances.cpp:530-579).
+
+        entities: list of [start, length, type_name], sorted by start.
+        """
+        sources = [self._recase_match_source(sent.forms[i], native=False) for i in range(sent.size)]
+        buffer = []
+        entity_until = 0
+        e = 0
+        for i in range(sent.size):
+            while e < len(entities) and entities[e][0] == i:
+                if i + entities[e][1] > entity_until:
+                    entity_until = i + entities[e][1]
+                buffer.append(entities[e])
+                e += 1
+            if entity_until <= i:
+                free_until = entities[e][0] if e < len(entities) else sent.size
+                hard_post_length = 0
+                hard_post_node = None
+                nodes = [0]
+                j = i
+                while j < free_until and nodes:
+                    new_nodes = self._frontier_step(nodes, sources[j])
+                    for node in new_nodes:
+                        if self.trie[node]["mode"] == self.HARD_POST and (
+                            (j - i + 1) > hard_post_length
+                            or (hard_post_node is not None and node < hard_post_node)
+                            or hard_post_node is None
+                        ):
+                            hard_post_length = j - i + 1
+                            hard_post_node = node
+                    nodes = new_nodes
+                    j += 1
+                if hard_post_length:
+                    buffer.append([i, hard_post_length, self.entity_list[self.trie[hard_post_node]["entity"]]])
+                    entity_until = i + hard_post_length
+
+        if len(buffer) != len(entities):
+            entities[:] = buffer
+
+    def state(self):
+        st = super().state()
+        st["match"] = self.match
+        st["metas"] = self.metas
+        st["lists"] = self.lists
+        st["entity_list"] = self.entity_list
+        return st
+
+    def load_state(self, st, base_dir=""):
+        super().load_state(st, base_dir)
+        self.match = st["match"]
+        self.metas = st["metas"]
+        self.lists = st["lists"]
+        self.entity_list = st["entity_list"]
+        self._build_trie()
+
+
+class FormSuffix(Suffix):
+    name = "FormSuffix"
+
+
+_FACTORY = {
+    cls.name: cls
+    for cls in (
+        Form,
+        FormCapitalization,
+        FormCaseNormalized,
+        FormSuffix,
+        FormCaseNormalizedSuffix,
+        RawLemma,
+        RawLemmaCapitalization,
+        RawLemmaCaseNormalized,
+        RawLemmaSuffix,
+        RawLemmaCaseNormalizedSuffix,
+        Lemma,
+        Tag,
+        NumericTimeValue,
+        PreviousStage,
+        URLEmailDetector,
+        GazetteersEnhanced,
+    )
+}
+
+
+class FeatureTemplates:
+    """Parsed template set (feature_templates_encoder.cpp:18-52)."""
+
+    def __init__(self):
+        self.processors = []
+        self.total = _Total(1)
+
+    @classmethod
+    def parse(cls, text, entities, base_dir=""):
+        self_ = cls()
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            tokens = line.split(" ")
+            head = tokens[0].split("/")
+            name = head[0]
+            window = int(head[1]) if len(head) > 1 else 0
+            args = tokens[1:]
+            if name not in _FACTORY:
+                raise ValueError(f"Unknown feature template {name!r}")
+            proc = _FACTORY[name]()
+            proc.parse(window, args, entities, self_.total, base_dir)
+            self_.processors.append(proc)
+        return self_
+
+    @property
+    def total_features(self):
+        return self.total.value
+
+    def process_sentence(self, sent, adding_features=False):
+        sent.clear_features()
+        total = self.total if adding_features else None
+        for proc in self.processors:
+            proc.process_sentence(sent, total)
+
+    def process_entities(self, sent, entities, entity_map):
+        for proc in self.processors:
+            proc.process_entities(sent, entities, entity_map)
+
+    # --- serialization ---------------------------------------------------
+    def state(self):
+        return {
+            "total": self.total.value,
+            "processors": [{"name": p.name, "state": p.state()} for p in self.processors],
+        }
+
+    @classmethod
+    def from_state(cls, st, base_dir=""):
+        self_ = cls()
+        self_.total = _Total(st["total"])
+        for pst in st["processors"]:
+            proc = _FACTORY[pst["name"]]()
+            proc.load_state(pst["state"], base_dir)
+            self_.processors.append(proc)
+        return self_

@@ -1,0 +1,94 @@
+"""Model container: entity map + feature templates + stage networks.
+
+Replaces the reference's compressed binary model stream
+(/root/reference/src/ner/bilou_ner.cpp:21-35, save order
+/root/reference/src/ner/bilou_ner_trainer.cpp:69-74) with a directory of
+JSON (entity map, template state) + npz (network weights), loaded on the
+driver and broadcast to executors (SURVEY.md §1.1 "Model").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..features.templates import EntityMap, FeatureTemplates, Sentence
+from ..ner import core
+
+
+class NerModel:
+    def __init__(self, entities: EntityMap, templates: FeatureTemplates, networks):
+        self.entities = entities
+        self.templates = templates
+        self.networks = networks  # list[core.Network], one per stage
+
+    @property
+    def stages(self) -> int:
+        return len(self.networks)
+
+    # ------------------------------------------------------------------ io
+    def save(self, model_dir: str) -> None:
+        os.makedirs(model_dir, exist_ok=True)
+        meta = {
+            "format": "nametag_spark/1",
+            "entities": self.entities.id2str,
+            "templates": self.templates.state(),
+            "stages": self.stages,
+        }
+        with open(os.path.join(model_dir, "model.json"), "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        arrays = {}
+        for s, net in enumerate(self.networks):
+            for k, v in net.to_arrays().items():
+                arrays[f"net{s}_{k}"] = v
+        np.savez_compressed(os.path.join(model_dir, "networks.npz"), **arrays)
+
+    @classmethod
+    def load(cls, model_dir: str) -> "NerModel":
+        with open(os.path.join(model_dir, "model.json"), encoding="utf-8") as f:
+            meta = json.load(f)
+        entities = EntityMap(meta["entities"])
+        templates = FeatureTemplates.from_state(meta["templates"], base_dir=model_dir)
+        arrs = np.load(os.path.join(model_dir, "networks.npz"))
+        networks = [core.Network.from_arrays(arrs, prefix=f"net{s}_") for s in range(meta["stages"])]
+        return cls(entities, templates, networks)
+
+    # ------------------------------------------------------- single sentence
+    def recognize_sentence(self, forms):
+        """Run the full multi-stage pipeline on one tokenized sentence.
+
+        Reference loop: /root/reference/src/ner/bilou_ner.cpp:37-94.
+        Returns sorted (start, length, type_name) spans.
+        """
+        sent = Sentence(list(forms))
+        if sent.size == 0:
+            return []
+        sent.clear_previous_stage()
+        for net in self.networks:
+            sent.clear_probabilities_local_filled()
+            self.templates.process_sentence(sent)  # may pin local_filled rows
+
+            unfilled = [i for i in range(sent.size) if not sent.local_filled[i]]
+            if unfilled:
+                flat = []
+                ptr = [0]
+                for i in unfilled:
+                    flat.extend(sent.features[i])
+                    ptr.append(len(flat))
+                probs = net.scores_batch(np.asarray(flat, dtype=np.int64), np.asarray(ptr, dtype=np.int64))
+                local, ent = core.fill_bilou_probabilities(probs)
+                for r, i in enumerate(unfilled):
+                    sent.local[i] = local[r]
+                    sent.local_ent[i] = ent[r]
+                    sent.local_filled[i] = True
+
+            best, best_ent = core.viterbi_decode(sent.local, sent.local_ent)
+            sent.prev_bilou = [int(b) for b in best]
+            sent.prev_ent = [int(e) for e in best_ent]
+
+        spans = core.extract_entities(best, best_ent)
+        entities = [[s, l, self.entities.name(e)] for (s, l, e) in spans]
+        self.templates.process_entities(sent, entities, self.entities)
+        return core.sort_entities([tuple(e) for e in entities])

@@ -1,0 +1,209 @@
+"""NER classification + decoding kernels (SURVEY.md §2.6).
+
+Batch-vectorized numpy re-implementations of:
+  - log-linear classify with missing_weight default
+      (/root/reference/src/classifier/network_classifier.cpp:168-218)
+  - outcome -> BILOU projection
+      (/root/reference/src/ner/bilou_ner.cpp:113-124,
+       /root/reference/src/bilou/bilou_entity.h:25-54)
+  - sequential global update ("Viterbi" with per-step renormalization by the
+      max of the two predecessor groups and B,I,L,O,U tie-break order)
+      (/root/reference/src/bilou/bilou_probabilities.cpp:15-81)
+  - best-path backtrace (/root/reference/src/bilou/ner_sentence.cpp:42-55)
+  - entity extraction from BILOU (/root/reference/src/ner/bilou_ner.cpp:80-87)
+
+Outcome encoding: I=0, L=1, O=2, B(e)=3+2e, U(e)=4+2e
+(bilou_entity.h:25-28).  BILOU state order: B=0,I=1,L=2,O=3,U=4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BILOU_B, BILOU_I, BILOU_L, BILOU_O, BILOU_U = 0, 1, 2, 3, 4
+ENTITY_UNKNOWN = -1
+
+
+def n_outcomes(n_entities: int) -> int:
+    return 3 + 2 * n_entities
+
+
+class Network:
+    """Sparse log-linear classifier stored as a dense adjusted-weight matrix.
+
+    W_adj[f, o] = weight[f][o] - missing_weight  for (f, o) pairs seen in
+    training, 0 otherwise, so scoring a token with feature multiset F is
+        out[o] = |F| * missing_weight + sum_{f in F} W_adj[f, o]
+    — one gather + segment-sum per Arrow batch instead of the reference's
+    per-token loop (physical strategy per SURVEY.md §4 P3).
+    """
+
+    def __init__(self, w_adj: np.ndarray, mask: np.ndarray, missing_weight: float):
+        self.w_adj = w_adj  # (n_features, n_out) float64
+        self.mask = mask  # (n_features, n_out) bool — training only
+        self.missing_weight = float(missing_weight)
+
+    @property
+    def n_out(self) -> int:
+        return self.w_adj.shape[1]
+
+    def scores_batch(self, feats_flat: np.ndarray, ptr: np.ndarray) -> np.ndarray:
+        """Softmax outcome distributions for a batch of tokens.
+
+        feats_flat: concatenated feature ids of all tokens; ptr: (T+1,)
+        segment offsets. Feature ids >= n_features contribute missing_weight
+        only (reference guards `feature < indices.size()`).
+        """
+        nf = self.w_adj.shape[0]
+        safe = np.where(feats_flat < nf, feats_flat, 0)
+        gathered = self.w_adj[safe]
+        gathered[feats_flat >= nf] = 0.0
+        if len(ptr) <= 1:
+            return np.zeros((0, self.n_out))
+        sums = np.add.reduceat(gathered, ptr[:-1], axis=0)
+        # reduceat repeats the element when ptr[i] == ptr[i+1] (empty segment);
+        # tokens always carry the omnipresent feature so segments are nonempty.
+        counts = np.diff(ptr).astype(np.float64)
+        out = sums + counts[:, None] * self.missing_weight
+        # softmax (network_classifier.cpp:211-217; max-shift for stability)
+        out -= out.max(axis=1, keepdims=True)
+        np.exp(out, out=out)
+        out /= out.sum(axis=1, keepdims=True)
+        return out
+
+    # --- serialization ----------------------------------------------------
+    def to_arrays(self):
+        f, o = np.nonzero(self.mask)
+        return {
+            "feat": f.astype(np.int64),
+            "out": o.astype(np.int64),
+            "w_adj": self.w_adj[f, o],
+            "shape": np.array(self.w_adj.shape, dtype=np.int64),
+            "missing_weight": np.array([self.missing_weight]),
+        }
+
+    @classmethod
+    def from_arrays(cls, arrs, prefix=""):
+        shape = tuple(arrs[prefix + "shape"])
+        w = np.zeros(shape, dtype=np.float64)
+        m = np.zeros(shape, dtype=bool)
+        f = arrs[prefix + "feat"]
+        o = arrs[prefix + "out"]
+        w[f, o] = arrs[prefix + "w_adj"]
+        m[f, o] = True
+        return cls(w, m, float(arrs[prefix + "missing_weight"][0]))
+
+
+def fill_bilou_probabilities(outcomes: np.ndarray):
+    """Project outcome distributions to per-BILOU (prob, entity).
+
+    outcomes: (T, n_out). Returns local (T,5) float64, ent (T,5) int64.
+    First-max wins ties (ascending outcome index, bilou_ner.cpp:113-124).
+    """
+    T, n = outcomes.shape
+    local = np.empty((T, 5), dtype=np.float64)
+    ent = np.full((T, 5), ENTITY_UNKNOWN, dtype=np.int64)
+    local[:, BILOU_I] = outcomes[:, 0]
+    local[:, BILOU_L] = outcomes[:, 1]
+    local[:, BILOU_O] = outcomes[:, 2]
+    b_cols = outcomes[:, 3::2]
+    u_cols = outcomes[:, 4::2]
+    local[:, BILOU_B] = b_cols.max(axis=1)
+    ent[:, BILOU_B] = b_cols.argmax(axis=1)
+    local[:, BILOU_U] = u_cols.max(axis=1)
+    ent[:, BILOU_U] = u_cols.argmax(axis=1)
+    return local, ent
+
+
+def _arg_first_max(values, order):
+    best = order[0]
+    for k in order[1:]:
+        if values[k] > values[best]:
+            best = k
+    return best
+
+
+def viterbi_decode(local: np.ndarray, ent: np.ndarray):
+    """Sequential global update + backtrace.
+
+    local: (T,5) local probabilities, ent: (T,5) local entities.
+    Returns best (T,) int (bilou per token) and best_ent (T,) int
+    (entity of the chosen global state per token).
+    """
+    T = local.shape[0]
+    glob = np.empty((T, 5), dtype=np.float64)
+    gent = np.empty((T, 5), dtype=np.int64)
+    prev = np.full((T, 5), -1, dtype=np.int64)
+
+    # init (bilou_probabilities.cpp:15-24)
+    glob[0] = local[0]
+    gent[0] = ent[0]
+    glob[0, BILOU_I] = 0.0
+    glob[0, BILOU_L] = 0.0
+
+    for t in range(1, T):
+        g = glob[t - 1]
+        best_LOU = _arg_first_max(g, (BILOU_L, BILOU_O, BILOU_U))
+        best_BI = _arg_first_max(g, (BILOU_B, BILOU_I))
+        lou_p = g[best_LOU]
+        bi_p = g[best_BI]
+        # per-step renormalization (bilou_probabilities.cpp:48-54)
+        if bi_p > lou_p:
+            lou_p = lou_p / bi_p
+            bi_p = 1.0
+        else:
+            bi_p = bi_p / lou_p if lou_p else 0.0
+            lou_p = 1.0
+
+        glob[t, BILOU_B] = lou_p * local[t, BILOU_B]
+        gent[t, BILOU_B] = ent[t, BILOU_B]
+        prev[t, BILOU_B] = best_LOU
+
+        glob[t, BILOU_I] = bi_p * local[t, BILOU_I]
+        gent[t, BILOU_I] = gent[t - 1, best_BI]
+        prev[t, BILOU_I] = best_BI
+
+        glob[t, BILOU_L] = bi_p * local[t, BILOU_L]
+        gent[t, BILOU_L] = gent[t - 1, best_BI]
+        prev[t, BILOU_L] = best_BI
+
+        glob[t, BILOU_O] = lou_p * local[t, BILOU_O]
+        gent[t, BILOU_O] = ent[t, BILOU_O]
+        prev[t, BILOU_O] = best_LOU
+
+        glob[t, BILOU_U] = lou_p * local[t, BILOU_U]
+        gent[t, BILOU_U] = ent[t, BILOU_U]
+        prev[t, BILOU_U] = best_LOU
+
+    # backtrace (ner_sentence.cpp:42-55): last word best among L,O,U
+    best = np.empty(T, dtype=np.int64)
+    best[T - 1] = _arg_first_max(glob[T - 1], (BILOU_L, BILOU_O, BILOU_U))
+    for t in range(T - 1, 0, -1):
+        best[t - 1] = prev[t, best[t]]
+
+    best_ent = gent[np.arange(T), best]
+    return best, best_ent
+
+
+def extract_entities(best: np.ndarray, best_ent: np.ndarray):
+    """BILOU path -> (start, length, entity_id) spans (bilou_ner.cpp:80-87)."""
+    T = len(best)
+    out = []
+    i = 0
+    while i < T:
+        if best[i] == BILOU_U:
+            out.append((i, 1, int(best_ent[i])))
+        elif best[i] == BILOU_B:
+            start = i
+            i += 1
+            while i < T and best[i] != BILOU_L:
+                i += 1
+            out.append((start, i - start + (1 if i < T else 0), int(best_ent[start])))
+        i += 1
+    return out
+
+
+def sort_entities(entities):
+    """Order by (start asc, length desc) — outermost-first for nested output
+    (/root/reference/src/run_ner.cpp:174-184)."""
+    return sorted(entities, key=lambda e: (e[0], -e[1]))

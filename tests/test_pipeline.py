@@ -1,0 +1,75 @@
+"""End-to-end NER pipeline tests: train -> Spark recognize -> F1 + parity."""
+
+import pandas as pd
+
+from nametag_spark.data.synth import synth_transcripts
+from nametag_spark.model.model import NerModel
+from nametag_spark.ner.pipeline import recognize_df, recognize_local, tokenize_df
+
+
+def test_tokenize_df_matches_local(spark):
+    tdf, _ = synth_transcripts(n_conversations=10, seed=5)
+    sdf = spark.createDataFrame(tdf)
+    tokens = tokenize_df(sdf).toPandas()
+    from nametag_spark.tokenizer.rules import tokenize_forms
+
+    # per-turn text equality under stable ordering (north rule)
+    got = (
+        tokens.sort_values(["conv_id", "turn_idx", "sent_idx", "tok_idx"])
+        .groupby(["conv_id", "turn_idx"])["form"]
+        .apply(list)
+        .to_dict()
+    )
+    for row in tdf.itertuples(index=False):
+        expect = [t for s in tokenize_forms(row.text) for t in s]
+        assert got[(row.conv_id, row.turn_idx)] == expect
+
+
+def test_spark_matches_oracle(spark, tiny_model_dir):
+    """Spark mentions == single-process oracle mentions, row for row."""
+    tdf, _ = synth_transcripts(n_conversations=15, seed=9)
+    sdf = spark.createDataFrame(tdf)
+    mentions = recognize_df(sdf, tiny_model_dir).toPandas()
+
+    model = NerModel.load(tiny_model_dir)
+    expected_rows = []
+    for row in tdf.itertuples(index=False):
+        for m in recognize_local(model, [row.text])[0]:
+            expected_rows.append({"conv_id": row.conv_id, "turn_idx": row.turn_idx, **m})
+    expected = pd.DataFrame(expected_rows)
+
+    key = ["conv_id", "turn_idx", "sent_idx", "tok_start", "tok_len", "type", "surface"]
+    got_sorted = mentions[key].sort_values(key).reset_index(drop=True)
+    exp_sorted = expected[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_sorted, exp_sorted, check_dtype=False)
+
+
+def test_span_f1_against_gold(spark, tiny_model_dir):
+    """North-rule gate: span-level F1 >= 0.95 on fresh synthetic eval data."""
+    tdf, gdf = synth_transcripts(n_conversations=20, seed=11)
+    sdf = spark.createDataFrame(tdf)
+    mentions = recognize_df(sdf, tiny_model_dir).toPandas()
+
+    pred = set(
+        map(
+            tuple,
+            mentions[["conv_id", "turn_idx", "sent_idx", "tok_start", "tok_len", "type"]].values,
+        )
+    )
+    gold = set(
+        map(tuple, gdf[["conv_id", "turn_idx", "sent_idx", "tok_start", "tok_len", "type"]].values)
+    )
+    tp = len(pred & gold)
+    precision = tp / len(pred)
+    recall = tp / len(gold)
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.95, f"span F1 {f1:.3f} below gate (P={precision:.3f} R={recall:.3f})"
+
+
+def test_model_save_load_roundtrip(tiny_model_dir, tmp_path):
+    model = NerModel.load(tiny_model_dir)
+    out = str(tmp_path / "resaved")
+    model.save(out)
+    m2 = NerModel.load(out)
+    text = "Alice Johnson works at Acme Labs in Prague ."
+    assert recognize_local(model, [text]) == recognize_local(m2, [text])

@@ -1,0 +1,115 @@
+"""Tokenizer goldens replicating the reference rules (SURVEY.md §2.2)."""
+
+from nametag_spark.tokenizer.rules import tokenize_forms, tokenize_sentences
+
+
+def forms(text):
+    return tokenize_forms(text)
+
+
+def test_basic_words_and_eos():
+    assert forms("Hello world. Next sentence.") == [
+        ["Hello", "world", "."],
+        ["Next", "sentence", "."],
+    ]
+
+
+def test_no_break_without_following_uppercase():
+    # eos rule requires ws+ then optional opening then Upper
+    assert forms("version 2. is out") == [["version", "2", ".", "is", "out"]]
+
+
+def test_abbreviations_do_not_break():
+    # english_tokenizer.rl:18-32 abbreviation list
+    assert forms("Dr. Smith arrived. Mr. Brown left.") == [
+        ["Dr", ".", "Smith", "arrived", "."],
+        ["Mr", ".", "Brown", "left", "."],
+    ]
+
+
+def test_single_capital_does_not_break():
+    # unicode_tokenizer.cpp:73-75
+    assert forms("J. Smith spoke. Then left.") == [
+        ["J", ".", "Smith", "spoke", "."],
+        ["Then", "left", "."],
+    ]
+
+
+def test_clitic_splitting():
+    assert forms("can't won't I'll we've you're it's I'm he'd") == [
+        ["ca", "n't", "wo", "n't", "I", "'ll", "we", "'ve", "you", "'re", "it", "'s", "I", "'m", "he", "'d"]
+    ]
+
+
+def test_irregular_clitics():
+    assert forms("cannot gonna gotta wanna gimme lemme") == [
+        ["can", "not", "gon", "na", "got", "ta", "wan", "na", "gim", "me", "lem", "me"]
+    ]
+
+
+def test_numbers():
+    # note: "a-" is a single word token (the word grammar allows a trailing
+    # hyphen and the scanner is longest-match), then "5" is a number
+    assert forms("3.14 1,234 5e-3 12:30 -5 a-5") == [
+        ["3.14", "1,234", "5e-3", "12", ":", "30", "-5", "a-", "5"]
+    ]
+
+
+def test_hyphenated_words():
+    assert forms("state-of-the-art x--y") == [["state-of-the-art", "x", "-", "-", "y"]]
+
+
+def test_url_email_single_token():
+    assert forms("mail bob@acme.com or https://a.io/x?y=1 now") == [
+        ["mail", "bob@acme.com", "or", "https://a.io/x?y=1", "now"]
+    ]
+
+
+def test_blank_line_ends_sentence():
+    assert forms("one two\n\nthree") == [["one", "two"], ["three"]]
+
+
+def test_closing_quote_before_break():
+    assert forms("He said 'stop!' Then ran.") == [
+        ["He", "said", "'", "stop", "!", "'"],
+        ["Then", "ran", "."],
+    ]
+
+
+def test_offsets_roundtrip():
+    text = "Alice met Bob. They talked."
+    for sent in tokenize_sentences(text):
+        for (s, l) in sent:
+            assert text[s : s + l].strip() == text[s : s + l]
+
+
+def test_emergency_split_500():
+    text = " ".join(["word"] * 1200)
+    sents = tokenize_sentences(text)
+    assert all(len(s) <= 500 for s in sents)
+    assert sum(len(s) for s in sents) == 1200
+
+
+def test_emergency_split_400_po():
+    # 399 words then a comma (Po) -> forces split at >=400
+    text = " ".join(["w"] * 399) + " , " + " ".join(["v"] * 50)
+    sents = tokenize_sentences(text)
+    assert len(sents[0]) == 400
+
+
+def test_synth_roundtrip():
+    """Planted transcripts tokenize back to exactly the planted tokens."""
+    from nametag_spark.data.synth import synth_transcripts
+
+    tdf, gdf = synth_transcripts(n_conversations=20, seed=7)
+    n_b_labels = 0
+    for row in tdf.itertuples(index=False):
+        toks = [t for s in tokenize_forms(row.text) for t in s]
+        assert " ".join(toks) == row.text
+    # every gold mention's surface matches the tokens at its span
+    for r in gdf.itertuples(index=False):
+        row = tdf[(tdf.conv_id == r.conv_id) & (tdf.turn_idx == r.turn_idx)].iloc[0]
+        sents = tokenize_forms(row.text)
+        assert r.sent_idx < len(sents)
+        span = sents[r.sent_idx][r.tok_start : r.tok_start + r.tok_len]
+        assert " ".join(span) == r.surface
