@@ -1,0 +1,281 @@
+"""Entity resolution: canonicalization, minhash-LSH blocking, connected
+components (SURVEY.md §7.7 / north rule).
+
+No reference analogue — this is the KG extension layered on the mention
+table. Everything here is declarative DataFrame work so Catalyst handles
+pushdown/pruning; the only iteration (connected components) uses the
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — public), with
+localCheckpoint() to truncate lineage between rounds.
+
+Scale notes (100 TB posture):
+  - blocking is explode -> groupBy(band) -> within-bucket self-join; bucket
+    width is bounded by LSH parameters, and oversized buckets (degenerate
+    surfaces) are capped explicitly to keep the self-join quadratic blowup
+    bounded (no silent cap: the cap is a parameter and capped buckets can
+    be counted by the caller).
+  - minhash uses md5-derived 64-bit integer hashes (same function exists in
+    DuckDB, which makes the op oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalize_surface(col):
+    """Canonical surface form: lowercase, strip non-alphanumerics to single
+    spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{Nd}]+", " "))
+
+
+def canonicalize_mentions(mentions: DataFrame) -> DataFrame:
+    return mentions.withColumn("norm", normalize_surface(F.col("surface")))
+
+
+def _hash64(col, salt: int):
+    """Deterministic 64-bit-ish hash from md5 (first 15 hex chars -> bigint).
+
+    Reproducible in DuckDB: CAST(('0x' || substr(md5(salt || s),1,15)) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(salt) + "|"), col)), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(col, k: int = 3):
+    """Character k-shingles of a string column as an array (distinct)."""
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN length({col}) < {k} THEN array({col}) "
+            f"ELSE transform(sequence(1, length({col}) - {k} + 1), i -> substring({col}, i, {k})) END"
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, key_col: str, n_hashes: int = 12, k: int = 3) -> DataFrame:
+    """One row per key with minhash signature columns mh0..mh{n-1}.
+
+    explode(shingles) -> n_hashes column-wise min aggregation: a single
+    shuffle on key_col, map-side partial aggregation for free.
+    """
+    sh = df.select(key_col, F.explode(shingles(text_col, k)).alias("shingle"))
+    aggs = [F.min(_hash64(F.col("shingle"), h)).alias(f"mh{h}") for h in range(n_hashes)]
+    return sh.groupBy(key_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate pairs (a, b) with a < b sharing at least one LSH band.
+
+    bands divide the signature into n_hashes/bands rows each; a pair of keys
+    collides if any band hashes equal. Buckets larger than max_bucket are
+    dropped (degenerate norms; callers can count them via the returned
+    metrics if needed) to bound the within-bucket self-join.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, text_col, key_col, n_hashes, k)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{h}").cast("string") for h in range(b * rows, (b + 1) * rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig")).alias(f"b{b}")
+        )
+    buckets = (
+        sig.select(key_col, F.explode(F.array(*band_cols)).alias("bk"))
+        .select(key_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b"))
+        .distinct()
+    )
+    # Cap pathological buckets before the join: count bucket sizes and
+    # filter. (Done via a broadcast-able aggregation on the bucket keys.)
+    sizes = buckets.groupBy("band", "sig").count().where(F.col("count") > max_bucket)
+    if sizes.limit(1).count() > 0:
+        ok = buckets.join(F.broadcast(sizes), ["band", "sig"], "left_anti")
+        left = ok.alias("l")
+        right = ok.alias("r")
+        pairs = (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.sig") == F.col("r.sig"))
+                & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+            )
+            .select(F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b"))
+            .distinct()
+        )
+    return pairs
+
+
+def jaccard_filter(
+    pairs: DataFrame, df: DataFrame, text_col: str, key_col: str, threshold: float = 0.5, k: int = 3
+) -> DataFrame:
+    """Exact character-shingle Jaccard on candidate pairs."""
+    sh = df.select(F.col(key_col).alias("_k"), shingles(text_col, k).alias("_sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed("_k", "a").withColumnRenamed("_sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("_k", "b").withColumnRenamed("_sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    edges: (src:long, dst:long). Returns (node:long, component:long) where
+    component is the minimum node id of the component. Isolated nodes that
+    never appear in edges must be handled by the caller (left join +
+    coalesce to self).
+    """
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).where(F.col("src") != F.col("dst"))
+    e = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+
+    prev_checksum = None
+    for _ in range(max_iterations):
+        # large-star: for each u over undirected neighborhood, connect every
+        # strictly-larger neighbor to the min of N(u) + {u}
+        und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = und.groupBy("src").agg(F.min("dst").alias("mn"))
+        mins = mins.select("src", F.least("mn", F.col("src")).alias("m"))
+        large = (
+            und.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+        # small-star: edges directed large->small; connect all smaller
+        # neighbors and u itself to the min
+        directed = large.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        mins2 = directed.groupBy("src").agg(F.min("dst").alias("mn"))
+        mins2 = mins2.select("src", F.least("mn", F.col("src")).alias("m"))
+        small = (
+            directed.join(mins2, "src")
+            .select(F.col("dst").alias("node"), F.col("m"))
+            .union(mins2.select(F.col("src").alias("node"), F.col("m")))
+            .where(F.col("node") != F.col("m"))
+            .distinct()
+            .select(F.col("node").alias("src"), F.col("m").alias("dst"))
+        )
+
+        e = small.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        e = e.localCheckpoint()  # truncate the iterative plan
+
+        checksum = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.hash("src", "dst").cast("long")).alias("s"),
+        ).collect()[0]
+        cur = (checksum["c"], checksum["s"])
+        if cur == prev_checksum:
+            break
+        prev_checksum = cur
+
+    out = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    # include the representative itself (component, component)
+    return out.union(
+        out.select(F.col("component").alias("node"), F.col("component"))
+    ).distinct()
+
+
+def resolve_entities(
+    mentions: DataFrame,
+    lsh_hashes: int = 12,
+    lsh_bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.6,
+) -> tuple[DataFrame, DataFrame]:
+    """Mentions -> (mention_entities, entities).
+
+    Blocking + similarity edges are built over distinct (type, norm) surface
+    pairs (dramatically smaller than the mention table at scale: entity
+    surfaces follow a Zipf law), then components are joined back.
+
+    Returns:
+      mention_entities: mentions + (norm, entity_id)
+      entities: (entity_id, type, canonical, n_mentions, n_surfaces)
+    """
+    m = canonicalize_mentions(mentions).where(F.length("norm") > 0)
+
+    surfaces = (
+        m.groupBy("type", "norm").agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    # stable surface key: deterministic hash of (type, norm)
+    surfaces = surfaces.withColumn("sid", _hash64(F.concat_ws("\t", "type", "norm"), 0))
+
+    # candidate pairs within the same entity type only
+    typed = surfaces.select("sid", F.concat_ws("\t", "type", "norm").alias("tnorm"), "norm", "type")
+    pairs = lsh_candidate_pairs(
+        typed.select("sid", F.concat_ws("|", "type", "norm").alias("key_text")),
+        "key_text",
+        "sid",
+        n_hashes=lsh_hashes,
+        bands=lsh_bands,
+        k=shingle_k,
+    )
+    # similarity filter on the type-prefixed text keeps cross-type pairs out
+    edges = jaccard_filter(
+        pairs,
+        typed.select("sid", F.concat_ws("|", "type", "norm").alias("key_text")),
+        "key_text",
+        "sid",
+        threshold=jaccard_threshold,
+        k=shingle_k,
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+
+    comp = connected_components(edges)
+    assign = surfaces.join(comp, surfaces["sid"] == comp["node"], "left").select(
+        surfaces["type"],
+        surfaces["norm"],
+        surfaces["n_mentions"],
+        surfaces["sid"],
+        F.coalesce(comp["component"], surfaces["sid"]).alias("entity_id"),
+    )
+
+    # canonical surface = most frequent norm in the component (ties: lexical)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity_id").orderBy(F.desc("n_mentions"), F.asc("norm"))
+    entities = (
+        assign.withColumn("rn", F.row_number().over(w))
+        .groupBy("entity_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("norm"))).alias("canonical"),
+            F.max(F.when(F.col("rn") == 1, F.col("type"))).alias("type"),
+            F.sum("n_mentions").alias("n_mentions"),
+            F.count(F.lit(1)).alias("n_surfaces"),
+        )
+    )
+
+    mention_entities = m.join(
+        assign.select("type", "norm", "entity_id"), ["type", "norm"], "left"
+    )
+    return mention_entities, entities

@@ -1,0 +1,96 @@
+"""Triple extraction: (subj, pred, obj) from co-occurring canonical entities.
+
+North-rule component (no reference analogue). Pure DataFrame work:
+mentions joined to themselves within a sentence window; predicates derived
+from the entity-type pair plus the turn's role/tool context; aggregation
+collects provenance (SURVEY.md §2.8 "Triple aggregation").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# type-pair -> base predicate (subject type, object type)
+PREDICATE_RULES = [
+    ("PER", "ORG", "affiliated_with"),
+    ("PER", "LOC", "located_in"),
+    ("ORG", "LOC", "located_in"),
+    ("PER", "PER", "associated_with"),
+    ("PER", "EMAIL", "has_email"),
+    ("PER", "URL", "has_url"),
+    ("ORG", "URL", "has_url"),
+    ("ORG", "EMAIL", "has_email"),
+    ("PER", "TIME", "active_at"),
+    ("ORG", "TIME", "active_at"),
+]
+
+
+def extract_triples(
+    mention_entities: DataFrame,
+    transcripts: DataFrame | None = None,
+    window: str = "sentence",
+) -> DataFrame:
+    """mention_entities: output of resolve_entities()[0] — mentions with
+    (conv_id, turn_idx, sent_idx, tok_start, type, norm, entity_id).
+
+    window: 'sentence' pairs mentions within the same sentence; 'turn'
+    within the same turn.
+
+    Returns (subj, pred, obj, subj_type, obj_type, n_evidence, evidence)
+    where subj/obj are canonical entity ids and evidence is a deduplicated
+    list of "conv_id:turn_idx" provenance strings.
+    """
+    keys = ["conv_id", "turn_idx"] + (["sent_idx"] if window == "sentence" else [])
+
+    m = mention_entities.select(
+        *keys, "tok_start", "type", "entity_id", "norm"
+    )
+
+    rules = m.sparkSession.createDataFrame(
+        PREDICATE_RULES, ["subj_type", "obj_type", "pred"]
+    )
+
+    left = m.alias("l")
+    right = m.alias("r")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    # subject precedes object in the sentence; self-pairs excluded
+    cond.append(F.col("l.tok_start") < F.col("r.tok_start"))
+    cond.append(F.col("l.entity_id") != F.col("r.entity_id"))
+
+    pairs = left.join(right, cond).select(
+        F.col("l.conv_id").alias("conv_id"),
+        F.col("l.turn_idx").alias("turn_idx"),
+        F.col("l.type").alias("subj_type"),
+        F.col("r.type").alias("obj_type"),
+        F.col("l.entity_id").alias("subj"),
+        F.col("r.entity_id").alias("obj"),
+        F.col("l.norm").alias("subj_norm"),
+        F.col("r.norm").alias("obj_norm"),
+    )
+
+    # predicate rules are a tiny dimension -> broadcast hash join
+    triples = pairs.join(F.broadcast(rules), ["subj_type", "obj_type"])
+
+    if transcripts is not None:
+        ctx = transcripts.select("conv_id", "turn_idx", "role", "tool")
+        triples = triples.join(ctx, ["conv_id", "turn_idx"], "left").withColumn(
+            "pred",
+            F.when(
+                (F.col("role") == "tool") & (F.length("tool") > 0),
+                F.concat_ws("_", F.col("pred"), F.lit("via"), F.col("tool")),
+            ).otherwise(F.col("pred")),
+        )
+
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(
+            F.first("subj_type").alias("subj_type"),
+            F.first("obj_type").alias("obj_type"),
+            F.first("subj_norm").alias("subj_norm"),
+            F.first("obj_norm").alias("obj_norm"),
+            F.count(F.lit(1)).alias("n_evidence"),
+            F.array_distinct(
+                F.collect_list(F.concat_ws(":", "conv_id", "turn_idx"))
+            ).alias("evidence"),
+        )
+    )

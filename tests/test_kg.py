@@ -1,0 +1,170 @@
+"""KG extension tests: connected components, LSH blocking, resolution,
+triples, checkpoint/resume."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nametag_spark.kg.resolution import (
+    connected_components,
+    jaccard_filter,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    resolve_entities,
+)
+from nametag_spark.kg.triples import extract_triples
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(4)
+    nodes = list(range(1, 120))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(140)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    expect = _uf_components(edges, set([a for a, _ in edges] + [b for _, b in edges]))
+    # engine returns only nodes appearing in edges; min-id representative
+    for n, c in got.items():
+        assert expect[n] == c, f"node {n}: got {c}, expect {expect[n]}"
+    # every non-singleton node is present
+    nonsingle = {n for n, c in expect.items() if c != n or any(expect[m] == n for m in expect if m != n)}
+    for n in nonsingle:
+        assert n in got
+
+
+def test_minhash_similar_strings_collide(spark):
+    rows = [
+        (1, "acme corporation"),
+        (2, "acme corp"),
+        (3, "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "norm"])
+    pairs = lsh_candidate_pairs(df, "norm", "id", n_hashes=12, bands=6).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_jaccard_filter(spark):
+    rows = [(1, "abcdef"), (2, "abcdeg"), (3, "zzzzzz")]
+    df = spark.createDataFrame(rows, ["id", "norm"])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["a", "b"])
+    out = jaccard_filter(pairs, df, "norm", "id", threshold=0.5).collect()
+    assert {(r["a"], r["b"]) for r in out} == {(1, 2)}
+
+
+def test_resolve_entities_merges_variants(spark):
+    mentions = pd.DataFrame(
+        [
+            # same org with two spellings, one person, in several turns
+            {"conv_id": "c1", "turn_idx": 0, "sent_idx": 0, "tok_start": 0, "tok_len": 2,
+             "char_start": 0, "char_len": 9, "type": "ORG", "surface": "Acme Corporation"},
+            {"conv_id": "c1", "turn_idx": 1, "sent_idx": 0, "tok_start": 0, "tok_len": 2,
+             "char_start": 0, "char_len": 9, "type": "ORG", "surface": "Acme Corporation"},
+            {"conv_id": "c2", "turn_idx": 0, "sent_idx": 0, "tok_start": 0, "tok_len": 2,
+             "char_start": 0, "char_len": 9, "type": "ORG", "surface": "ACME corporations"},
+            {"conv_id": "c2", "turn_idx": 1, "sent_idx": 0, "tok_start": 3, "tok_len": 1,
+             "char_start": 9, "char_len": 5, "type": "PER", "surface": "Alice"},
+        ]
+    )
+    df = spark.createDataFrame(mentions)
+    me, ents = resolve_entities(df, jaccard_threshold=0.5)
+    ents_pd = ents.toPandas()
+    orgs = ents_pd[ents_pd.type == "ORG"]
+    assert len(orgs) == 1, f"expected merged ORG entity, got {orgs}"
+    assert orgs.iloc[0]["canonical"] == "acme corporation"  # most frequent norm
+    assert orgs.iloc[0]["n_mentions"] == 3
+    assert len(ents_pd[ents_pd.type == "PER"]) == 1
+
+
+def test_extract_triples_cooccurrence(spark):
+    me = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"conv_id": "c1", "turn_idx": 0, "sent_idx": 0, "tok_start": 0,
+                 "type": "PER", "entity_id": 10, "norm": "alice johnson"},
+                {"conv_id": "c1", "turn_idx": 0, "sent_idx": 0, "tok_start": 4,
+                 "type": "ORG", "entity_id": 20, "norm": "acme labs"},
+                {"conv_id": "c1", "turn_idx": 0, "sent_idx": 0, "tok_start": 7,
+                 "type": "LOC", "entity_id": 30, "norm": "prague"},
+                # different sentence: no triple with the above
+                {"conv_id": "c1", "turn_idx": 0, "sent_idx": 1, "tok_start": 0,
+                 "type": "PER", "entity_id": 11, "norm": "bob"},
+            ]
+        )
+    )
+    t = extract_triples(me).toPandas()
+    trip = {(r.subj, r.pred, r.obj) for r in t.itertuples(index=False)}
+    assert (10, "affiliated_with", 20) in trip
+    assert (10, "located_in", 30) in trip
+    assert (20, "located_in", 30) in trip
+    assert not any(s == 11 or o == 11 for s, _, o in trip)
+
+
+def test_triples_tool_predicate(spark):
+    me = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"conv_id": "c1", "turn_idx": 0, "sent_idx": 0, "tok_start": 0,
+                 "type": "PER", "entity_id": 1, "norm": "alice"},
+                {"conv_id": "c1", "turn_idx": 0, "sent_idx": 0, "tok_start": 2,
+                 "type": "ORG", "entity_id": 2, "norm": "acme"},
+            ]
+        )
+    )
+    tr = spark.createDataFrame(
+        pd.DataFrame(
+            [{"conv_id": "c1", "turn_idx": 0, "role": "tool", "tool": "crm", "text": "x", "ts": None}]
+        ).astype({"turn_idx": "int32"})[["conv_id", "turn_idx", "role", "tool"]]
+    )
+    t = extract_triples(me, tr).toPandas()
+    assert t.iloc[0]["pred"] == "affiliated_with_via_crm"
+
+
+def test_build_knowledge_graph_resume(spark, tiny_model_dir, tmp_path):
+    from nametag_spark.data.synth import synth_transcripts
+    from nametag_spark.kg.graph_io import build_knowledge_graph
+
+    tdf, _ = synth_transcripts(n_conversations=10, seed=21)
+    sdf = spark.createDataFrame(tdf)
+    out = str(tmp_path / "graph")
+
+    res1 = build_knowledge_graph(spark, sdf, tiny_model_dir, out)
+    assert res1["resumed"] == [False, False, False, False]
+    n_triples = res1["triples"].count()
+    assert n_triples > 0
+    assert res1["entities"].count() > 0
+    # manifests carry per-partition lineage
+    assert all(m["rows"] >= 0 and "partitions" in m for m in res1["manifests"])
+
+    # second run: everything resumes from checkpoint, same results
+    res2 = build_knowledge_graph(spark, sdf, tiny_model_dir, out)
+    assert res2["resumed"] == [True, True, True, True]
+    assert res2["triples"].count() == n_triples
+
+    # config change invalidates downstream stages
+    res3 = build_knowledge_graph(
+        spark, sdf, tiny_model_dir, out, config={"resolution": {"jaccard_threshold": 0.9}}
+    )
+    assert res3["resumed"][0] is False or res3["resumed"][1] is False
