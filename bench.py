@@ -1,0 +1,178 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "scaling": {...}}
+
+Scaling evidence (north rule: >=0.8 efficiency N -> 4N executors): the NER
+throughput job is re-run at local[8] and local[32] on identical input; the
+JSON carries turns/sec at both and efficiency = (tps_32 / tps_8) / 4.
+Progress/diagnostics go to stderr; stdout is exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_BASE = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "8"))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sf_of(path: str) -> float:
+    try:
+        return float(os.path.basename(path.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def make_spark(cores: int):
+    from nametag_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"nametag_spark_bench_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+
+
+def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf) -> dict:
+    """Headline suite; returns {name: seconds}."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from nametag_spark.kg.resolution import resolve_entities
+    from nametag_spark.kg.triples import extract_triples
+    from nametag_spark.ner.pipeline import recognize_df, tokenize_df
+    from nametag_spark.ops.dedup import minhash_dup_pairs, with_simhash
+    from nametag_spark.ops.similarity import cosine_topk
+
+    transcripts = spark.createDataFrame(transcripts_pdf).repartition(spark.sparkContext.defaultParallelism)
+    transcripts = transcripts.persist()
+    n_turns = transcripts.count()
+    log(f"bench input: {n_turns} turns at {sf_dir}")
+
+    # warm-up: spin up python workers / JIT before any timed query
+    tokenize_df(transcripts.limit(256)).count()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    timings: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        log(f"  {name}: {dt:.2f}s ({out})")
+        return dt
+
+    timed("ner_tokenize", lambda: tokenize_df(transcripts).count())
+    timed("ner_recognize", lambda: recognize_df(transcripts, model_dir).count())
+
+    def kg_e2e():
+        mentions = recognize_df(transcripts, model_dir)
+        me, _ = resolve_entities(mentions)
+        return extract_triples(me, transcripts).count()
+
+    timed("kg_triples_e2e", kg_e2e)
+
+    timed(
+        "minhash_lsh_dedup",
+        lambda: minhash_dup_pairs(docs, n_hashes=12, bands=4, shingle_k=5, threshold=0.7).count(),
+    )
+    timed("simhash", lambda: with_simhash(docs, bits=32).agg(F.sum("simhash")).collect()[0][0])
+    timed("exact_dedup", lambda: entry.q_exact_dedup(spark, sf_dir).count())
+    timed("quality_score", lambda: entry.q_quality_score(spark, sf_dir).count())
+
+    queries = emb.where(F.col("vec_id") < 32).select(F.col("vec_id").alias("query_id"), "embedding")
+    timed("cosine_topk", lambda: cosine_topk(emb, queries, k=10).count())
+
+    timed("pricing_summary", lambda: entry.q_pricing_summary(spark, sf_dir).count())
+    timed("top_orders_per_customer", lambda: entry.q_top_orders_per_customer(spark, sf_dir).count())
+    timed("events_turn_order", lambda: entry.q_events_turn_order(spark, sf_dir).count())
+
+    transcripts.unpersist()
+    return timings, n_turns
+
+
+def ner_throughput(cores: int, model_dir: str, transcripts_pdf) -> float:
+    """turns/sec of the NER pipeline at a given parallelism (fresh session)."""
+    from nametag_spark.ner.pipeline import recognize_df
+
+    spark = make_spark(cores)
+    try:
+        df = spark.createDataFrame(transcripts_pdf).repartition(cores * 2).persist()
+        n = df.count()
+        # warm-up (JIT, python worker spin-up) then measured run
+        recognize_df(df, model_dir).count()
+        t0 = time.time()
+        recognize_df(df, model_dir).count()
+        dt = time.time() - t0
+        log(f"local[{cores}]: {n} turns in {dt:.2f}s = {n / dt:.0f} turns/s")
+        return n / dt
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    from nametag_spark.data.synth import gold_to_conll, synth_transcripts
+    from nametag_spark.train.trainer import train_ner
+
+    sf = sf_of(SF_DIR)
+    # train the model once (driver-local, deterministic)
+    import __spark_entry__ as entry
+
+    model_dir = entry._model_dir()
+
+    n_conv = max(100, int(8000 * sf))
+    transcripts_pdf, _ = synth_transcripts(n_conversations=n_conv, seed=42)
+    log(f"synth transcripts: {len(transcripts_pdf)} turns / {n_conv} conversations")
+
+    spark = make_spark(CPUS)
+    t0 = time.time()
+    timings, n_turns = bench_queries(spark, SF_DIR, model_dir, transcripts_pdf)
+    total = time.time() - t0
+    spark.stop()
+
+    # scaling: same job at two parallelism levels (no real cluster available
+    # in this sandbox). Uses a larger fixed input so the measured region is
+    # compute- rather than fixed-overhead-dominated.
+    scale_conv = int(os.environ.get("SPARK_GRAFT_SCALE_CONV", "6000"))
+    scale_pdf, _ = synth_transcripts(n_conversations=scale_conv, seed=7)
+    log(f"scaling input: {len(scale_pdf)} turns")
+    tps_lo = ner_throughput(SCALE_BASE, model_dir, scale_pdf)
+    tps_hi = ner_throughput(SCALE_BASE * 4, model_dir, scale_pdf)
+    efficiency = (tps_hi / tps_lo) / 4.0
+
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_turns": n_turns,
+        "scaling": {
+            "base_cores": SCALE_BASE,
+            "scaled_cores": SCALE_BASE * 4,
+            "turns_per_sec_base": round(tps_lo, 1),
+            "turns_per_sec_scaled": round(tps_hi, 1),
+            "efficiency": round(efficiency, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

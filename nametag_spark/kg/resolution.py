@@ -41,6 +41,26 @@ def _hash64(col, salt: int):
     return F.conv(F.substring(F.md5(F.concat(F.lit(str(salt) + "|"), col)), 1, 15), 16, 10).cast("bigint")
 
 
+# Affine minhash family over Z_P: one md5 per shingle, n cheap arithmetic
+# permutations derived from it (instead of n md5 evaluations — the md5 was
+# >90% of the minhash cost). Constants are fixed/deterministic; the same
+# formula is reproducible in DuckDB SQL.
+MINHASH_P = 2147483647  # 2^31 - 1 (prime)
+
+
+def minhash_affine_constants(n_hashes: int):
+    """(a_i, b_i) pairs, deterministic."""
+    import random
+
+    rng = random.Random(12345)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P)) for _ in range(n_hashes)]
+
+
+def _hash28(col):
+    """Base hash: first 7 hex chars of md5 -> 28-bit int (DuckDB-reproducible)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
 def shingles(col, k: int = 3):
     """Character k-shingles of a string column as an array (distinct)."""
     return F.array_distinct(
@@ -54,11 +74,24 @@ def shingles(col, k: int = 3):
 def minhash_signatures(df: DataFrame, text_col: str, key_col: str, n_hashes: int = 12, k: int = 3) -> DataFrame:
     """One row per key with minhash signature columns mh0..mh{n-1}.
 
-    explode(shingles) -> n_hashes column-wise min aggregation: a single
-    shuffle on key_col, map-side partial aggregation for free.
+    explode(shingles) -> one md5 per shingle -> n_hashes affine permutations
+    -> column-wise min aggregation: a single shuffle on key_col with
+    map-side partial aggregation. Input is spread to full parallelism first
+    (a small doc table arrives as one file = one partition; at scale this
+    repartition is a no-op relative to natural input splits).
     """
-    sh = df.select(key_col, F.explode(shingles(text_col, k)).alias("shingle"))
-    aggs = [F.min(_hash64(F.col("shingle"), h)).alias(f"mh{h}") for h in range(n_hashes)]
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    sh = df.select(key_col, F.explode(shingles(text_col, k)).alias("shingle")).withColumn(
+        "h", _hash28(F.col("shingle"))
+    )
+    consts = minhash_affine_constants(n_hashes)
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P))).alias(f"mh{h}")
+        for h, (a, b) in enumerate(consts)
+    ]
     return sh.groupBy(key_col).agg(*aggs)
 
 
@@ -90,9 +123,14 @@ def lsh_candidate_pairs(
         sig.select(key_col, F.explode(F.array(*band_cols)).alias("bk"))
         .select(key_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
     )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    pairs = (
+    # Cap pathological buckets before the self-join (degenerate surfaces
+    # would otherwise make it quadratic); the oversized-bucket set is a tiny
+    # aggregate -> broadcast anti-join.
+    oversized = buckets.groupBy("band", "sig").count().where(F.col("count") > max_bucket)
+    ok = buckets.join(F.broadcast(oversized.select("band", "sig")), ["band", "sig"], "left_anti")
+    left = ok.alias("l")
+    right = ok.alias("r")
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -102,24 +140,6 @@ def lsh_candidate_pairs(
         .select(F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b"))
         .distinct()
     )
-    # Cap pathological buckets before the join: count bucket sizes and
-    # filter. (Done via a broadcast-able aggregation on the bucket keys.)
-    sizes = buckets.groupBy("band", "sig").count().where(F.col("count") > max_bucket)
-    if sizes.limit(1).count() > 0:
-        ok = buckets.join(F.broadcast(sizes), ["band", "sig"], "left_anti")
-        left = ok.alias("l")
-        right = ok.alias("r")
-        pairs = (
-            left.join(
-                right,
-                (F.col("l.band") == F.col("r.band"))
-                & (F.col("l.sig") == F.col("r.sig"))
-                & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
-            )
-            .select(F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b"))
-            .distinct()
-        )
-    return pairs
 
 
 def jaccard_filter(
@@ -141,18 +161,61 @@ def jaccard_filter(
     return out
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+def _local_components(rows) -> list:
+    """Driver-side union-find for small edge sets."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(n, find(n)) for n in parent]
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, driver_threshold: int = 2_000_000
+) -> DataFrame:
     """Alternating large-star/small-star connected components.
 
     edges: (src:long, dst:long). Returns (node:long, component:long) where
-    component is the minimum node id of the component. Isolated nodes that
-    never appear in edges must be handled by the caller (left join +
-    coalesce to self).
+    component is the minimum node id of the component (including a
+    (component, component) self-row). Isolated nodes that never appear in
+    edges must be handled by the caller (left join + coalesce to self).
+
+    Hybrid execution: similarity graphs are usually tiny relative to the
+    mention table (edges live on distinct-surface pairs), so when the edge
+    count fits comfortably on the driver we run union-find locally instead
+    of paying ~8 shuffle rounds per star iteration; above the threshold the
+    fully-distributed star algorithm runs.
     """
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).where(F.col("src") != F.col("dst"))
     e = e.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).distinct()
+
+    e = e.persist()
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        spark = edges.sparkSession
+        comp = _local_components([(r["src"], r["dst"]) for r in e.collect()])
+        if not comp:
+            return spark.createDataFrame([], "node long, component long")
+        return spark.createDataFrame(comp, "node long, component long")
 
     prev_checksum = None
     for _ in range(max_iterations):
@@ -223,11 +286,14 @@ def resolve_entities(
       mention_entities: mentions + (norm, entity_id)
       entities: (entity_id, type, canonical, n_mentions, n_surfaces)
     """
-    m = canonicalize_mentions(mentions).where(F.length("norm") > 0)
+    # cut the (expensive) upstream NER lineage once: every branch below —
+    # surface aggregation, LSH, similarity join, final assignment join —
+    # would otherwise recompute the mention table
+    m = canonicalize_mentions(mentions).where(F.length("norm") > 0).persist()
 
     surfaces = (
         m.groupBy("type", "norm").agg(F.count(F.lit(1)).alias("n_mentions"))
-    )
+    ).persist()
     # stable surface key: deterministic hash of (type, norm)
     surfaces = surfaces.withColumn("sid", _hash64(F.concat_ws("\t", "type", "norm"), 0))
 

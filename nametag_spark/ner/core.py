@@ -185,6 +185,99 @@ def viterbi_decode(local: np.ndarray, ent: np.ndarray):
     return best, best_ent
 
 
+def viterbi_decode_batch(local: np.ndarray, ent: np.ndarray, lengths: np.ndarray):
+    """Lockstep-vectorized viterbi_decode over many sentences.
+
+    local/ent: (N_tokens, 5) concatenated per-sentence rows; lengths: tokens
+    per sentence. Sentences are processed in descending-length order so the
+    active set at each time step is a contiguous prefix. Identical math and
+    tie-breaking to viterbi_decode (parity-tested).
+
+    Returns (best, best_ent) as flat (N_tokens,) arrays in the original
+    sentence order.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n_sent = len(lengths)
+    if n_sent == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    offsets = np.zeros(n_sent + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+
+    order = np.argsort(-lengths, kind="stable")
+    sorted_len = lengths[order]
+    starts = offsets[:-1][order]
+    max_t = int(sorted_len[0]) if n_sent else 0
+
+    glob = np.empty_like(local)
+    gent = np.empty_like(ent)
+    prev = np.full(local.shape, -1, dtype=np.int64)
+
+    # init at t=0 for every sentence
+    s0 = starts
+    glob[s0] = local[s0]
+    glob[s0, BILOU_I] = 0.0
+    glob[s0, BILOU_L] = 0.0
+    gent[s0] = ent[s0]
+
+    # first-max helpers (np.argmax picks the first maximum)
+    LOU = np.array([BILOU_L, BILOU_O, BILOU_U])
+    BI = np.array([BILOU_B, BILOU_I])
+
+    # number of sentences still active at step t (sorted desc -> prefix)
+    for t in range(1, max_t):
+        a = int(np.searchsorted(-sorted_len, -(t + 1), side="right"))
+        idx = starts[:a] + t
+        pidx = idx - 1
+        g = glob[pidx]  # (a, 5)
+
+        lou_arg = LOU[np.argmax(g[:, LOU], axis=1)]
+        bi_arg = BI[np.argmax(g[:, BI], axis=1)]
+        ar = np.arange(a)
+        lou_p = g[ar, lou_arg]
+        bi_p = g[ar, bi_arg]
+        gt = bi_p > lou_p
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lou_n = np.where(gt, np.where(bi_p != 0, lou_p / bi_p, 0.0), 1.0)
+            bi_n = np.where(gt, 1.0, np.where(lou_p != 0, bi_p / lou_p, 0.0))
+
+        loc = local[idx]
+        le = ent[idx]
+        prev_bi_ent = gent[pidx, bi_arg]
+
+        glob[idx, BILOU_B] = lou_n * loc[:, BILOU_B]
+        gent[idx, BILOU_B] = le[:, BILOU_B]
+        prev[idx, BILOU_B] = lou_arg
+
+        glob[idx, BILOU_I] = bi_n * loc[:, BILOU_I]
+        gent[idx, BILOU_I] = prev_bi_ent
+        prev[idx, BILOU_I] = bi_arg
+
+        glob[idx, BILOU_L] = bi_n * loc[:, BILOU_L]
+        gent[idx, BILOU_L] = prev_bi_ent
+        prev[idx, BILOU_L] = bi_arg
+
+        glob[idx, BILOU_O] = lou_n * loc[:, BILOU_O]
+        gent[idx, BILOU_O] = le[:, BILOU_O]
+        prev[idx, BILOU_O] = lou_arg
+
+        glob[idx, BILOU_U] = lou_n * loc[:, BILOU_U]
+        gent[idx, BILOU_U] = le[:, BILOU_U]
+        prev[idx, BILOU_U] = lou_arg
+
+    # backtrace: last-token best among L,O,U, then follow prev[]
+    best = np.empty(len(local), dtype=np.int64)
+    last = starts + sorted_len - 1
+    g_last = glob[last]
+    best[last] = LOU[np.argmax(g_last[:, LOU], axis=1)]
+    for t in range(max_t - 1, 0, -1):
+        a = int(np.searchsorted(-sorted_len, -(t + 1), side="right"))
+        idx = starts[:a] + t
+        best[idx - 1] = prev[idx, best[idx]]
+
+    best_ent = gent[np.arange(len(local)), best]
+    return best, best_ent
+
+
 def extract_entities(best: np.ndarray, best_ent: np.ndarray):
     """BILOU path -> (start, length, entity_id) spans (bilou_ner.cpp:80-87)."""
     T = len(best)

@@ -1,0 +1,329 @@
+"""Vectorized inference featurizer (physical optimization of SURVEY.md §2.4).
+
+Semantics are identical to features.templates (the reference-shaped slow
+path, which remains the source of truth and is used for training); this
+module only changes the *physical* strategy for inference:
+
+  - per-form memoization: most templates (Form, Capitalization,
+    CaseNormalized, Suffix, RawLemma*, Lemma, Tag, NumericTimeValue) derive
+    features from the token string alone, and form frequency is Zipfian, so
+    the per-token template work collapses to one dict hit per token
+  - window replication (feature + w - i over [i-window, i+window]) becomes
+    a handful of numpy shifts per sentence instead of per-position appends
+  - URL/email hard-pin decisions are memoized per form
+  - stateful processors (PreviousStage) and trie processors
+    (GazetteersEnhanced) run their exact reference-shaped logic
+
+Parity between this path and the slow path is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..features import templates as T
+
+# processors whose per-token features depend only on the form string
+_PURE = (
+    T.Form,
+    T.FormCapitalization,
+    T.FormCaseNormalized,
+    T.FormSuffix,
+    T.FormCaseNormalizedSuffix,
+    T.RawLemma,
+    T.RawLemmaCapitalization,
+    T.RawLemmaCaseNormalized,
+    T.RawLemmaSuffix,
+    T.RawLemmaCaseNormalizedSuffix,
+    T.Lemma,
+    T.Tag,
+    T.NumericTimeValue,
+)
+
+# of those, the ones that also emit outer-word features (literal `window` id)
+_OUTER = (
+    T.Form,
+    T.FormCaseNormalized,
+    T.FormSuffix,
+    T.FormCaseNormalizedSuffix,
+    T.RawLemma,
+    T.RawLemmaCaseNormalized,
+    T.RawLemmaSuffix,
+    T.RawLemmaCaseNormalizedSuffix,
+    T.Lemma,
+    T.Tag,
+)
+
+
+def _token_feature_ids(proc, form):
+    """Replicates the per-token body of each pure processor, returning the
+    base feature ids it would apply_in_window at this token."""
+    out = []
+    if isinstance(proc, (T.FormCapitalization, T.RawLemmaCapitalization)):
+        was_upper = was_lower = False
+        for k, ch in enumerate(form):
+            c = T._cat(ch)
+            was_upper = was_upper or c in ("Lu", "Lt")
+            was_lower = was_lower or c == "Ll"
+            if k == 0 and was_upper:
+                out.append(proc.map.get("f"))
+        if was_upper and not was_lower:
+            out.append(proc.map.get("a"))
+        if was_upper and was_lower:
+            out.append(proc.map.get("m"))
+    elif isinstance(proc, T.Suffix):
+        f = T._case_normalize(form) if proc.normalized else form
+        buf = []
+        for s in range(1, min(proc.longest, len(f)) + 1):
+            buf.append(f[len(f) - s])
+            if s >= proc.shortest:
+                out.append(proc.map.get("".join(buf)))
+    elif isinstance(proc, T.NumericTimeValue):
+        k = 0
+        num = 0
+        while k < len(form) and "0" <= form[k] <= "9":
+            num = num * 10 + ord(form[k]) - 48
+            k += 1
+        digit = k > 0
+        if digit and k == len(form):
+            if num < 24:
+                out.append(proc.map.get("H"))
+            if num < 60:
+                out.append(proc.map.get("M"))
+            if 1 <= num <= 31:
+                out.append(proc.map.get("d"))
+            if 1 <= num <= 12:
+                out.append(proc.map.get("m"))
+            if 1000 <= num <= 2200:
+                out.append(proc.map.get("y"))
+        if digit and num < 24 and k < len(form) and form[k] in ".:":
+            k += 1
+            start = k
+            num = 0
+            while k < len(form) and "0" <= form[k] <= "9":
+                num = num * 10 + ord(form[k]) - 48
+                k += 1
+            if k > start and k == len(form) and num < 60:
+                out.append(proc.map.get("t"))
+    elif isinstance(proc, T.Tag):
+        out.append(proc.map.get(""))  # trivial tagger: tag is always ""
+    elif isinstance(proc, (T.FormCaseNormalized, T.RawLemmaCaseNormalized)):
+        out.append(proc.map.get(T._case_normalize(form)))
+    else:  # Form / RawLemma / Lemma — identity lookup
+        out.append(proc.map.get(form))
+    return [(f, proc.window) for f in out if f is not None]
+
+
+class FastFeaturizer:
+    def __init__(self, model):
+        self.model = model
+        procs = model.templates.processors
+        self.pure = [p for p in procs if isinstance(p, _PURE)]
+        self.stateful = [p for p in procs if isinstance(p, T.PreviousStage)]
+        self.pin_procs = [
+            p for p in procs if isinstance(p, (T.URLEmailDetector, T.GazetteersEnhanced))
+        ]
+        self.complex = [
+            p
+            for p in procs
+            if not isinstance(p, _PURE + (T.PreviousStage,) + (T.URLEmailDetector,))
+        ]
+        self.form_cache: dict = {}
+        self.pin_cache: dict = {}
+        self.outer_cache: dict = {}
+        self.prev_fid_cache: dict = {}
+        # outer-word multiplicity per window value
+        outer_windows: dict = {}
+        for p in self.pure:
+            if isinstance(p, _OUTER):
+                outer_windows[p.window] = outer_windows.get(p.window, 0) + 1
+        self.outer_windows = sorted(outer_windows.items())
+        self.url_procs = [p for p in procs if isinstance(p, T.URLEmailDetector)]
+
+    def _form_events(self, form):
+        ev = self.form_cache.get(form)
+        if ev is None:
+            pairs = []
+            for p in self.pure:
+                pairs.extend(_token_feature_ids(p, form))
+            if pairs:
+                fids = np.array([f for f, _ in pairs], dtype=np.int64)
+                ws = np.array([w for _, w in pairs], dtype=np.int64)
+            else:
+                fids = np.empty(0, dtype=np.int64)
+                ws = np.empty(0, dtype=np.int64)
+            ev = (fids, ws, len(pairs))
+            self.form_cache[form] = ev
+        return ev
+
+    def _outer_pattern(self, Tn: int):
+        """Expanded outer-word features for a sentence of length Tn, as
+        (rel_pos, value) arrays — depends only on Tn, so cached."""
+        pat = self.outer_cache.get(Tn)
+        if pat is None:
+            pos = []
+            val = []
+            for w, mult in self.outer_windows:
+                for k in range(1, w + 1):
+                    for vp in (-k, Tn - 1 + k):
+                        for off in range(-w, w + 1):
+                            p = vp + off
+                            if 0 <= p < Tn:
+                                pos.extend([p] * mult)
+                                val.extend([w + off] * mult)
+            pat = (np.array(pos, dtype=np.int64), np.array(val, dtype=np.int64))
+            self.outer_cache[Tn] = pat
+        return pat
+
+    def apply_pins(self, sent):
+        """Run pin-capable processors in template order (local_filled
+        interactions preserved). URLEmailDetector decisions are memoized."""
+        for p in self.model.templates.processors:
+            if isinstance(p, T.URLEmailDetector):
+                for i, form in enumerate(sent.forms):
+                    if sent.local_filled[i]:
+                        continue
+                    pin = self.pin_cache.get(form)
+                    if pin is None:
+                        if T.EMAIL_RE.fullmatch(form):
+                            pin = ("E", p.email)
+                        elif T.URL_RE.fullmatch(form) or ("://" in form):
+                            pin = ("U", p.url)
+                        else:
+                            pin = (None, None)
+                        self.pin_cache[form] = pin
+                    if pin[0] is not None:
+                        sent.local[i, :] = 0.0
+                        sent.local_ent[i, :] = T.ENTITY_UNKNOWN
+                        sent.local[i, T.BILOU_U] = 1.0
+                        sent.local_ent[i, T.BILOU_U] = pin[1]
+                        sent.local_filled[i] = True
+            elif isinstance(p, T.GazetteersEnhanced):
+                # trie walk + hard_pre pins + soft feature appends (into
+                # sent.features, merged by featurize())
+                p.process_sentence(sent)
+
+    def _prev_fid(self, proc, bilou: int, ent: int):
+        key = (bilou, ent)
+        fid = self.prev_fid_cache.get(key, -2)
+        if fid == -2:
+            skey = T.PreviousStage._encode(bilou) + " " + T.PreviousStage._encode(ent)
+            fid = proc.map.get(skey)
+            self.prev_fid_cache[key] = fid
+        return fid
+
+    def featurize_batch(self, sentences):
+        """All sentences of an Arrow batch at once.
+
+        -> (flat int64 feature ids sorted by global token, ptr int64[N+1])
+        where N = total tokens. Call apply_pins() per sentence first (it may
+        append gazetteer features into sent.features)."""
+        import pandas as pd
+
+        lengths = np.array([s.size for s in sentences], dtype=np.int64)
+        total_tokens = int(lengths.sum())
+        sent_start = np.zeros(len(sentences) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=sent_start[1:])
+
+        pos_parts = [np.arange(total_tokens, dtype=np.int64)]  # omnipresent 0
+        fid_parts = [np.zeros(total_tokens, dtype=np.int64)]
+
+        # gazetteer/complex appends + previous-stage events (python-scale small)
+        extra_pos = []
+        extra_fid = []
+        ps_proc = self.stateful[0] if self.stateful else None
+
+        forms_all = []
+        base = 0
+        for si, s in enumerate(sentences):
+            Tn = s.size
+            forms_all.extend(s.forms)
+            # complex-path appends (already window-expanded by the processor)
+            feats = s.features
+            if feats is not None:
+                for i in range(Tn):
+                    lst = feats[i]
+                    if lst:
+                        gp = base + i
+                        for v in lst:
+                            extra_pos.append(gp)
+                            extra_fid.append(v)
+            # outer-word pattern (cached by sentence length)
+            opos, oval = self._outer_pattern(Tn)
+            if len(opos):
+                pos_parts.append(opos + base)
+                fid_parts.append(oval)
+            base += Tn
+
+        # --- pure per-form events: factorize forms, look each distinct form
+        # up once, then expand with gather/repeat (no per-token python)
+        codes, uniques = pd.factorize(np.array(forms_all, dtype=object))
+        u_fids = []
+        u_ws = []
+        u_len = np.empty(len(uniques), dtype=np.int64)
+        for k, form in enumerate(uniques):
+            fids, ws, n = self._form_events(form)
+            u_fids.append(fids)
+            u_ws.append(ws)
+            u_len[k] = n
+        if len(uniques):
+            U_fid = np.concatenate(u_fids) if u_fids else np.empty(0, dtype=np.int64)
+            U_w = np.concatenate(u_ws) if u_ws else np.empty(0, dtype=np.int64)
+            u_off = np.zeros(len(uniques) + 1, dtype=np.int64)
+            np.cumsum(u_len, out=u_off[1:])
+
+            tok_lens = u_len[codes]
+            n_events = int(tok_lens.sum())
+            if n_events:
+                # event index into U_fid/U_w: start-of-form + within-form offset
+                ev_start = np.repeat(u_off[codes], tok_lens)
+                seg_end = np.cumsum(tok_lens)
+                within = np.arange(n_events, dtype=np.int64) - np.repeat(
+                    seg_end - tok_lens, tok_lens
+                )
+                ev_idx = ev_start + within
+                Fi = U_fid[ev_idx]
+                W = U_w[ev_idx]
+                P = np.repeat(np.arange(total_tokens, dtype=np.int64), tok_lens)
+                tok_sent = np.repeat(np.arange(len(sentences), dtype=np.int64), lengths)
+                LO = np.repeat(sent_start[:-1][tok_sent], tok_lens)
+                HI = np.repeat(sent_start[1:][tok_sent], tok_lens)
+                for w in np.unique(W):
+                    m = W == w
+                    pw, fw, lo, hi = P[m], Fi[m], LO[m], HI[m]
+                    wi = int(w)
+                    for off in range(-wi, wi + 1):
+                        p2 = pw + off
+                        valid = (p2 >= lo) & (p2 < hi)
+                        if valid.any():
+                            pos_parts.append(p2[valid])
+                            fid_parts.append(fw[valid] + off)
+
+        # --- PreviousStage (asymmetric +1..+window; fid cached per state)
+        if ps_proc is not None:
+            w = ps_proc.window
+            base = 0
+            for s in sentences:
+                Tn = s.size
+                if s.prev_bilou and s.prev_bilou[0] != T.BILOU_UNKNOWN:
+                    pb, pe = s.prev_bilou, s.prev_ent
+                    for i in range(Tn):
+                        fid = self._prev_fid(ps_proc, pb[i], pe[i])
+                        if fid is not None:
+                            hi = i + w + 1 if i + w + 1 < Tn else Tn
+                            for p2 in range(i + 1, hi):
+                                extra_pos.append(base + p2)
+                                extra_fid.append(fid + p2 - i)
+                base += Tn
+
+        if extra_pos:
+            pos_parts.append(np.array(extra_pos, dtype=np.int64))
+            fid_parts.append(np.array(extra_fid, dtype=np.int64))
+
+        all_pos = np.concatenate(pos_parts)
+        all_fid = np.concatenate(fid_parts)
+        order = np.argsort(all_pos, kind="stable")
+        counts = np.bincount(all_pos, minlength=total_tokens)
+        ptr = np.zeros(total_tokens + 1, dtype=np.int64)
+        np.cumsum(counts, out=ptr[1:])
+        return all_fid[order], ptr

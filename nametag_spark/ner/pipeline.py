@@ -59,11 +59,66 @@ def tokenize_df(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 class _BatchRecognizer:
-    """Executor-side batch NER: featurize per sentence (python), classify all
-    pending tokens of the batch in ONE matmul per stage, decode per sentence."""
+    """Executor-side batch NER: featurize per sentence, classify all tokens
+    of the batch in ONE matmul per stage, decode per sentence.
 
-    def __init__(self, model):
+    use_fast=True routes featurization through ner.fast.FastFeaturizer (the
+    vectorized physical plan); False uses the reference-shaped slow path in
+    features.templates. Both produce identical results (parity-tested)."""
+
+    def __init__(self, model, use_fast: bool = True):
         self.model = model
+        self.use_fast = use_fast
+        if use_fast:
+            from .fast import FastFeaturizer
+
+            self.fast = FastFeaturizer(model)
+
+    def _stage_fast(self, live, net):
+        has_complex = bool(self.fast.pin_procs)
+        for s in live:
+            s.clear_probabilities_local_filled()
+            # gazetteer soft-feature appends land here (empty when the model
+            # has no pin/trie processors — skip the allocation entirely)
+            s.features = [[] for _ in range(s.size)] if has_complex else None
+            self.fast.apply_pins(s)
+        all_flat, ptr = self.fast.featurize_batch(live)
+        probs = net.scores_batch(all_flat, ptr)
+        local_all, ent_all = core.fill_bilou_probabilities(probs)
+        row = 0
+        for s in live:
+            T = s.size
+            filled = np.asarray(s.local_filled, dtype=bool)
+            keep = ~filled
+            if keep.any():
+                s.local[keep] = local_all[row : row + T][keep]
+                s.local_ent[keep] = ent_all[row : row + T][keep]
+            for i in range(T):
+                s.local_filled[i] = True
+            row += T
+
+    def _stage_slow(self, live, net):
+        pending = []
+        for s in live:
+            s.clear_probabilities_local_filled()
+            self.model.templates.process_sentence(s)
+            for i in range(s.size):
+                if not s.local_filled[i]:
+                    pending.append((s, i))
+        if pending:
+            flat = []
+            ptr = [0]
+            for s, i in pending:
+                flat.extend(s.features[i])
+                ptr.append(len(flat))
+            probs = net.scores_batch(
+                np.asarray(flat, dtype=np.int64), np.asarray(ptr, dtype=np.int64)
+            )
+            local, ent = core.fill_bilou_probabilities(probs)
+            for r, (s, i) in enumerate(pending):
+                s.local[i] = local[r]
+                s.local_ent[i] = ent[r]
+                s.local_filled[i] = True
 
     def recognize_batch(self, sentences):
         """sentences: list of features.templates.Sentence (already built).
@@ -75,32 +130,28 @@ class _BatchRecognizer:
             s.clear_previous_stage()
         last_best = {}
         for net in model.networks:
-            pending = []
-            for s in live:
-                s.clear_probabilities_local_filled()
-                model.templates.process_sentence(s)
-                for i in range(s.size):
-                    if not s.local_filled[i]:
-                        pending.append((s, i))
-            if pending:
-                flat = []
-                ptr = [0]
-                for s, i in pending:
-                    flat.extend(s.features[i])
-                    ptr.append(len(flat))
-                probs = net.scores_batch(
-                    np.asarray(flat, dtype=np.int64), np.asarray(ptr, dtype=np.int64)
-                )
-                local, ent = core.fill_bilou_probabilities(probs)
-                for r, (s, i) in enumerate(pending):
-                    s.local[i] = local[r]
-                    s.local_ent[i] = ent[r]
-                    s.local_filled[i] = True
-            for s in live:
-                best, best_ent = core.viterbi_decode(s.local, s.local_ent)
-                s.prev_bilou = [int(b) for b in best]
-                s.prev_ent = [int(e) for e in best_ent]
-                last_best[id(s)] = (best, best_ent)
+            if self.use_fast:
+                self._stage_fast(live, net)
+                if live:
+                    lengths = np.array([s.size for s in live], dtype=np.int64)
+                    local_cat = np.concatenate([s.local for s in live])
+                    ent_cat = np.concatenate([s.local_ent for s in live])
+                    best_cat, bent_cat = core.viterbi_decode_batch(local_cat, ent_cat, lengths)
+                    off = 0
+                    for s in live:
+                        best = best_cat[off : off + s.size]
+                        best_ent = bent_cat[off : off + s.size]
+                        s.prev_bilou = best.tolist()
+                        s.prev_ent = best_ent.tolist()
+                        last_best[id(s)] = (best, best_ent)
+                        off += s.size
+            else:
+                self._stage_slow(live, net)
+                for s in live:
+                    best, best_ent = core.viterbi_decode(s.local, s.local_ent)
+                    s.prev_bilou = [int(b) for b in best]
+                    s.prev_ent = [int(e) for e in best_ent]
+                    last_best[id(s)] = (best, best_ent)
 
         results = []
         for s in sentences:

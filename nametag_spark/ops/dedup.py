@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (task brief §ops).
+
+All deterministic (md5-derived hashing) and — except the embedding LSH scale
+path — DuckDB-oracle-expressible. Shuffle posture: every op reduces to
+groupBy on a hash key or a bounded bucket self-join; nothing is quadratic in
+the table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..kg.resolution import jaccard_filter, lsh_candidate_pairs
+from .text import hash64, tokens_col
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated normalized text with
+    the kept (minimum) id, duplicate count, and dropped ids."""
+    norm = F.trim(F.lower(F.col(text_col)))
+    h = df.select(F.col(id_col), F.md5(norm).alias("text_hash"))
+    return (
+        h.groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs verified with exact shingle Jaccard.
+
+    shingle -> minhash -> band -> bucket-join, then the candidate pairs are
+    re-checked exactly (no false positives in the output)."""
+    base = df.select(F.col(id_col).alias("_id"), F.trim(F.lower(F.col(text_col))).alias("_norm"))
+    pairs = lsh_candidate_pairs(base, "_norm", "_id", n_hashes=n_hashes, bands=bands, k=shingle_k)
+    return jaccard_filter(pairs, base, "_norm", "_id", threshold=threshold, k=shingle_k)
+
+
+def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash signature over whitespace tokens.
+
+    Each token contributes +1/-1 per bit of its 60-bit md5 hash; the sign of
+    each accumulated bit-balance becomes the signature bit. Physical plan:
+    explode tokens -> ONE md5 per token -> `bits` map-side-combined sum
+    aggregates -> sign/pack. (An array-lambda formulation would re-evaluate
+    the md5 once per bit after Catalyst collapses projections.)
+
+    Docs with no tokens get simhash 0 (all balances 0 -> no bits set)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = df
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    toks = src.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("_tok"),
+    ).withColumn("_h", hash64(F.col("_tok"), 1))
+    aggs = [
+        F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    bal = toks.groupBy(id_col).agg(*aggs)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    packed = bal.select(F.col(id_col).alias("_sid"), sig.alias("simhash"))
+    return df.join(packed, df[id_col] == packed["_sid"], "left").drop("_sid").fillna(
+        {"simhash": 0}
+    )
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band-equality blocking (pigeonhole: any
+    pair with hamming <= bands-1 shares a band), exact hamming verify."""
+    sh = with_simhash(df, id_col, text_col, bits).select(F.col(id_col).alias("_id"), "simhash")
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_rows = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    l, r = band_rows.alias("l"), band_rows.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = F.bit_count(xor)
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup pairs.
+
+    Blocking: a pair must share at least one n-gram (explode + self-join on
+    the n-gram hash), so cost is bounded by n-gram posting-list sizes rather
+    than |df|^2; hot n-grams (stop phrases) are capped via max_df pruning."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    g = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
+    posting = g.select("_id", F.explode("_grams").alias("gram"))
+    # prune n-grams occurring in >1% of docs (or >100 docs) — boilerplate
+    total = g.count()
+    cap = max(100, int(total * 0.01))
+    hot = posting.groupBy("gram").count().where(F.col("count") > cap)
+    posting = posting.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
+    l, r = posting.alias("l"), posting.alias("r")
+    cand = (
+        l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l._id") < F.col("r._id")))
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+    sizes = g.select("_id", F.size("_grams").alias("sz"), F.col("_grams"))
+    out = (
+        cand.join(sizes.select(F.col("_id").alias("a"), F.col("_grams").alias("ga"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("_id").alias("b"), F.col("_grams").alias("gb"), F.col("sz").alias("sb")), "b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn("jaccard", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_rows_bruteforce: int = 20000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Brute-force self-join (exact) — intended for per-bucket use at scale;
+    callers shard by an IVF/LSH bucket first (see ops.similarity). The row
+    cap guards accidental quadratic blowups and raises instead of silently
+    truncating."""
+    n = df.count()
+    if n > max_rows_bruteforce:
+        raise ValueError(
+            f"{n} rows exceed brute-force cap {max_rows_bruteforce}; "
+            "bucket the input first (ops.similarity.ivf_assign)"
+        )
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_norm", F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x)))
+    l, r = v.alias("l"), v.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l._v"), F.col("r._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .withColumn("cosine", dot / (F.col("l._norm") * F.col("r._norm")))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

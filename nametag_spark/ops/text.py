@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines (task brief §ops).
+
+All JVM-side (pyspark.sql.functions only — no Python UDFs): language-ID by
+stopword ratio, quality scoring, token counting, document fingerprinting.
+Deterministic md5-based hashing keeps every op DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny high-frequency English stopword list (heuristic lang-id signal).
+EN_STOPWORDS = (
+    "the of and a to in is it that for on with as at by an be this are or "
+    "from was were has have had not but they you we he she his her its"
+).split()
+
+
+def hash64(col, salt: int = 0):
+    """Deterministic 64-bit-ish (60-bit) hash; DuckDB-reproducible as
+    CAST(('0x' || substring(md5(salt || '|' || s),1,15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col)), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens_col(col):
+    """Whitespace tokenization of trimmed text (empty text -> empty array)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a word-regex count (BPE-ish proxy: runs of
+    word chars or single non-space non-word chars)."""
+    return df.withColumn(
+        "n_tokens", F.size(tokens_col(F.col(text_col)))
+    ).withColumn(
+        "n_words", F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+"), 0))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", threshold: float = 0.1) -> DataFrame:
+    """n-gram-free heuristic language ID: share of tokens that are English
+    stopwords; >= threshold -> 'en', else 'unk'."""
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    toks = tokens_col(F.lower(F.col(text_col)))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    ratio = F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+    return df.withColumn("stopword_ratio", F.round(ratio, 6)).withColumn(
+        "lang_pred", F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/casing-based quality score in [0,1].
+
+    Components (all exact-arithmetic so the DuckDB oracle matches):
+      len_score   = least(n_chars, 2000) / 2000
+      alpha_ratio = alpha chars / n_chars
+      punct_ratio = punct chars / n_chars  (penalty above 0.1)
+      score = 0.5*len_score + 0.5*alpha_ratio - greatest(punct_ratio-0.1, 0)
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    len_score = F.least(n_chars, F.lit(2000)) / F.lit(2000.0)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.5) * len_score
+        + F.lit(0.5) * alpha_ratio
+        - F.greatest(punct_ratio - F.lit(0.1), F.lit(0.0))
+    )
+    return (
+        df.withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8, shingle: int = 16) -> DataFrame:
+    """Bottom-k sketch fingerprint over character shingles (winnowing-style
+    rolling-window hashes): the k smallest 60-bit hashes of all `shingle`-char
+    windows, plus a full-text md5. Near-identical docs share sketch elements."""
+    t = F.col(text_col)
+    windows = F.expr(
+        f"CASE WHEN length({text_col}) < {shingle} THEN array({text_col}) "
+        f"ELSE transform(sequence(1, length({text_col}) - {shingle} + 1), i -> substring({text_col}, i, {shingle})) END"
+    )
+    hashes = F.transform(F.array_distinct(windows), lambda s: hash64(s, 0))
+    sketch = F.slice(F.array_sort(hashes), 1, k)
+    return df.withColumn("fp_md5", F.md5(t)).withColumn("fp_sketch", sketch)

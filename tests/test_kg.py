@@ -32,7 +32,13 @@ def _uf_components(edges, nodes):
     return {n: find(n) for n in nodes}
 
 
-def test_connected_components_matches_union_find(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_connected_components_matches_union_find(spark, driver_threshold):
+    """driver_threshold=0 forces the distributed star algorithm; the default
+    exercises the driver-side union-find fast path."""
     import random
 
     rng = random.Random(4)
@@ -41,7 +47,10 @@ def test_connected_components_matches_union_find(spark):
     edges = [(a, b) for a, b in edges if a != b]
 
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=driver_threshold).collect()
+    }
 
     expect = _uf_components(edges, set([a for a, _ in edges] + [b for _, b in edges]))
     # engine returns only nodes appearing in edges; min-id representative

@@ -1,0 +1,161 @@
+"""Training-data pipeline ops tests over the driver-provided testdata."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_token_count_and_quality(spark, documents):
+    from nametag_spark.ops.text import with_quality_score, with_token_count
+
+    out = with_quality_score(with_token_count(documents)).toPandas()
+    assert (out["n_tokens"] > 0).all()
+    assert out["quality_score"].between(-1, 1).all()
+    # spot-check one row by hand
+    row = out.iloc[0]
+    assert row["n_tokens"] == len(row["text"].split())
+
+
+def test_lang_id(spark, documents):
+    from nametag_spark.ops.text import with_lang_id
+
+    out = with_lang_id(documents).toPandas()
+    assert set(out["lang_pred"]) <= {"en", "unk"}
+
+
+def test_fingerprint_deterministic(spark, documents):
+    from nametag_spark.ops.text import with_fingerprint
+
+    a = with_fingerprint(documents.limit(20)).toPandas().sort_values("doc_id")
+    b = with_fingerprint(documents.limit(20)).toPandas().sort_values("doc_id")
+    assert list(a["fp_md5"]) == list(b["fp_md5"])
+    assert [list(x) for x in a["fp_sketch"]] == [list(x) for x in b["fp_sketch"]]
+
+
+def test_exact_dedup(spark):
+    from nametag_spark.ops.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world"), (3, "unique text"), (4, "Hello World")],
+        ["doc_id", "text"],
+    )
+    out = exact_dup_groups(df).collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == 1
+    assert out[0]["n_dups"] == 3
+    assert out[0]["ids"] == [1, 2, 4]
+
+
+def test_minhash_dup_pairs(spark):
+    from nametag_spark.ops.dedup import minhash_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " indeed"), (3, "completely different content about spark engines")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["a"], r["b"]) for r in minhash_dup_pairs(df, threshold=0.6).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_pairs(spark):
+    from nametag_spark.ops.dedup import simhash_dup_pairs, with_simhash
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("kappa", "kappa2")), (3, "zz yy xx ww vv uu tt ss rr qq")],
+        ["doc_id", "text"],
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
+    assert sh[1] != sh[3]
+    pairs = {(r["a"], r["b"]) for r in simhash_dup_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark):
+    from nametag_spark.ops.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),
+            (2, "one two three four five six eight"),
+            (3, "nine ten eleven twelve thirteen fourteen"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in out
+    assert not any(3 in k for k in out)
+
+
+def test_embedding_dup_and_topk(spark, embeddings):
+    from nametag_spark.ops.dedup import embedding_dup_pairs
+    from nametag_spark.ops.similarity import cosine_topk
+
+    small = embeddings.limit(200)
+    # brute-force pairs at a low threshold at least run and are symmetric-free
+    pairs = embedding_dup_pairs(small, threshold=0.99).collect()
+    assert all(r["a"] < r["b"] for r in pairs)
+
+    queries = (
+        embeddings.limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    topk = cosine_topk(embeddings, queries, k=5).toPandas()
+    assert len(topk) == 25
+    # a vector's own nearest neighbor is itself (cosine 1.0)
+    self_hits = topk[(topk["rank"] == 1)]
+    assert (self_hits["query_id"] == self_hits["vec_id"]).all()
+    assert (self_hits["cosine"] >= 0.999999).all()
+
+
+def test_ivf_recall(spark, embeddings):
+    from nametag_spark.ops.similarity import cosine_topk, ivf_topk
+
+    queries = embeddings.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(embeddings, queries, k=10).toPandas()
+    approx = ivf_topk(embeddings, queries, k=10, n_centroids=8, nprobe=4).toPandas()
+    # recall@10 of the bucketed path vs brute force
+    recall = 0.0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        recall += len(e & a) / len(e)
+    recall /= exact["query_id"].nunique()
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    from nametag_spark.ops.multimodal import extract_features, sample_frames, synth_assets
+
+    assets = synth_assets(spark, n=30)
+    feats = extract_features(assets, dim=16).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 16 for f in feats["feature"])
+    # deterministic: same payload -> same feature
+    feats2 = extract_features(assets, dim=16).toPandas()
+    f1 = feats.sort_values("asset_id")["feature"].tolist()
+    f2 = feats2.sort_values("asset_id")["feature"].tolist()
+    assert all(list(a) == list(b) for a, b in zip(f1, f2))
+
+    frames = sample_frames(assets).toPandas()
+    assert (frames["frame_ms"] == frames["frame_idx"] * 5000).all()
+    assert len(frames) > 0
+
+    with pytest.raises(Exception, match="NotImplementedError|real decoders"):
+        extract_features(assets, decoder="real").collect()
