@@ -107,6 +107,12 @@ def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf) -> dict:
     return timings, n_turns
 
 
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def ner_throughput(cores: int, model_dir: str, transcripts_pdf) -> float:
     """turns/sec of the NER pipeline at a given parallelism (fresh session)."""
     from nametag_spark.ner.pipeline import recognize_df
@@ -115,11 +121,10 @@ def ner_throughput(cores: int, model_dir: str, transcripts_pdf) -> float:
     try:
         df = spark.createDataFrame(transcripts_pdf).repartition(cores * 2).persist()
         n = df.count()
-        # warm-up (JIT, python worker spin-up) then measured run
+        # warm-up (JIT, python worker spin-up), then best of 2 measured runs
+        # (the sandbox host has noisy neighbors)
         recognize_df(df, model_dir).count()
-        t0 = time.time()
-        recognize_df(df, model_dir).count()
-        dt = time.time() - t0
+        dt = min(_timed(lambda: recognize_df(df, model_dir).count()) for _ in range(2))
         log(f"local[{cores}]: {n} turns in {dt:.2f}s = {n / dt:.0f} turns/s")
         return n / dt
     finally:

@@ -47,28 +47,48 @@ class Network:
     def n_out(self) -> int:
         return self.w_adj.shape[1]
 
+    # cap on the transient (nnz x n_out) gather buffer: ~500k rows x 16
+    # outcomes x 8B = 64 MB per chunk regardless of batch size
+    _CHUNK_NNZ = 500_000
+
     def scores_batch(self, feats_flat: np.ndarray, ptr: np.ndarray) -> np.ndarray:
         """Softmax outcome distributions for a batch of tokens.
 
         feats_flat: concatenated feature ids of all tokens; ptr: (T+1,)
         segment offsets. Feature ids >= n_features contribute missing_weight
-        only (reference guards `feature < indices.size()`).
+        only (reference guards `feature < indices.size()`). Processed in
+        bounded-memory chunks aligned to token boundaries.
         """
-        nf = self.w_adj.shape[0]
-        safe = np.where(feats_flat < nf, feats_flat, 0)
-        gathered = self.w_adj[safe]
-        gathered[feats_flat >= nf] = 0.0
         if len(ptr) <= 1:
             return np.zeros((0, self.n_out))
-        sums = np.add.reduceat(gathered, ptr[:-1], axis=0)
-        # reduceat repeats the element when ptr[i] == ptr[i+1] (empty segment);
-        # tokens always carry the omnipresent feature so segments are nonempty.
-        counts = np.diff(ptr).astype(np.float64)
-        out = sums + counts[:, None] * self.missing_weight
-        # softmax (network_classifier.cpp:211-217; max-shift for stability)
-        out -= out.max(axis=1, keepdims=True)
-        np.exp(out, out=out)
-        out /= out.sum(axis=1, keepdims=True)
+        n_tok = len(ptr) - 1
+        out = np.empty((n_tok, self.n_out), dtype=np.float64)
+        nf = self.w_adj.shape[0]
+        t0 = 0
+        while t0 < n_tok:
+            # advance token window until the nnz budget is reached
+            t1 = int(np.searchsorted(ptr, ptr[t0] + self._CHUNK_NNZ, side="right")) - 1
+            if t1 <= t0:
+                t1 = t0 + 1
+            if t1 > n_tok:
+                t1 = n_tok
+            seg = feats_flat[ptr[t0] : ptr[t1]]
+            safe = np.where(seg < nf, seg, 0)
+            gathered = self.w_adj[safe]
+            if (seg >= nf).any():
+                gathered[seg >= nf] = 0.0
+            sub_ptr = (ptr[t0 : t1 + 1] - ptr[t0]).astype(np.int64)
+            # reduceat repeats the element when a segment is empty; tokens
+            # always carry the omnipresent feature so segments are nonempty.
+            sums = np.add.reduceat(gathered, sub_ptr[:-1], axis=0)
+            counts = np.diff(sub_ptr).astype(np.float64)
+            o = sums + counts[:, None] * self.missing_weight
+            # softmax (network_classifier.cpp:211-217; max-shift for stability)
+            o -= o.max(axis=1, keepdims=True)
+            np.exp(o, out=o)
+            o /= o.sum(axis=1, keepdims=True)
+            out[t0:t1] = o
+            t0 = t1
         return out
 
     # --- serialization ----------------------------------------------------

@@ -327,3 +327,139 @@ class FastFeaturizer:
         ptr = np.zeros(total_tokens + 1, dtype=np.int64)
         np.cumsum(counts, out=ptr[1:])
         return all_fid[order], ptr
+
+
+class StagePartialScorer:
+    """Per-form partial-sum scoring: the memory-bandwidth-optimal plan.
+
+    For a fixed network, the contribution of a token with form f at relative
+    offset `off` to a neighboring position is a fixed vector
+        S[f, off] = sum_{(fid, w) in events(f), w >= |off|} W_adj[fid + off]
+    so scoring becomes maxw*2+1 gathers of (n_tokens, n_out) instead of one
+    gather per feature occurrence (~60/token). Counts per offset are cached
+    alongside for the missing-weight term (|F| * mw). Exact same math as
+    Network.scores_batch up to floating-point summation order.
+
+    Out-of-range feature ids (stage-2-grown features scored by the stage-1
+    network during training-time chaining) contribute missing_weight only,
+    exactly like the reference guard.
+    """
+
+    def __init__(self, featurizer: "FastFeaturizer", net):
+        self.fz = featurizer
+        self.net = net
+        self.maxw = max((p.window for p in featurizer.pure), default=0)
+        self.cache: dict = {}
+        # omnipresent feature id 0 row (in-range by construction)
+        self.w0 = net.w_adj[0].copy()
+
+    def _form_partial(self, form):
+        ent = self.cache.get(form)
+        if ent is None:
+            fids, ws, _n = self.fz._form_events(form)
+            m = self.maxw
+            n_out = self.net.n_out
+            nf = self.net.w_adj.shape[0]
+            S = np.zeros((2 * m + 1, n_out), dtype=np.float64)
+            C = np.zeros(2 * m + 1, dtype=np.int64)
+            for off in range(-m, m + 1):
+                sel = ws >= abs(off)
+                if sel.any():
+                    rows = fids[sel] + off
+                    C[off + m] = len(rows)
+                    in_range = rows < nf
+                    if in_range.any():
+                        S[off + m] = self.net.w_adj[rows[in_range]].sum(axis=0)
+            ent = (S, C)
+            self.cache[form] = ent
+        return ent
+
+    def score(self, sentences):
+        """-> softmax probabilities (total_tokens, n_out) for all sentences.
+
+        Expects apply_pins() to have run (gazetteer soft features live in
+        sent.features) — pinned rows are still scored (cheap) and the caller
+        overwrites only unpinned rows, same as the slow path."""
+        import pandas as pd
+
+        net = self.net
+        nf = net.w_adj.shape[0]
+        n_out = net.n_out
+        m = self.maxw
+
+        lengths = np.array([s.size for s in sentences], dtype=np.int64)
+        total = int(lengths.sum())
+        sent_start = np.zeros(len(sentences) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=sent_start[1:])
+
+        out = np.tile(self.w0, (total, 1))  # omnipresent contribution
+        counts = np.ones(total, dtype=np.int64)
+
+        forms_all = []
+        extra_pos = []
+        extra_fid = []
+        ps_proc = self.fz.stateful[0] if self.fz.stateful else None
+        base = 0
+        for s in sentences:
+            Tn = s.size
+            forms_all.extend(s.forms)
+            feats = s.features
+            if feats is not None:
+                for i in range(Tn):
+                    lst = feats[i]
+                    if lst:
+                        gp = base + i
+                        for v in lst:
+                            extra_pos.append(gp)
+                            extra_fid.append(v)
+            opos, oval = self.fz._outer_pattern(Tn)
+            if len(opos):
+                extra_pos.extend((opos + base).tolist())
+                extra_fid.extend(oval.tolist())
+            if ps_proc is not None and Tn and s.prev_bilou[0] != T.BILOU_UNKNOWN:
+                w = ps_proc.window
+                pb, pe = s.prev_bilou, s.prev_ent
+                for i in range(Tn):
+                    fid = self.fz._prev_fid(ps_proc, pb[i], pe[i])
+                    if fid is not None:
+                        hi = i + w + 1 if i + w + 1 < Tn else Tn
+                        for p2 in range(i + 1, hi):
+                            extra_pos.append(base + p2)
+                            extra_fid.append(fid + p2 - i)
+            base += Tn
+
+        # form partial sums, one per distinct form in the batch
+        codes, uniques = pd.factorize(np.array(forms_all, dtype=object))
+        U = len(uniques)
+        S_all = np.empty((U, 2 * m + 1, n_out), dtype=np.float64)
+        C_all = np.empty((U, 2 * m + 1), dtype=np.int64)
+        for k, form in enumerate(uniques):
+            S, C = self._form_partial(form)
+            S_all[k] = S
+            C_all[k] = C
+
+        tok_sent = np.repeat(np.arange(len(sentences), dtype=np.int64), lengths)
+        lo = sent_start[:-1][tok_sent]
+        hi = sent_start[1:][tok_sent]
+        p = np.arange(total, dtype=np.int64)
+        for off in range(-m, m + 1):
+            j = p - off  # source token position
+            valid = (j >= lo) & (j < hi)
+            if valid.any():
+                src = codes[j[valid]]
+                out[valid] += S_all[src, off + m]
+                counts[valid] += C_all[src, off + m]
+
+        if extra_pos:
+            epos = np.array(extra_pos, dtype=np.int64)
+            efid = np.array(extra_fid, dtype=np.int64)
+            np.add.at(counts, epos, 1)
+            in_range = efid < nf
+            if in_range.any():
+                np.add.at(out, epos[in_range], net.w_adj[efid[in_range]])
+
+        out += counts[:, None] * net.missing_weight
+        out -= out.max(axis=1, keepdims=True)
+        np.exp(out, out=out)
+        out /= out.sum(axis=1, keepdims=True)
+        return out

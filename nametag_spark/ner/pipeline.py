@@ -70,11 +70,12 @@ class _BatchRecognizer:
         self.model = model
         self.use_fast = use_fast
         if use_fast:
-            from .fast import FastFeaturizer
+            from .fast import FastFeaturizer, StagePartialScorer
 
             self.fast = FastFeaturizer(model)
+            self.scorers = [StagePartialScorer(self.fast, net) for net in model.networks]
 
-    def _stage_fast(self, live, net):
+    def _stage_fast(self, live, scorer):
         has_complex = bool(self.fast.pin_procs)
         for s in live:
             s.clear_probabilities_local_filled()
@@ -82,8 +83,7 @@ class _BatchRecognizer:
             # has no pin/trie processors — skip the allocation entirely)
             s.features = [[] for _ in range(s.size)] if has_complex else None
             self.fast.apply_pins(s)
-        all_flat, ptr = self.fast.featurize_batch(live)
-        probs = net.scores_batch(all_flat, ptr)
+        probs = scorer.score(live)
         local_all, ent_all = core.fill_bilou_probabilities(probs)
         row = 0
         for s in live:
@@ -120,18 +120,40 @@ class _BatchRecognizer:
                 s.local_ent[i] = ent[r]
                 s.local_filled[i] = True
 
+    # cap tokens per internal batch: bounds featurizer transients (each
+    # token expands to ~50-100 events; 150k tokens ~= 10-15M event rows)
+    _CHUNK_TOKENS = 150_000
+
     def recognize_batch(self, sentences):
         """sentences: list of features.templates.Sentence (already built).
         Mutates them in place; returns list of per-sentence sorted entity
-        lists [(start, length, type_name)]."""
+        lists [(start, length, type_name)]. Large inputs are processed in
+        bounded-token chunks (per-sentence state is independent)."""
+        total = 0
+        for s in sentences:
+            total += s.size
+        if total > self._CHUNK_TOKENS and len(sentences) > 1:
+            results = []
+            cur = []
+            cur_tok = 0
+            for s in sentences:
+                if cur and cur_tok + s.size > self._CHUNK_TOKENS:
+                    results.extend(self.recognize_batch(cur))
+                    cur = []
+                    cur_tok = 0
+                cur.append(s)
+                cur_tok += s.size
+            if cur:
+                results.extend(self.recognize_batch(cur))
+            return results
         model = self.model
         live = [s for s in sentences if s.size > 0]
         for s in live:
             s.clear_previous_stage()
         last_best = {}
-        for net in model.networks:
+        for stage, net in enumerate(model.networks):
             if self.use_fast:
-                self._stage_fast(live, net)
+                self._stage_fast(live, self.scorers[stage])
                 if live:
                     lengths = np.array([s.size for s in live], dtype=np.int64)
                     local_cat = np.concatenate([s.local for s in live])
