@@ -52,10 +52,12 @@ class Sentence:
         "prev_bilou",
         "prev_ent",
         "size",
+        "lemma_comments",
     )
 
-    def __init__(self, forms):
+    def __init__(self, forms, lemma_comments=None):
         self.forms = forms
+        self.lemma_comments = lemma_comments  # None with the trivial tagger
         self.size = len(forms)
         self.features = None
         self.local = None
@@ -661,6 +663,138 @@ class FormSuffix(Suffix):
     name = "FormSuffix"
 
 
+class BrownClusters(FeatureProcessor):
+    """Cluster-id (+ prefix) features of raw_lemma from a TSV cluster file
+    (feature_processor_instances.cpp:55-136). self.map holds form->cluster
+    index; cluster feature-id lists live in self.clusters."""
+
+    name = "BrownClusters"
+
+    def parse(self, window, args, entities, total, base_dir=""):
+        super().parse(window, args, entities, total, base_dir)
+        if len(args) < 1:
+            raise ValueError("BrownClusters requires a cluster file")
+        substrings = [None] + [int(a) for a in args[1:]]
+        if any(s is not None and s <= 0 for s in substrings):
+            raise ValueError("Bad BrownClusters prefix length")
+        self.clusters = []
+        cluster_map = {}
+        prefixes_map = {}
+        path = os.path.join(base_dir, args[0])
+        span = 2 * window + 1
+        # note: the base-class parse already consumed one id block for the
+        # empty key; prefix ids start at the *current* total
+        base_total = total.value
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                parts = line.split("\t")
+                if len(parts) != 2:
+                    raise ValueError(f"Bad Brown cluster line {line!r}")
+                cluster, form = parts
+                if cluster not in cluster_map:
+                    cid = len(self.clusters)
+                    feats = []
+                    for sub in substrings:
+                        if sub is None or sub < len(cluster):
+                            key = cluster if sub is None else cluster[:sub]
+                            if key not in prefixes_map:
+                                prefixes_map[key] = base_total + span * len(prefixes_map) + window
+                            feats.append(prefixes_map[key])
+                    self.clusters.append(feats)
+                    cluster_map[cluster] = cid
+                if form in self.map:
+                    raise ValueError(f"Form {form!r} twice in Brown cluster file")
+                self.map[form] = cluster_map[cluster]
+        total.value += span * len(prefixes_map)
+
+    def process_sentence(self, sent, total=None):
+        for i in range(sent.size):
+            cid = self.map.get(sent.forms[i])  # raw_lemma == form (trivial tagger)
+            if cid is not None:
+                for feature in self.clusters[cid]:
+                    self.apply_in_window(sent, i, feature)
+
+    def state(self):
+        st = super().state()
+        st["clusters"] = self.clusters
+        return st
+
+    def load_state(self, st, base_dir=""):
+        super().load_state(st, base_dir)
+        self.clusters = [[int(f) for f in c] for c in st["clusters"]]
+
+
+class CzechLemmaTerm(FeatureProcessor):
+    """`_;X` term-category chars of lemma_comments
+    (feature_processor_instances.cpp:187-198). With the trivial tagger
+    lemma_comments are empty, so this is inert but supported."""
+
+    name = "CzechLemmaTerm"
+
+    def process_sentence(self, sent, total=None):
+        if sent.lemma_comments is None:
+            return
+        for i in range(sent.size):
+            comments = sent.lemma_comments[i] or ""
+            for pos in range(max(0, len(comments) - 2)):
+                if comments[pos] == "_" and comments[pos + 1] == ";":
+                    self.apply_in_window(sent, i, self.lookup(comments[pos + 2], total))
+
+
+class CzechAddContainers(FeatureProcessor):
+    """Entity post-processor synthesizing nested container entities
+    P (pf+ ps+) and T (td tm [ty] | tm ty)
+    (feature_processor_instances.cpp:140-183)."""
+
+    name = "CzechAddContainers"
+
+    def parse(self, window, args, entities, total, base_dir=""):
+        if window:
+            raise ValueError("CzechAddContainers cannot have non-zero window")
+        super().parse(window, args, entities, total, base_dir)
+
+    @staticmethod
+    def _adjacent(prev, cur):
+        return cur[0] == prev[0] + prev[1]
+
+    def process_entities(self, sent, entities, entity_map):
+        ents = entities
+        buffer = []
+        n = len(ents)
+        for i in range(n):
+            e = ents[i]
+            # P if pf+ ps+
+            if e[2] == "pf" and (
+                i == 0 or ents[i - 1][0] + ents[i - 1][1] < e[0] or ents[i - 1][2] != "pf"
+            ):
+                j = i + 1
+                while j < n and self._adjacent(ents[j - 1], ents[j]) and ents[j][2] == "pf":
+                    j += 1
+                if j < n and self._adjacent(ents[j - 1], ents[j]) and ents[j][2] == "ps":
+                    j += 1
+                    while j < n and self._adjacent(ents[j - 1], ents[j]) and ents[j][2] == "ps":
+                        j += 1
+                    buffer.append([e[0], ents[j - 1][0] + ents[j - 1][1] - e[0], "P"])
+            # T if td tm [ty]
+            if e[2] == "td" and i + 1 < n and self._adjacent(e, ents[i + 1]) and ents[i + 1][2] == "tm":
+                j = i + 2
+                if j < n and self._adjacent(ents[j - 1], ents[j]) and ents[j][2] == "ty":
+                    j += 1
+                buffer.append([e[0], ents[j - 1][0] + ents[j - 1][1] - e[0], "T"])
+            # T if !td tm ty
+            if e[2] == "tm" and (
+                i == 0 or ents[i - 1][0] + ents[i - 1][1] < e[0] or ents[i - 1][2] != "td"
+            ):
+                if i + 1 < n and self._adjacent(e, ents[i + 1]) and ents[i + 1][2] == "ty":
+                    buffer.append([e[0], ents[i + 1][0] + ents[i + 1][1] - e[0], "T"])
+            buffer.append(list(e))
+        if len(buffer) > len(ents):
+            entities[:] = buffer
+
+
 _FACTORY = {
     cls.name: cls
     for cls in (
@@ -680,6 +814,9 @@ _FACTORY = {
         PreviousStage,
         URLEmailDetector,
         GazetteersEnhanced,
+        BrownClusters,
+        CzechLemmaTerm,
+        CzechAddContainers,
     )
 }
 

@@ -38,6 +38,8 @@ _PURE = (
     T.Lemma,
     T.Tag,
     T.NumericTimeValue,
+    T.BrownClusters,
+    T.CzechLemmaTerm,  # inert with the trivial tagger (no lemma comments)
 )
 
 # of those, the ones that also emit outer-word features (literal `window` id)
@@ -59,6 +61,13 @@ def _token_feature_ids(proc, form):
     """Replicates the per-token body of each pure processor, returning the
     base feature ids it would apply_in_window at this token."""
     out = []
+    if isinstance(proc, T.CzechLemmaTerm):
+        return []  # trivial tagger: no lemma comments
+    if isinstance(proc, T.BrownClusters):
+        cid = proc.map.get(form)
+        if cid is not None:
+            return [(f, proc.window) for f in proc.clusters[cid]]
+        return []
     if isinstance(proc, (T.FormCapitalization, T.RawLemmaCapitalization)):
         was_upper = was_lower = False
         for k, ch in enumerate(form):
@@ -123,11 +132,15 @@ class FastFeaturizer:
         self.pin_procs = [
             p for p in procs if isinstance(p, (T.URLEmailDetector, T.GazetteersEnhanced))
         ]
-        self.complex = [
-            p
-            for p in procs
-            if not isinstance(p, _PURE + (T.PreviousStage,) + (T.URLEmailDetector,))
-        ]
+        # CzechAddContainers runs at process_entities time only; anything
+        # else unknown forces the slow (reference-shaped) path
+        known = _PURE + (
+            T.PreviousStage,
+            T.URLEmailDetector,
+            T.GazetteersEnhanced,
+            T.CzechAddContainers,
+        )
+        self.supported = all(isinstance(p, known) for p in procs)
         self.form_cache: dict = {}
         self.pin_cache: dict = {}
         self.outer_cache: dict = {}

@@ -73,7 +73,10 @@ class _BatchRecognizer:
             from .fast import FastFeaturizer, StagePartialScorer
 
             self.fast = FastFeaturizer(model)
-            self.scorers = [StagePartialScorer(self.fast, net) for net in model.networks]
+            if not self.fast.supported:
+                self.use_fast = use_fast = False  # unknown processor -> slow path
+            else:
+                self.scorers = [StagePartialScorer(self.fast, net) for net in model.networks]
 
     def _stage_fast(self, live, scorer):
         has_complex = bool(self.fast.pin_procs)

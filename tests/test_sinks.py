@@ -1,0 +1,90 @@
+"""Sink renderings (SURVEY.md §2.1 S5-S7) + CoNLL reader (S3) + eval."""
+
+import pandas as pd
+
+from nametag_spark.sinks.render import render_conll, render_df, render_vertical, render_xml
+
+
+def test_render_conll_nested():
+    forms = [["John", "Smith", "Inc", "said"]]
+    # nested: outer ORG over 0..2, inner PER over 0..1 (outermost-first sort)
+    ents = [[(0, 3, "ORG"), (0, 2, "PER")]]
+    out = render_conll(forms, ents)
+    assert out.splitlines() == [
+        "John\tB-ORG|B-PER",
+        "Smith\tI-ORG|I-PER",
+        "Inc\tI-ORG",
+        "said\tO",
+        "",
+    ]
+
+
+def test_render_vertical_global_ids():
+    forms = [["Alice", "went"], ["to", "Prague", "now"]]
+    ents = [[(0, 1, "PER")], [(1, 1, "LOC")]]
+    out = render_vertical(forms, ents)
+    # second sentence ids offset by len(sent1) + 1 gap = 3
+    assert out.splitlines() == ["1\tPER\tAlice", "5\tLOC\tPrague"]
+
+
+def test_render_xml_preserves_whitespace():
+    text = "Alice  went to Prague ."
+    from nametag_spark.tokenizer.rules import tokenize_sentences
+
+    spans = tokenize_sentences(text)
+    ents = [[(0, 1, "PER"), (3, 1, "LOC")]]
+    out = render_xml(text, spans, ents)
+    assert out == (
+        '<sentence><ne type="PER"><token>Alice</token></ne>  <token>went</token> '
+        '<token>to</token> <ne type="LOC"><token>Prague</token></ne> <token>.</token></sentence>'
+    )
+
+
+def test_render_xml_escapes():
+    text = "a<b & c"
+    from nametag_spark.tokenizer.rules import tokenize_sentences
+
+    spans = tokenize_sentences(text)
+    out = render_xml(text, spans, [[] for _ in spans])
+    assert "&lt;" in out and "&amp;" in out
+
+
+def test_render_df_spark(spark, tiny_model_dir):
+    from nametag_spark.data.synth import synth_transcripts
+
+    tdf, _ = synth_transcripts(n_conversations=5, seed=3)
+    sdf = spark.createDataFrame(tdf)
+    for fmt in ("conll", "vertical", "xml"):
+        out = render_df(sdf, tiny_model_dir, fmt=fmt).toPandas()
+        assert len(out) == len(tdf)
+        assert out["rendered"].notna().all()
+    conll = render_df(sdf, tiny_model_dir, fmt="conll").toPandas()
+    assert conll["rendered"].str.contains("\t").all()
+
+
+def test_conll_reader_roundtrip(spark, tmp_path):
+    from nametag_spark.data.conll import conll_sentences, read_conll
+
+    text = "Alice\tB-PER\nSmith\tI-PER\nspoke\tO\n\nBob\tB-PER\nleft\tO\n"
+    p = tmp_path / "train.conll"
+    p.write_text(text, encoding="utf-8")
+    df = read_conll(spark, str(p))
+    sents = conll_sentences(df)
+    assert sents == [
+        (["Alice", "Smith", "spoke"], ["B-PER", "I-PER", "O"]),
+        (["Bob", "left"], ["B-PER", "O"]),
+    ]
+
+
+def test_span_prf(spark):
+    from nametag_spark.ner.eval import span_prf
+
+    cols = ["conv_id", "turn_idx", "sent_idx", "tok_start", "tok_len", "type"]
+    pred = spark.createDataFrame(
+        pd.DataFrame([("c", 0, 0, 0, 2, "PER"), ("c", 0, 0, 4, 1, "LOC")], columns=cols)
+    )
+    gold = spark.createDataFrame(
+        pd.DataFrame([("c", 0, 0, 0, 2, "PER"), ("c", 0, 0, 7, 1, "ORG")], columns=cols)
+    )
+    m = span_prf(pred, gold)
+    assert m["tp"] == 1 and m["precision"] == 0.5 and m["recall"] == 0.5
