@@ -1,0 +1,107 @@
+"""spark-submit entry points mirroring the reference CLIs.
+
+train (reference: src/train_ner.cpp:50-84, same parameter set):
+  python -m nametag_spark.cli train <ner_id> <tagger> <features_file> \
+      <stages> <iterations> <missing_weight> <initial_lr> <final_lr> \
+      <gaussian_sigma> <hidden_layer> <train.conll> <model_dir> [heldout.conll]
+
+recognize (reference: src/run_ner.cpp, output formats xml/vertical/conll +
+the mention/kg tables this engine adds):
+  python -m nametag_spark.cli recognize <model_dir> <input_parquet> \
+      <output_path> [--format mentions|conll|vertical|xml|triples]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main_train(argv) -> int:
+    if len(argv) < 12:
+        print(__doc__, file=sys.stderr)
+        return 1
+    (ner_id, tagger, features_file, stages, iterations, missing_weight,
+     lr0, lrF, sigma, hidden, train_path, model_dir) = argv[:12]
+    heldout_path = argv[12] if len(argv) > 12 else None
+    if tagger != "trivial":
+        print("only the trivial tagger is supported (SURVEY.md §2.3 G2)", file=sys.stderr)
+        return 1
+
+    from .train.trainer import train_ner
+
+    with open(features_file, encoding="utf-8") as f:
+        templates = f.read()
+    with open(train_path, encoding="utf-8") as f:
+        train_conll = f.read()
+    heldout_conll = None
+    if heldout_path:
+        with open(heldout_path, encoding="utf-8") as f:
+            heldout_conll = f.read()
+
+    import os
+
+    model = train_ner(
+        templates,
+        train_conll,
+        heldout_conll,
+        stages=int(stages),
+        params={
+            "iterations": int(iterations),
+            "missing_weight": float(missing_weight),
+            "initial_learning_rate": float(lr0),
+            "final_learning_rate": float(lrF),
+            "gaussian_sigma": float(sigma),
+            "hidden_layer": int(hidden),
+        },
+        base_dir=os.path.dirname(os.path.abspath(features_file)),
+        verbose=True,
+    )
+    model.save(model_dir)
+    print(f"model saved to {model_dir}", file=sys.stderr)
+    return 0
+
+
+def main_recognize(argv) -> int:
+    if len(argv) < 3:
+        print(__doc__, file=sys.stderr)
+        return 1
+    model_dir, input_path, output_path = argv[:3]
+    fmt = "mentions"
+    if len(argv) > 3 and argv[3].startswith("--format"):
+        fmt = argv[3].split("=", 1)[1] if "=" in argv[3] else argv[4]
+
+    from .session import get_spark
+
+    spark = get_spark(app_name="nametag_spark_recognize")
+    df = spark.read.parquet(input_path)
+
+    if fmt == "mentions":
+        from .ner.pipeline import recognize_df
+
+        recognize_df(df, model_dir).write.mode("overwrite").parquet(output_path)
+    elif fmt in ("conll", "vertical", "xml"):
+        from .sinks.render import render_df
+
+        render_df(df, model_dir, fmt=fmt).write.mode("overwrite").parquet(output_path)
+    elif fmt == "triples":
+        from .kg.graph_io import build_knowledge_graph
+
+        build_knowledge_graph(spark, df, model_dir, output_path)
+    else:
+        print(f"unknown format {fmt!r}", file=sys.stderr)
+        return 1
+    print(f"written to {output_path}", file=sys.stderr)
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1] not in ("train", "recognize"):
+        print(__doc__, file=sys.stderr)
+        return 1
+    if sys.argv[1] == "train":
+        return main_train(sys.argv[2:])
+    return main_recognize(sys.argv[2:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

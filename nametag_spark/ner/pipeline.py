@@ -191,16 +191,27 @@ class _BatchRecognizer:
         return results
 
 
-def recognize_df(df: DataFrame, model_dir: str, text_col: str = "text") -> DataFrame:
+def recognize_df(
+    df: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    passthrough: tuple = (),
+) -> DataFrame:
     """The mention table: one row per recognized entity span.
 
     model_dir must be visible on all executors (shared FS or spark-submit
     --files/--archives); loaded once per python worker and cached.
+
+    passthrough: extra input columns replicated onto each mention row
+    (e.g. ("role", "tool", "ts") for streaming windows / predicate context).
+    Works identically on batch and streaming DataFrames (stateless
+    mapInPandas).
     """
     from ..model.model import NerModel
     from ..features.templates import Sentence
 
     _cache = {}
+    passthrough = tuple(passthrough)
 
     def get_model():
         m = _cache.get(model_dir)
@@ -209,43 +220,36 @@ def recognize_df(df: DataFrame, model_dir: str, text_col: str = "text") -> DataF
             _cache[model_dir] = m
         return m
 
+    base_cols = ("conv_id", "turn_idx", "sent_idx", "tok_start", "tok_len",
+                 "char_start", "char_len", "type", "surface")
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = get_model()
         rec = _BatchRecognizer(model)
         for pdf in batches:
             # tokenize the whole batch first, building Sentence workspaces
-            sent_meta = []  # (conv_id, turn_idx, sent_idx, spans, text)
+            sent_meta = []  # (row_pos, sent_idx, spans, text)
             sentences = []
-            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf[text_col]):
-                text = text or ""
+            texts = pdf[text_col]
+            for pos in range(len(pdf)):
+                text = texts.iloc[pos] or ""
                 for s_idx, spans in enumerate(tokenize_sentences(text)):
                     forms = [text[a : a + b] for (a, b) in spans]
                     sentences.append(Sentence(forms))
-                    sent_meta.append((conv_id, turn_idx, s_idx, spans, text))
+                    sent_meta.append((pos, s_idx, spans, text))
 
             results = rec.recognize_batch(sentences)
 
-            out = {
-                k: []
-                for k in (
-                    "conv_id",
-                    "turn_idx",
-                    "sent_idx",
-                    "tok_start",
-                    "tok_len",
-                    "char_start",
-                    "char_len",
-                    "type",
-                    "surface",
-                )
-            }
-            for (conv_id, turn_idx, s_idx, spans, text), ents in zip(sent_meta, results):
+            out = {k: [] for k in base_cols}
+            row_pos = []
+            for (pos, s_idx, spans, text), ents in zip(sent_meta, results):
                 for (tok_start, tok_len, type_name) in ents:
                     cs = spans[tok_start][0]
                     last = spans[min(tok_start + tok_len, len(spans)) - 1]
                     ce = last[0] + last[1]
-                    out["conv_id"].append(conv_id)
-                    out["turn_idx"].append(turn_idx)
+                    row_pos.append(pos)
+                    out["conv_id"].append(pdf["conv_id"].iloc[pos])
+                    out["turn_idx"].append(pdf["turn_idx"].iloc[pos])
                     out["sent_idx"].append(s_idx)
                     out["tok_start"].append(tok_start)
                     out["tok_len"].append(tok_len)
@@ -253,10 +257,17 @@ def recognize_df(df: DataFrame, model_dir: str, text_col: str = "text") -> DataF
                     out["char_len"].append(ce - cs)
                     out["type"].append(type_name)
                     out["surface"].append(text[cs:ce])
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for col in passthrough:
+                res[col] = pdf[col].iloc[row_pos].reset_index(drop=True) if row_pos else pdf[col].iloc[:0]
+            yield res
 
-    cols = ["conv_id", "turn_idx", text_col]
-    return df.select(*cols).mapInPandas(fn, schema=MENTIONS_SCHEMA)
+    cols = ["conv_id", "turn_idx", text_col] + [c for c in passthrough]
+    schema = MENTIONS_SCHEMA
+    if passthrough:
+        extra = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.select(*passthrough).schema.fields)
+        schema = MENTIONS_SCHEMA + ", " + extra
+    return df.select(*cols).mapInPandas(fn, schema=schema)
 
 
 def recognize_local(model, texts):
