@@ -29,15 +29,31 @@ from nametag_spark.ops.text import EN_STOPWORDS
 _MODEL_LOCK = threading.Lock()
 _MODEL_DIR: str | None = None
 
+# full template set (SURVEY §2.4-§2.5): form family, suffixes, numeric/time,
+# Brown clusters, gazetteers with soft features, previous stage, URL/email
+# hard pins, nested containers
 _TEMPLATES = """
 Form/2
 FormCapitalization/2
 FormCaseNormalized/2
 FormSuffix/1 2 4
+FormCaseNormalizedSuffix/1 2 4
+RawLemma/2
+Lemma/1
+Tag/1
 NumericTimeValue/2
+BrownClusters/1 brown_clusters.tsv 1 2
 PreviousStage/3
 URLEmailDetector/1 URL EMAIL
+GazetteersEnhanced/2 form embed_in_model gaz_loc LOC
+CzechAddContainers/0
 """
+
+_BROWN_TSV = (
+    "00\tPrague\n00\tBerlin\n00\tLondon\n00\tParis\n00\tVienna\n"
+    "01\tAcme\n01\tGlobex\n01\tInitech\n10\tAlice\n10\tBob\n10\tCarol\n"
+)
+_GAZ_LOC = "Prague\nBerlin\nLondon\nParis\nVienna\nMadrid\nRome\nDublin\n"
 
 
 def _model_dir() -> str:
@@ -47,11 +63,18 @@ def _model_dir() -> str:
             from nametag_spark.data.synth import gold_to_conll, synth_transcripts
             from nametag_spark.train.trainer import train_ner
 
+            base = os.path.join(tempfile.gettempdir(), "nametag_spark_entry_fixtures")
+            os.makedirs(base, exist_ok=True)
+            with open(os.path.join(base, "brown_clusters.tsv"), "w", encoding="utf-8") as f:
+                f.write(_BROWN_TSV)
+            with open(os.path.join(base, "gaz_loc.txt"), "w", encoding="utf-8") as f:
+                f.write(_GAZ_LOC)
+
             tdf, gdf = synth_transcripts(n_conversations=40, seed=1)
             hdf, hgdf = synth_transcripts(n_conversations=10, seed=2)
             model = train_ner(
                 _TEMPLATES, gold_to_conll(tdf, gdf), gold_to_conll(hdf, hgdf), stages=2,
-                params={"iterations": 6},
+                params={"iterations": 6}, base_dir=base,
             )
             d = os.path.join(tempfile.gettempdir(), "nametag_spark_entry_model")
             model.save(d)
@@ -97,6 +120,11 @@ URL_EMAIL_FIXTURE = [
     (2, "see https://acme.com/docs and http://example.org/x?y=1 now"),
     (3, "no links in this line at all"),
     (4, "ftp://files.example.net/pub and bob@sub.example.co.uk mixed"),
+]
+
+CC_EDGES_FIXTURE = [
+    # two components {1,2,3,7} and {10,11}, plus chain {20,21,22}
+    (2, 1), (3, 2), (7, 1), (10, 11), (21, 20), (22, 21), (7, 3),
 ]
 
 BIO_FIXTURE = [
@@ -315,6 +343,28 @@ def q_bio_to_bilou(spark, sf_dir):
     return bio_to_bilou_df(df).select("sent_id", "tok_idx", "label", "bilou", "entity")
 
 
+def q_sessionize(spark, sf_dir):
+    from nametag_spark.ops.sessions import session_stats
+
+    s = session_stats(_t(spark, sf_dir, "events"))
+    # timestamps as strings so the cross-engine value hash is unambiguous
+    return s.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "value_sum",
+    )
+
+
+def q_connected_components(spark, sf_dir):
+    from nametag_spark.kg.resolution import connected_components
+
+    edges = spark.createDataFrame(CC_EDGES_FIXTURE, ["src", "dst"])
+    return connected_components(edges).select("node", "component")
+
+
 def q_cosine_topk(spark, sf_dir):
     from nametag_spark.ops.similarity import cosine_topk
 
@@ -400,6 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_lsh_pairs_fixture": q_minhash_lsh_pairs_fixture,
         "ngram_jaccard_fixture": q_ngram_jaccard_fixture,
+        "sessionize": q_sessionize,
+        "connected_components": q_connected_components,
         "url_email_extract": q_url_email_extract,
         "bio_to_bilou": q_bio_to_bilou,
         "cosine_topk": q_cosine_topk,
@@ -625,6 +677,36 @@ def oracle_sql() -> dict[str, str]:
               FROM {bio_values}
               WINDOW w AS (PARTITION BY sent_id ORDER BY tok_idx)
             )
+        """,
+        "sessionize": """
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                   ROUND(SUM(value), 4) AS value_sum
+            FROM (
+              SELECT user_id, ts, value,
+                     CAST(SUM(CASE WHEN prev_ts IS NULL
+                                   OR (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 > 1800
+                              THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts) AS INTEGER) AS session_seq
+              FROM (SELECT user_id, ts, value,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                    FROM events)
+            ) GROUP BY user_id, session_seq
+        """,
+        "connected_components": f"""
+            WITH RECURSIVE und AS (
+              SELECT src AS a, dst AS b FROM {_values_sql(CC_EDGES_FIXTURE, ["src", "dst"])}
+              UNION
+              SELECT dst, src FROM {_values_sql(CC_EDGES_FIXTURE, ["src", "dst"])}
+            ),
+            nodes AS (SELECT a AS n FROM und UNION SELECT b FROM und),
+            reach(node, comp) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.node, u.b FROM reach r JOIN und u ON r.comp = u.a
+            )
+            SELECT node, MIN(comp) AS component FROM reach GROUP BY node
         """,
         "cosine_topk": f"""
             SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine
