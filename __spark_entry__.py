@@ -56,10 +56,20 @@ _BROWN_TSV = (
 _GAZ_LOC = "Prague\nBerlin\nLondon\nParis\nVienna\nMadrid\nRome\nDublin\n"
 
 
+_MODEL_FINGERPRINT = "entry-model-v2-full-templates"
+
+
 def _model_dir() -> str:
     global _MODEL_DIR
     with _MODEL_LOCK:
         if _MODEL_DIR is None:
+            d = os.path.join(tempfile.gettempdir(), "nametag_spark_entry_model")
+            sentinel = os.path.join(d, "_fingerprint")
+            if os.path.exists(sentinel):
+                with open(sentinel, encoding="utf-8") as f:
+                    if f.read() == _MODEL_FINGERPRINT:
+                        _MODEL_DIR = d  # trained by an earlier process; reuse
+                        return _MODEL_DIR
             from nametag_spark.data.synth import gold_to_conll, synth_transcripts
             from nametag_spark.train.trainer import train_ner
 
@@ -76,8 +86,9 @@ def _model_dir() -> str:
                 _TEMPLATES, gold_to_conll(tdf, gdf), gold_to_conll(hdf, hgdf), stages=2,
                 params={"iterations": 6}, base_dir=base,
             )
-            d = os.path.join(tempfile.gettempdir(), "nametag_spark_entry_model")
             model.save(d)
+            with open(sentinel, "w", encoding="utf-8") as f:
+                f.write(_MODEL_FINGERPRINT)
             _MODEL_DIR = d
     return _MODEL_DIR
 

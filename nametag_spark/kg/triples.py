@@ -29,6 +29,7 @@ def extract_triples(
     mention_entities: DataFrame,
     transcripts: DataFrame | None = None,
     window: str = "sentence",
+    evidence_cap: int | None = 1000,
 ) -> DataFrame:
     """mention_entities: output of resolve_entities()[0] — mentions with
     (conv_id, turn_idx, sent_idx, tok_start, type, norm, entity_id).
@@ -81,16 +82,34 @@ def extract_triples(
             ).otherwise(F.col("pred")),
         )
 
-    return (
-        triples.groupBy("subj", "pred", "obj")
-        .agg(
-            F.first("subj_type").alias("subj_type"),
-            F.first("obj_type").alias("obj_type"),
-            F.first("subj_norm").alias("subj_norm"),
-            F.first("obj_norm").alias("obj_norm"),
-            F.count(F.lit(1)).alias("n_evidence"),
-            F.array_distinct(
-                F.collect_list(F.concat_ws(":", "conv_id", "turn_idx"))
-            ).alias("evidence"),
-        )
+    triples = triples.withColumn("evidence", F.concat_ws(":", "conv_id", "turn_idx"))
+
+    head = triples.groupBy("subj", "pred", "obj").agg(
+        F.first("subj_type").alias("subj_type"),
+        F.first("obj_type").alias("obj_type"),
+        F.first("subj_norm").alias("subj_norm"),
+        F.first("obj_norm").alias("obj_norm"),
+        F.count(F.lit(1)).alias("n_cooccur"),
+    )
+
+    # provenance lists via salted two-phase aggregation: hub triples (a hot
+    # (subj, pred, obj) across millions of turns) cannot overload a single
+    # reducer partition (north-rule skew handling; AQE can't split a
+    # collect_list group)
+    from .skew import salted_two_phase_agg
+
+    prov = salted_two_phase_agg(
+        triples, ["subj", "pred", "obj"], "evidence", list_cap=evidence_cap
+    )
+    return head.join(prov, ["subj", "pred", "obj"]).select(
+        "subj",
+        "pred",
+        "obj",
+        "subj_type",
+        "obj_type",
+        "subj_norm",
+        "obj_norm",
+        F.col("n_evidence"),
+        F.col("evidences").alias("evidence"),
+        "n_cooccur",
     )
