@@ -138,6 +138,36 @@ CC_EDGES_FIXTURE = [
     (2, 1), (3, 2), (7, 1), (10, 11), (21, 20), (22, 21), (7, 3),
 ]
 
+TOKENIZE_FIXTURE = [
+    (1, "Dr. Smith can't visit Prague."),
+    (2, "He said 'stop!' Then ran."),
+    (3, "Email bob@x.com or see https://a.io/x?q=1 now."),
+    (4, "Pay $1,234.56 at 12:30."),
+    (5, "state-of-the-art x--y a-5"),
+    (6, "U.S. Army won. Mr. Brown lost."),
+    (7, "cannot gonna more'n"),
+    (8, "Wait... Really?! Yes."),
+]
+
+# hand-derived from the reference tokenizer rules (english_tokenizer.rl,
+# unicode_tokenizer.cpp): abbreviation/1-char-capital EOS suppression,
+# clitic splits, '--' exclusion from words, trailing-hyphen words, number
+# grammar, URL/email single tokens, ellipsis sentence breaks
+TOKENIZE_GOLD = [
+    (1, 0, ["Dr", ".", "Smith", "ca", "n't", "visit", "Prague", "."]),
+    (2, 0, ["He", "said", "'", "stop", "!", "'"]),
+    (2, 1, ["Then", "ran", "."]),
+    (3, 0, ["Email", "bob@x.com", "or", "see", "https://a.io/x?q=1", "now", "."]),
+    (4, 0, ["Pay", "$", "1,234.56", "at", "12", ":", "30", "."]),
+    (5, 0, ["state-of-the-art", "x", "-", "-", "y", "a-", "5"]),
+    (6, 0, ["U", ".", "S", ".", "Army", "won", "."]),
+    (6, 1, ["Mr", ".", "Brown", "lost", "."]),
+    (7, 0, ["can", "not", "gon", "na", "more", "'n"]),
+    (8, 0, ["Wait", ".", ".", "."]),
+    (8, 1, ["Really", "?", "!"]),
+    (8, 2, ["Yes", "."]),
+]
+
 BIO_FIXTURE = [
     # (sent_id, tok_idx, label) — exercises U, B..L, I runs, O, '_' and
     # adjacent same-type B-B (two U's), I-after-O (treated as span start)
@@ -347,6 +377,27 @@ def q_url_email_extract(spark, sf_dir):
     )
 
 
+def q_tokenize_fixture(spark, sf_dir):
+    """Runs the real tokenizer on the fixture; the oracle is the
+    hand-derived golden token table (true golden test, not a self-compare)."""
+    from nametag_spark.ner.pipeline import tokenize_df
+
+    df = spark.createDataFrame(
+        [(str(r), 0, t) for (r, t) in TOKENIZE_FIXTURE], ["conv_id", "turn_idx", "text"]
+    )
+    return tokenize_df(df).select(
+        F.col("conv_id").cast("int").alias("row_id"), "sent_idx", "tok_idx", "form"
+    )
+
+
+def q_rp_lsh_topk(spark, sf_dir):
+    from nametag_spark.ops.similarity import rp_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return rp_lsh_topk(emb, queries, k=5, n_planes=6)
+
+
 def q_bio_to_bilou(spark, sf_dir):
     from nametag_spark.ops.labels import bio_to_bilou_df
 
@@ -464,7 +515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "connected_components": q_connected_components,
         "url_email_extract": q_url_email_extract,
+        "tokenize_fixture": q_tokenize_fixture,
         "bio_to_bilou": q_bio_to_bilou,
+        "rp_lsh_topk": q_rp_lsh_topk,
         "cosine_topk": q_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ner_tokens": q_ner_tokens,
@@ -668,6 +721,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(token, '^(https?|ftp)://[^ ]+$')
                OR regexp_matches(token, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}$')
         """,
+        "tokenize_fixture": "SELECT * FROM "
+        + _values_sql(
+            [
+                (row_id, sent_idx, tok_idx, form)
+                for (row_id, sent_idx, toks) in TOKENIZE_GOLD
+                for tok_idx, form in enumerate(toks)
+            ],
+            ["row_id", "sent_idx", "tok_idx", "form"],
+        ),
         "bio_to_bilou": f"""
             SELECT sent_id, tok_idx, label,
                    CASE WHEN label IN ('O', '_') THEN 'O'

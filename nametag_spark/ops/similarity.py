@@ -91,6 +91,72 @@ def _assign(corpus: DataFrame, centroids_df: DataFrame, id_col: str, vec_col: st
     )
 
 
+def rp_lsh_buckets(
+    corpus: DataFrame,
+    n_planes: int = 12,
+    seed: int = 99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket per vector: bucket id packs the
+    sign bit of the dot product with n_planes seeded Gaussian hyperplanes.
+    Cosine-similar vectors collide with probability (1 - theta/pi)^n.
+    Hyperplanes are driver-generated (deterministic) literal arrays — tiny,
+    so they inline into the plan; no shuffle until the bucket groupBy."""
+    import numpy as np
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        return corpus.select(F.col(id_col), F.lit(0).cast("long").alias("bucket"))
+    dim = len(first[vec_col])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+
+    v = _as_double(F.col(vec_col))
+    bucket = None
+    for b in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
+        bit = (_dot(v, plane) > 0).cast("long") * (1 << b)
+        bucket = bit if bucket is None else bucket + bit
+    return corpus.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k searching only the query's LSH bucket (single-probe;
+    recall grows with fewer planes / multiple tables). The scale path when
+    the corpus is bucketed+persisted once and queried many times."""
+    cb = rp_lsh_buckets(corpus, n_planes, seed, id_col, vec_col)
+    qb = rp_lsh_buckets(
+        queries.select(F.col(query_id_col).alias(id_col), F.col(vec_col)), n_planes, seed, id_col, vec_col
+    ).select(F.col(id_col).alias("query_id"), F.col("bucket"))
+
+    bucketed = corpus.join(cb, id_col)
+    cand = bucketed.join(qb, "bucket").select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        "query_id",
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    scored = cand.join(q, "query_id").withColumn(
+        "cosine", _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

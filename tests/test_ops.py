@@ -159,3 +159,22 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real decoders"):
         extract_features(assets, decoder="real").collect()
+
+
+def test_rp_lsh_recall(spark, embeddings):
+    from nametag_spark.ops.similarity import cosine_topk, rp_lsh_topk
+
+    queries = embeddings.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(embeddings, queries, k=10).toPandas()
+    approx = rp_lsh_topk(embeddings, queries, k=10, n_planes=4).toPandas()
+    # single-probe sign-LSH: each query must at least find itself, and
+    # recall against brute force should be nontrivial at 4 planes
+    self_hits = approx[approx["rank"] == 1]
+    assert (self_hits["query_id"] == self_hits["vec_id"]).all()
+    recall = 0.0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        recall += len(e & a) / len(e)
+    recall /= exact["query_id"].nunique()
+    assert recall >= 0.2, f"RP-LSH recall@10 too low: {recall}"
