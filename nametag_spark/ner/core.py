@@ -38,14 +38,29 @@ class Network:
     per-token loop (physical strategy per SURVEY.md §4 P3).
     """
 
-    def __init__(self, w_adj: np.ndarray, mask: np.ndarray, missing_weight: float):
+    def __init__(
+        self,
+        w_adj: np.ndarray,
+        mask: np.ndarray,
+        missing_weight: float,
+        hidden_w0: np.ndarray | None = None,
+        hidden_w1: np.ndarray | None = None,
+    ):
         self.w_adj = w_adj  # (n_features, n_out) float64
         self.mask = mask  # (n_features, n_out) bool — training only
         self.missing_weight = float(missing_weight)
+        # optional sigmoid hidden layer (network_classifier.cpp:189-209):
+        # hidden = sigmoid(sum_f hidden_w0[f]); out += hidden @ hidden_w1
+        self.hidden_w0 = hidden_w0  # (n_features, n_hidden) or None
+        self.hidden_w1 = hidden_w1  # (n_hidden, n_out) or None
 
     @property
     def n_out(self) -> int:
         return self.w_adj.shape[1]
+
+    @property
+    def n_hidden(self) -> int:
+        return 0 if self.hidden_w0 is None else self.hidden_w0.shape[1]
 
     # cap on the transient (nnz x n_out) gather buffer: ~500k rows x 16
     # outcomes x 8B = 64 MB per chunk regardless of batch size
@@ -83,6 +98,15 @@ class Network:
             sums = np.add.reduceat(gathered, sub_ptr[:-1], axis=0)
             counts = np.diff(sub_ptr).astype(np.float64)
             o = sums + counts[:, None] * self.missing_weight
+            if self.hidden_w0 is not None:
+                nh = self.hidden_w0.shape[0]
+                hsafe = np.where(seg < nh, seg, 0)
+                hg = self.hidden_w0[hsafe]
+                if (seg >= nh).any():
+                    hg[seg >= nh] = 0.0
+                hpre = np.add.reduceat(hg, sub_ptr[:-1], axis=0)
+                hidden = 1.0 / (1.0 + np.exp(-hpre))
+                o += hidden @ self.hidden_w1
             # softmax (network_classifier.cpp:211-217; max-shift for stability)
             o -= o.max(axis=1, keepdims=True)
             np.exp(o, out=o)
@@ -94,13 +118,17 @@ class Network:
     # --- serialization ----------------------------------------------------
     def to_arrays(self):
         f, o = np.nonzero(self.mask)
-        return {
+        out = {
             "feat": f.astype(np.int64),
             "out": o.astype(np.int64),
             "w_adj": self.w_adj[f, o],
             "shape": np.array(self.w_adj.shape, dtype=np.int64),
             "missing_weight": np.array([self.missing_weight]),
         }
+        if self.hidden_w0 is not None:
+            out["hidden_w0"] = self.hidden_w0
+            out["hidden_w1"] = self.hidden_w1
+        return out
 
     @classmethod
     def from_arrays(cls, arrs, prefix=""):
@@ -111,7 +139,9 @@ class Network:
         o = arrs[prefix + "out"]
         w[f, o] = arrs[prefix + "w_adj"]
         m[f, o] = True
-        return cls(w, m, float(arrs[prefix + "missing_weight"][0]))
+        h0 = arrs[prefix + "hidden_w0"] if prefix + "hidden_w0" in arrs else None
+        h1 = arrs[prefix + "hidden_w1"] if prefix + "hidden_w1" in arrs else None
+        return cls(w, m, float(arrs[prefix + "missing_weight"][0]), h0, h1)
 
 
 def fill_bilou_probabilities(outcomes: np.ndarray):

@@ -363,26 +363,45 @@ class StagePartialScorer:
         self.net = net
         self.maxw = max((p.window for p in featurizer.pure), default=0)
         self.cache: dict = {}
-        # omnipresent feature id 0 row (in-range by construction)
-        self.w0 = net.w_adj[0].copy()
+        self.nh = net.n_hidden
+        # partial-sum width: direct outcomes + hidden pre-activations (both
+        # linear in features, so one combined matrix works)
+        if self.nh:
+            self.w0 = np.concatenate([net.w_adj[0], net.hidden_w0[0]])
+        else:
+            self.w0 = net.w_adj[0].copy()
+
+    def _gather(self, rows):
+        """(len(rows), n_out [+ n_hidden]) weight rows with range guards."""
+        net = self.net
+        nf = net.w_adj.shape[0]
+        safe = np.where(rows < nf, rows, 0)
+        g = net.w_adj[safe]
+        if (rows >= nf).any():
+            g[rows >= nf] = 0.0
+        if self.nh:
+            nh = net.hidden_w0.shape[0]
+            hsafe = np.where(rows < nh, rows, 0)
+            hg = net.hidden_w0[hsafe]
+            if (rows >= nh).any():
+                hg[rows >= nh] = 0.0
+            g = np.concatenate([g, hg], axis=1)
+        return g
 
     def _form_partial(self, form):
         ent = self.cache.get(form)
         if ent is None:
             fids, ws, _n = self.fz._form_events(form)
             m = self.maxw
-            n_out = self.net.n_out
-            nf = self.net.w_adj.shape[0]
-            S = np.zeros((2 * m + 1, n_out), dtype=np.float64)
+            width = self.net.n_out + self.nh
+            S = np.zeros((2 * m + 1, width), dtype=np.float64)
             C = np.zeros(2 * m + 1, dtype=np.int64)
             for off in range(-m, m + 1):
                 sel = ws >= abs(off)
                 if sel.any():
                     rows = fids[sel] + off
                     C[off + m] = len(rows)
-                    in_range = rows < nf
-                    if in_range.any():
-                        S[off + m] = self.net.w_adj[rows[in_range]].sum(axis=0)
+                    S[off + m] = self._gather(rows).sum(axis=0)
             ent = (S, C)
             self.cache[form] = ent
         return ent
@@ -444,7 +463,7 @@ class StagePartialScorer:
         # form partial sums, one per distinct form in the batch
         codes, uniques = pd.factorize(np.array(forms_all, dtype=object))
         U = len(uniques)
-        S_all = np.empty((U, 2 * m + 1, n_out), dtype=np.float64)
+        S_all = np.empty((U, 2 * m + 1, n_out + self.nh), dtype=np.float64)
         C_all = np.empty((U, 2 * m + 1), dtype=np.int64)
         for k, form in enumerate(uniques):
             S, C = self._form_partial(form)
@@ -467,10 +486,12 @@ class StagePartialScorer:
             epos = np.array(extra_pos, dtype=np.int64)
             efid = np.array(extra_fid, dtype=np.int64)
             np.add.at(counts, epos, 1)
-            in_range = efid < nf
-            if in_range.any():
-                np.add.at(out, epos[in_range], net.w_adj[efid[in_range]])
+            np.add.at(out, epos, self._gather(efid))
 
+        if self.nh:
+            direct = out[:, :n_out]
+            hidden = 1.0 / (1.0 + np.exp(-out[:, n_out:]))
+            out = direct + hidden @ net.hidden_w1
         out += counts[:, None] * net.missing_weight
         out -= out.max(axis=1, keepdims=True)
         np.exp(out, out=out)

@@ -109,8 +109,7 @@ def _train_network(n_features, n_out, train_feats, train_outs, heldout, params, 
     lr0 = float(params.get("initial_learning_rate", 0.1))
     lrF = float(params.get("final_learning_rate", 0.01))
     sigma = float(params.get("gaussian_sigma", 0.5))
-    if params.get("hidden_layer"):
-        raise NotImplementedError("hidden layer training not supported (reference models use 0)")
+    n_hidden = int(params.get("hidden_layer", 0) or 0)
 
     # mask of (feature, outcome) pairs seen in training
     mask = np.zeros((n_features, n_out), dtype=bool)
@@ -118,6 +117,13 @@ def _train_network(n_features, n_out, train_feats, train_outs, heldout, params, 
         mask[np.asarray(f_list, dtype=np.int64), o] = True
     # W holds adjusted weights (w - mw); untrained pairs contribute 0
     W = np.where(mask, -mw, 0.0)
+
+    # hidden layer init: each weight = sum of three U(-0.1, 0.1) draws
+    # (network_classifier.cpp:104-111)
+    H0 = H1 = None
+    if n_hidden:
+        H0 = rng.uniform(-0.1, 0.1, size=(n_features, n_hidden, 3)).sum(axis=2)
+        H1 = rng.uniform(-0.1, 0.1, size=(n_hidden, n_out, 3)).sum(axis=2)
 
     gs = sigma / len(train_feats)
     n = len(train_feats)
@@ -136,6 +142,10 @@ def _train_network(n_features, n_out, train_feats, train_outs, heldout, params, 
             o = train_outs[idx]
             WF = W[F]
             out = WF.sum(axis=0) + nnz[idx] * mw
+            if n_hidden:
+                hpre = H0[F].sum(axis=0)
+                hidden = 1.0 / (1.0 + np.exp(-hpre))
+                out = out + hidden @ H1
             out -= out.max()
             np.exp(out, out=out)
             out /= out.sum()
@@ -146,6 +156,11 @@ def _train_network(n_features, n_out, train_feats, train_outs, heldout, params, 
             M = mask[F]
             WF += (lr * err - (WF + mw) * gs) * M
             W[F] = WF
+            if n_hidden:
+                # hidden_error computed against pre-update H1
+                herr = (H1 @ err) * hidden * (1.0 - hidden)
+                H1 += lr * np.outer(hidden, err) - H1 * gs
+                H0[F] += lr * herr - H0[F] * gs
         if verbose:
             acc = correct * 100.0 / n
             msg = f"iter {it + 1}: lr {lr:.4f} train acc {acc:.2f}%"
@@ -156,11 +171,14 @@ def _train_network(n_features, n_out, train_feats, train_outs, heldout, params, 
                     F = np.asarray(F, dtype=np.int64)
                     Fs = F[F < n_features]
                     out = W[Fs].sum(axis=0) + len(F) * mw
+                    if n_hidden:
+                        hidden = 1.0 / (1.0 + np.exp(-H0[Fs].sum(axis=0)))
+                        out = out + hidden @ H1
                     hc += int(out.argmax() == o)
                 msg += f" heldout acc {hc * 100.0 / len(h_outs):.2f}%"
             print(msg)
 
-    return core.Network(W, mask, mw)
+    return core.Network(W, mask, mw, H0, H1)
 
 
 def _compute_previous_stage(data, templates, net):

@@ -73,3 +73,50 @@ def test_model_save_load_roundtrip(tiny_model_dir, tmp_path):
     m2 = NerModel.load(out)
     text = "Alice Johnson works at Acme Labs in Prague ."
     assert recognize_local(model, [text]) == recognize_local(m2, [text])
+
+
+def test_hidden_layer_model(tmp_path):
+    """Optional sigmoid hidden layer (network_classifier.cpp:189-209,
+    backprop :229-258): train, save/load, fast/slow parity, P/R on gold."""
+    from nametag_spark.data.synth import gold_to_conll, synth_transcripts
+    from nametag_spark.features.templates import Sentence
+    from nametag_spark.ner.pipeline import _BatchRecognizer
+    from nametag_spark.tokenizer.rules import tokenize_sentences
+    from nametag_spark.train.trainer import train_ner
+
+    tdf, gdf = synth_transcripts(n_conversations=25, seed=1)
+    model = train_ner(
+        "Form/2\nFormCapitalization/2\nFormSuffix/1 2 4\nPreviousStage/3",
+        gold_to_conll(tdf, gdf),
+        stages=2,
+        params={"iterations": 6, "hidden_layer": 8},
+    )
+    out = str(tmp_path / "hidden")
+    model.save(out)
+    m2 = NerModel.load(out)
+    assert m2.networks[0].n_hidden == 8
+
+    edf, egdf = synth_transcripts(n_conversations=8, seed=3)
+    texts = list(edf["text"])
+
+    def build():
+        res = []
+        for t in texts:
+            for s in tokenize_sentences(t):
+                res.append(Sentence([t[a : a + b] for (a, b) in s]))
+        return res
+
+    rf = _BatchRecognizer(m2, use_fast=True).recognize_batch(build())
+    rs = _BatchRecognizer(m2, use_fast=False).recognize_batch(build())
+    assert rf == rs
+
+    pred = set()
+    for row in edf.itertuples(index=False):
+        for m in recognize_local(m2, [row.text])[0]:
+            pred.add((row.conv_id, row.turn_idx, m["sent_idx"], m["tok_start"], m["tok_len"], m["type"]))
+    gold = {
+        (r.conv_id, r.turn_idx, r.sent_idx, r.tok_start, r.tok_len, r.type)
+        for r in egdf.itertuples(index=False)
+    }
+    tp = len(pred & gold)
+    assert tp / len(pred) >= 0.95 and tp / len(gold) >= 0.95
