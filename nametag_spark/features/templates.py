@@ -53,11 +53,24 @@ class Sentence:
         "prev_ent",
         "size",
         "lemma_comments",
+        "raw_lemmas",
+        "lemma_ids",
+        "tags",
+        "raw_lemmas_all",
+        "external",
     )
 
-    def __init__(self, forms, lemma_comments=None):
+    def __init__(self, forms, lemma_comments=None, raw_lemmas=None, lemma_ids=None,
+                 tags=None, raw_lemmas_all=None):
         self.forms = forms
-        self.lemma_comments = lemma_comments  # None with the trivial tagger
+        # external-tagger analyses (src/tagger/external_tagger.cpp:32-63);
+        # None == trivial tagger (raw_lemma = lemma_id = form, tag = "")
+        self.lemma_comments = lemma_comments
+        self.raw_lemmas = raw_lemmas
+        self.lemma_ids = lemma_ids
+        self.tags = tags
+        self.raw_lemmas_all = raw_lemmas_all
+        self.external = raw_lemmas is not None or tags is not None
         self.size = len(forms)
         self.features = None
         self.local = None
@@ -65,6 +78,37 @@ class Sentence:
         self.local_filled = None
         self.prev_bilou = [BILOU_UNKNOWN] * self.size
         self.prev_ent = [ENTITY_UNKNOWN] * self.size
+
+    @classmethod
+    def from_external(cls, tagged_tokens):
+        """Parse 'form[ raw_lemma[ tag]]' space-separated tokens exactly like
+        the reference external tagger (external_tagger.cpp:32-63)."""
+        forms, raw, tags = [], [], []
+        for tok in tagged_tokens:
+            parts = tok.split(" ")
+            form = parts[0]
+            raw_lemma = parts[1] if len(parts) > 1 else form
+            tag = parts[2] if len(parts) > 2 else ""
+            forms.append(form)
+            raw.append(raw_lemma)
+            tags.append(tag)
+        return cls(forms, raw_lemmas=raw, lemma_ids=list(raw), tags=tags,
+                   raw_lemmas_all=[[r] for r in raw])
+
+    # --- per-token views (fall back to forms under the trivial tagger) ----
+    def get_raw_lemmas(self):
+        return self.raw_lemmas if self.raw_lemmas is not None else self.forms
+
+    def get_lemma_ids(self):
+        return self.lemma_ids if self.lemma_ids is not None else self.forms
+
+    def get_tags(self):
+        return self.tags if self.tags is not None else [""] * self.size
+
+    def get_raw_lemmas_all(self, i):
+        if self.raw_lemmas_all is not None:
+            return self.raw_lemmas_all[i]
+        return (self.forms[i],)
 
     def clear_features(self):
         # omnipresent feature id 0 (feature_templates.cpp:49-52)
@@ -190,9 +234,13 @@ class FeatureProcessor:
 class Form(FeatureProcessor):
     name = "Form"
 
+    def src(self, sent):
+        return sent.forms
+
     def process_sentence(self, sent, total=None):
+        words = self.src(sent)
         for i in range(sent.size):
-            self.apply_in_window(sent, i, self.lookup(sent.forms[i], total))
+            self.apply_in_window(sent, i, self.lookup(words[i], total))
         self.apply_outer_words_in_window(sent, self.lookup_empty())
 
 
@@ -201,12 +249,16 @@ class FormCapitalization(FeatureProcessor):
 
     name = "FormCapitalization"
 
+    def src(self, sent):
+        return sent.forms
+
     def process_sentence(self, sent, total=None):
         fst = self.lookup("f", total)
         allc = self.lookup("a", total)
         mixed = self.lookup("m", total)
+        words = self.src(sent)
         for i in range(sent.size):
-            form = sent.forms[i]
+            form = words[i]
             was_upper = was_lower = False
             for k, ch in enumerate(form):
                 c = _cat(ch)
@@ -223,9 +275,13 @@ class FormCapitalization(FeatureProcessor):
 class FormCaseNormalized(FeatureProcessor):
     name = "FormCaseNormalized"
 
+    def src(self, sent):
+        return sent.forms
+
     def process_sentence(self, sent, total=None):
+        words = self.src(sent)
         for i in range(sent.size):
-            self.apply_in_window(sent, i, self.lookup(_case_normalize(sent.forms[i]), total))
+            self.apply_in_window(sent, i, self.lookup(_case_normalize(words[i]), total))
         self.apply_outer_words_in_window(sent, self.lookup_empty())
 
 
@@ -245,9 +301,13 @@ class Suffix(FeatureProcessor):
         self.shortest = int(args[0])
         self.longest = int(args[1])
 
+    def src(self, sent):
+        return sent.forms
+
     def process_sentence(self, sent, total=None):
+        words = self.src(sent)
         for i in range(sent.size):
-            form = sent.forms[i]
+            form = words[i]
             if self.normalized:
                 form = _case_normalize(form)
             buf = []
@@ -276,23 +336,28 @@ class FormCaseNormalizedSuffix(Suffix):
 
 # With the trivial tagger raw_lemma == form, so the RawLemma* family shares
 # implementations but keeps separate feature maps (distinct template lines).
-class RawLemma(Form):
+class _RawLemmaSource:
+    def src(self, sent):
+        return sent.get_raw_lemmas()
+
+
+class RawLemma(_RawLemmaSource, Form):
     name = "RawLemma"
 
 
-class RawLemmaCapitalization(FormCapitalization):
+class RawLemmaCapitalization(_RawLemmaSource, FormCapitalization):
     name = "RawLemmaCapitalization"
 
 
-class RawLemmaCaseNormalized(FormCaseNormalized):
+class RawLemmaCaseNormalized(_RawLemmaSource, FormCaseNormalized):
     name = "RawLemmaCaseNormalized"
 
 
-class RawLemmaSuffix(Suffix):
+class RawLemmaSuffix(_RawLemmaSource, Suffix):
     name = "RawLemmaSuffix"
 
 
-class RawLemmaCaseNormalizedSuffix(Suffix):
+class RawLemmaCaseNormalizedSuffix(_RawLemmaSource, Suffix):
     name = "RawLemmaCaseNormalizedSuffix"
     normalized = True
 
@@ -300,14 +365,17 @@ class RawLemmaCaseNormalizedSuffix(Suffix):
 class Lemma(Form):
     name = "Lemma"
 
+    def src(self, sent):
+        return sent.get_lemma_ids()
+
 
 class Tag(FeatureProcessor):
     name = "Tag"
 
     def process_sentence(self, sent, total=None):
-        # trivial tagger: tag == ""
+        tags = sent.get_tags()
         for i in range(sent.size):
-            self.apply_in_window(sent, i, self.lookup("", total))
+            self.apply_in_window(sent, i, self.lookup(tags[i], total))
         self.apply_outer_words_in_window(sent, self.lookup_empty())
 
 
@@ -483,11 +551,13 @@ class GazetteersEnhanced(FeatureProcessor):
             return text[:1].upper() + text[1:].lower()
         return text.upper()  # TO_UPPER
 
-    def _recase_match_source(self, form, native):
-        """feature_processor_instances.cpp:708-755 (match on form; the
-        trivial tagger makes rawlemma == form for our models)."""
+    def _recase_match_source(self, form, native, texts=None):
+        """feature_processor_instances.cpp:708-755: casing flags come from
+        the FORM; the recased match text depends on the match mode
+        (form / rawlemma / rawlemmas)."""
         any_lower = any(_cat(c) == "Ll" for c in form)
         first_uc = bool(form) and _cat(form[0]) in ("Lu", "Lt")
+        texts = texts if texts is not None else (form,)
         out = []
         for perform in (0, 1, 2):  # LOWER, TITLE, UPPER
             if native:
@@ -502,8 +572,19 @@ class GazetteersEnhanced(FeatureProcessor):
                     continue
                 if perform == 1 and not first_uc:
                     continue
-            out.append(self._recase_text(form, perform))
+            for t in texts:
+                out.append(self._recase_text(t, perform))
         return out
+
+    def _match_sources(self, sent, i):
+        form = sent.forms[i]
+        if self.match == "rawlemma":
+            texts = (sent.get_raw_lemmas()[i],)
+        elif self.match == "rawlemmas":
+            texts = tuple(sent.get_raw_lemmas_all(i))
+        else:
+            texts = (form,)
+        return self._recase_match_source(form, native=False, texts=texts)
 
     def _build_trie(self):
         # node: {"children": {str: [node_ids]}, "features": [], "mode": SOFT, "entity": -1}
@@ -546,7 +627,7 @@ class GazetteersEnhanced(FeatureProcessor):
     def process_sentence(self, sent, total=None):
         T = sent.size
         feats = [[] for _ in range(T)]
-        sources = [self._recase_match_source(sent.forms[i], native=False) for i in range(T)]
+        sources = [self._match_sources(sent, i) for i in range(T)]
         span = 2 * self.window + 1
 
         for i in range(T):
@@ -607,7 +688,7 @@ class GazetteersEnhanced(FeatureProcessor):
 
         entities: list of [start, length, type_name], sorted by start.
         """
-        sources = [self._recase_match_source(sent.forms[i], native=False) for i in range(sent.size)]
+        sources = [self._match_sources(sent, i) for i in range(sent.size)]
         buffer = []
         entity_until = 0
         e = 0
@@ -711,8 +792,9 @@ class BrownClusters(FeatureProcessor):
         total.value += span * len(prefixes_map)
 
     def process_sentence(self, sent, total=None):
+        raws = sent.get_raw_lemmas()
         for i in range(sent.size):
-            cid = self.map.get(sent.forms[i])  # raw_lemma == form (trivial tagger)
+            cid = self.map.get(raws[i])
             if cid is not None:
                 for feature in self.clusters[cid]:
                     self.apply_in_window(sent, i, feature)

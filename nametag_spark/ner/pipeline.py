@@ -154,8 +154,11 @@ class _BatchRecognizer:
         for s in live:
             s.clear_previous_stage()
         last_best = {}
+        # external-tagger sentences carry per-token analyses the form-keyed
+        # fast caches cannot represent -> reference-shaped slow path
+        use_fast = self.use_fast and not any(s.external for s in live)
         for stage, net in enumerate(model.networks):
-            if self.use_fast:
+            if use_fast:
                 self._stage_fast(live, self.scorers[stage])
                 if live:
                     lengths = np.array([s.size for s in live], dtype=np.int64)

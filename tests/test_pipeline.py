@@ -120,3 +120,37 @@ def test_hidden_layer_model(tmp_path):
     }
     tp = len(pred & gold)
     assert tp / len(pred) >= 0.95 and tp / len(gold) >= 0.95
+
+
+def test_external_tagger_sentences():
+    """External analyses ('form raw_lemma tag', external_tagger.cpp:32-63)
+    flow through the RawLemma*/Lemma/Tag templates and route to the slow
+    path; trivial-tagger behavior is unchanged."""
+    from nametag_spark.data.synth import gold_to_conll, synth_transcripts
+    from nametag_spark.features.templates import Sentence
+    from nametag_spark.ner.pipeline import _BatchRecognizer
+    from nametag_spark.train.trainer import train_ner
+
+    tdf, gdf = synth_transcripts(n_conversations=20, seed=1)
+    model = train_ner(
+        "Form/2\nRawLemma/2\nRawLemmaSuffix/1 2 3\nLemma/1\nTag/1\nPreviousStage/2",
+        gold_to_conll(tdf, gdf),
+        stages=1,
+        params={"iterations": 4},
+    )
+    rec = _BatchRecognizer(model)
+
+    s_ext = Sentence.from_external(["Alice Alice NNP", "Johnson Johnson NNP", "works work VBZ"])
+    assert s_ext.external
+    assert s_ext.get_raw_lemmas() == ["Alice", "Johnson", "work"]
+    assert s_ext.get_tags() == ["NNP", "NNP", "VBZ"]
+    out = rec.recognize_batch([s_ext])
+    assert isinstance(out[0], list)  # runs end-to-end via the slow path
+
+    # identical analyses == trivial tagger -> identical result
+    s_triv = Sentence(["Alice", "Johnson", "works"])
+    s_same = Sentence.from_external(["Alice Alice", "Johnson Johnson", "works works"])
+    s_same.tags = ["", "", ""]
+    r1 = rec.recognize_batch([s_triv])
+    r2 = rec.recognize_batch([s_same])
+    assert r1 == r2
