@@ -494,6 +494,75 @@ def _append_unless_exists(array, value):
         array.append(value)
 
 
+class Gazetteers(FeatureProcessor):
+    """Deprecated gazetteer matcher kept for model compatibility
+    (feature_processor_instances.cpp:261-365): raw_lemma-sequence prefix map,
+    one shared feature id per list file, G + positional U/B/I/L blocks."""
+
+    name = "Gazetteers"
+
+    G, U, B, L, I = 0, 1, 2, 3, 4
+
+    def parse(self, window, args, entities, total, base_dir=""):
+        super().parse(window, args, entities, total, base_dir)
+        self.info = []  # [{"features": [...], "prefix_of_longer": bool}]
+        span = 2 * window + 1
+        for arg in args:
+            longest = 0
+            file_feature = total.value + window  # constant within one file
+            with open(os.path.join(base_dir, arg), encoding="utf-8") as f:
+                for line in f:
+                    tokens = [t for t in line.rstrip("\n").split(" ") if t]
+                    longest = max(longest, len(tokens))
+                    prefix = ""
+                    for i, tok in enumerate(tokens):
+                        prefix = prefix + " " + tok if i else tok
+                        idx = self.map.setdefault(prefix, len(self.info))
+                        if idx == len(self.info):
+                            self.info.append({"features": [], "prefix_of_longer": False})
+                        info = self.info[idx]
+                        if i + 1 < len(tokens):
+                            info["prefix_of_longer"] = True
+                        elif file_feature not in info["features"]:
+                            info["features"].append(file_feature)
+            mult = 0 if longest == 0 else 2 if longest == 1 else 4 if longest == 2 else 5
+            total.value += span * mult
+
+    def process_sentence(self, sent, total=None):
+        span = 2 * self.window + 1
+        raws = sent.get_raw_lemmas()
+        for i in range(sent.size):
+            idx = self.map.get(raws[i])
+            if idx is None:
+                continue
+            for feature in self.info[idx]["features"]:
+                self.apply_in_window(sent, i, feature + self.G * span)
+                self.apply_in_window(sent, i, feature + self.U * span)
+            j = i + 1
+            buffer = raws[i]
+            while self.info[idx]["prefix_of_longer"] and j < sent.size:
+                buffer = buffer + " " + raws[j]
+                idx2 = self.map.get(buffer)
+                if idx2 is None:
+                    break
+                for feature in self.info[idx2]["features"]:
+                    for g in range(i, j + 1):
+                        btype = self.B if g == i else self.L if g == j else self.I
+                        self.apply_in_window(sent, g, feature + self.G * span)
+                        self.apply_in_window(sent, g, feature + btype * span)
+                idx = idx2
+                j += 1
+
+    def state(self):
+        st = super().state()
+        st["info"] = self.info
+        return st
+
+    def load_state(self, st, base_dir=""):
+        super().load_state(st, base_dir)
+        self.info = st["info"]
+
+
 class GazetteersEnhanced(FeatureProcessor):
     """Token-trie gazetteer matcher with soft features and hard_pre /
     hard_post constraint modes (feature_processor_instances.cpp:369-757).
@@ -895,6 +964,7 @@ _FACTORY = {
         NumericTimeValue,
         PreviousStage,
         URLEmailDetector,
+        Gazetteers,
         GazetteersEnhanced,
         BrownClusters,
         CzechLemmaTerm,

@@ -130,7 +130,9 @@ class FastFeaturizer:
         self.pure = [p for p in procs if isinstance(p, _PURE)]
         self.stateful = [p for p in procs if isinstance(p, T.PreviousStage)]
         self.pin_procs = [
-            p for p in procs if isinstance(p, (T.URLEmailDetector, T.GazetteersEnhanced))
+            p
+            for p in procs
+            if isinstance(p, (T.URLEmailDetector, T.GazetteersEnhanced, T.Gazetteers))
         ]
         # CzechAddContainers runs at process_entities time only; anything
         # else unknown forces the slow (reference-shaped) path
@@ -138,6 +140,7 @@ class FastFeaturizer:
             T.PreviousStage,
             T.URLEmailDetector,
             T.GazetteersEnhanced,
+            T.Gazetteers,
             T.CzechAddContainers,
         )
         self.supported = all(isinstance(p, known) for p in procs)
@@ -211,9 +214,9 @@ class FastFeaturizer:
                         sent.local[i, T.BILOU_U] = 1.0
                         sent.local_ent[i, T.BILOU_U] = pin[1]
                         sent.local_filled[i] = True
-            elif isinstance(p, T.GazetteersEnhanced):
-                # trie walk + hard_pre pins + soft feature appends (into
-                # sent.features, merged by featurize())
+            elif isinstance(p, (T.GazetteersEnhanced, T.Gazetteers)):
+                # trie/prefix walk + hard_pre pins + soft feature appends
+                # (into sent.features, merged by featurize())
                 p.process_sentence(sent)
 
     def _prev_fid(self, proc, bilou: int, ent: int):

@@ -170,3 +170,65 @@ def test_brown_clusters_ids():
         assert len(proc.clusters[1]) == 2  # '01', '0'
         shared = set(proc.clusters[0]) & set(proc.clusters[1])
         assert len(shared) == 1  # the '0' prefix feature is shared
+
+
+def test_deprecated_gazetteers_processor(tmp_path):
+    """F11 Gazetteers (deprecated): prefix-map matching with per-file shared
+    feature ids and G/U/B/I/L positional blocks."""
+    from nametag_spark.features.templates import EntityMap, Gazetteers, Sentence, _Total
+
+    gaz = tmp_path / "old_gaz.txt"
+    gaz.write_text("New York\nNew York City\nParis\n", encoding="utf-8")
+    total = _Total(1)
+    proc = Gazetteers()
+    proc.parse(2, ["old_gaz.txt"], EntityMap(), total, base_dir=str(tmp_path))
+    span = 2 * 2 + 1
+    # longest entry = 3 tokens -> multiplier I+1 = 5 blocks
+    assert total.value == 1 + span + span * 5  # empty key + 5 positional blocks
+
+    s = Sentence(["We", "love", "New", "York", "City", "and", "Paris"])
+    s.clear_features()
+    proc.process_sentence(s)
+    # "Paris" (unigram): G and U features at position 6
+    base = proc.info[proc.map["Paris"]]["features"][0]
+    assert (base + proc.G * span) in s.features[6]
+    assert (base + proc.U * span) in s.features[6]
+    # "New York" and "New York City" multiword: B at 'New', L at last token
+    b2 = proc.info[proc.map["New York"]]["features"][0]
+    assert (b2 + proc.B * span) in s.features[2]
+    assert (b2 + proc.L * span) in s.features[3]
+    b3 = proc.info[proc.map["New York City"]]["features"][0]
+    assert (b3 + proc.B * span) in s.features[2]
+    assert (b3 + proc.I * span) in s.features[3]
+    assert (b3 + proc.L * span) in s.features[4]
+
+
+def test_deprecated_gazetteers_in_model(tmp_path):
+    """Trains end-to-end with the deprecated template + fast/slow parity."""
+    from nametag_spark.data.synth import gold_to_conll, synth_transcripts
+    from nametag_spark.features.templates import Sentence
+    from nametag_spark.ner.pipeline import _BatchRecognizer
+    from nametag_spark.tokenizer.rules import tokenize_sentences
+    from nametag_spark.train.trainer import train_ner
+
+    (tmp_path / "locs.txt").write_text("Prague\nBerlin\nLondon\n", encoding="utf-8")
+    tdf, gdf = synth_transcripts(n_conversations=15, seed=1)
+    model = train_ner(
+        "Form/2\nFormCapitalization/2\nGazetteers/2 locs.txt\nPreviousStage/2",
+        gold_to_conll(tdf, gdf),
+        stages=2,
+        params={"iterations": 4},
+        base_dir=str(tmp_path),
+    )
+    texts = list(synth_transcripts(n_conversations=5, seed=9)[0]["text"])
+
+    def build():
+        out = []
+        for t in texts:
+            for s in tokenize_sentences(t):
+                out.append(Sentence([t[a : a + b] for (a, b) in s]))
+        return out
+
+    rf = _BatchRecognizer(model, use_fast=True).recognize_batch(build())
+    rs = _BatchRecognizer(model, use_fast=False).recognize_batch(build())
+    assert rf == rs
