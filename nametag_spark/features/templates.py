@@ -79,6 +79,47 @@ class Sentence:
         self.prev_bilou = [BILOU_UNKNOWN] * self.size
         self.prev_ent = [ENTITY_UNKNOWN] * self.size
 
+    @staticmethod
+    def split_pdt_lemma(lemma: str):
+        """Czech/PDT lemma structure split (the morphodita tagger wrapper's
+        contract, morphodita_tagger.cpp:57-73 + czech_lemma_addinfo.h:35-56):
+        raw lemma ends at the first '`', '_', or '-<digit>' past position 0;
+        the lemma id additionally keeps a '-<digits>' homonym number; the
+        rest is comments. Returns (raw_lemma, lemma_id, comments)."""
+        n = len(lemma)
+        raw_len = n
+        for k in range(1, n):
+            c = lemma[k]
+            if c in "`_" or (c == "-" and k + 1 < n and lemma[k + 1].isdigit() and lemma[k + 1].isascii()):
+                raw_len = k
+                break
+        id_len = n
+        for k in range(1, n):
+            c = lemma[k]
+            if c in "`_":
+                id_len = k
+                break
+            if c == "-" and k + 1 < n and lemma[k + 1].isdigit() and lemma[k + 1].isascii():
+                k2 = k + 2
+                while k2 < n and lemma[k2].isdigit() and lemma[k2].isascii():
+                    k2 += 1
+                id_len = k2
+                break
+        return lemma[:raw_len], lemma[:id_len], lemma[id_len:]
+
+    @classmethod
+    def from_pdt(cls, forms, lemmas, tags):
+        """Per-token PDT lemma strings -> Sentence with raw_lemma/lemma_id/
+        comments split per the Czech convention (enables CzechLemmaTerm)."""
+        raws, ids, comments = [], [], []
+        for lemma in lemmas:
+            r, i, c = cls.split_pdt_lemma(lemma)
+            raws.append(r)
+            ids.append(i)
+            comments.append(c)
+        return cls(forms, lemma_comments=comments, raw_lemmas=raws, lemma_ids=ids,
+                   tags=list(tags), raw_lemmas_all=[sorted({r}) for r in raws])
+
     @classmethod
     def from_external(cls, tagged_tokens):
         """Parse 'form[ raw_lemma[ tag]]' space-separated tokens exactly like

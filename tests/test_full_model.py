@@ -232,3 +232,38 @@ def test_deprecated_gazetteers_in_model(tmp_path):
     rf = _BatchRecognizer(model, use_fast=True).recognize_batch(build())
     rs = _BatchRecognizer(model, use_fast=False).recognize_batch(build())
     assert rf == rs
+
+
+def test_pdt_lemma_split_and_lemma_term():
+    """PDT lemma structure split (czech_lemma_addinfo.h:35-56) and
+    CzechLemmaTerm over real lemma comments."""
+    from nametag_spark.features.templates import (
+        CzechLemmaTerm,
+        EntityMap,
+        Sentence,
+        _Total,
+    )
+
+    split = Sentence.split_pdt_lemma
+    assert split("Praha_;G") == ("Praha", "Praha", "_;G")
+    assert split("být") == ("být", "být", "")
+    assert split("on-1_^(osoba)") == ("on", "on-1", "_^(osoba)")
+    assert split("x-ray") == ("x-ray", "x-ray", "")  # '-' not followed by digit
+    assert split("a-12_;R") == ("a", "a-12", "_;R")
+
+    s = Sentence.from_pdt(
+        ["Praha", "je", "město"],
+        ["Praha_;G", "být", "město"],
+        ["NNFS1", "VB", "NNNS1"],
+    )
+    assert s.get_raw_lemmas() == ["Praha", "být", "město"]
+    assert s.lemma_comments == ["_;G", "", ""]
+
+    total = _Total(1)
+    proc = CzechLemmaTerm()
+    proc.parse(1, [], EntityMap(), total)
+    s.clear_features()
+    proc.process_sentence(s, total)
+    # the '_;G' term char G produced a feature at token 0 (applied in window)
+    assert len(s.features[0]) > 1
+    assert proc.map.get("G") is not None
