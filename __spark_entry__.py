@@ -133,6 +133,17 @@ URL_EMAIL_FIXTURE = [
     (4, "ftp://files.example.net/pub and bob@sub.example.co.uk mixed"),
 ]
 
+TRIPLES_FIXTURE = [
+    # (subj, pred, obj) tiny graph: hub 1; 2-hop chains through 2 and 3
+    (1, "affiliated_with", 2),
+    (1, "located_in", 3),
+    (2, "located_in", 3),
+    (2, "has_url", 4),
+    (3, "active_at", 5),
+    (6, "affiliated_with", 1),
+    (6, "located_in", 3),
+]
+
 CC_EDGES_FIXTURE = [
     # two components {1,2,3,7} and {10,11}, plus chain {20,21,22}
     (2, 1), (3, 2), (7, 1), (10, 11), (21, 20), (22, 21), (7, 3),
@@ -427,6 +438,27 @@ def q_connected_components(spark, sf_dir):
     return connected_components(edges).select("node", "component")
 
 
+def q_graph_degrees(spark, sf_dir):
+    from nametag_spark.kg.queries import entity_degrees
+
+    t = spark.createDataFrame(TRIPLES_FIXTURE, ["subj", "pred", "obj"])
+    return entity_degrees(t)
+
+
+def q_graph_two_hop(spark, sf_dir):
+    from nametag_spark.kg.queries import two_hop_paths
+
+    t = spark.createDataFrame(TRIPLES_FIXTURE, ["subj", "pred", "obj"])
+    return two_hop_paths(t)
+
+
+def q_graph_predicate_stats(spark, sf_dir):
+    from nametag_spark.kg.queries import predicate_stats
+
+    t = spark.createDataFrame(TRIPLES_FIXTURE, ["subj", "pred", "obj"])
+    return predicate_stats(t)
+
+
 def q_cosine_topk(spark, sf_dir):
     from nametag_spark.ops.similarity import cosine_topk
 
@@ -514,6 +546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_fixture": q_ngram_jaccard_fixture,
         "sessionize": q_sessionize,
         "connected_components": q_connected_components,
+        "graph_degrees": q_graph_degrees,
+        "graph_two_hop": q_graph_two_hop,
+        "graph_predicate_stats": q_graph_predicate_stats,
         "url_email_extract": q_url_email_extract,
         "tokenize_fixture": q_tokenize_fixture,
         "bio_to_bilou": q_bio_to_bilou,
@@ -780,6 +815,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.node, u.b FROM reach r JOIN und u ON r.comp = u.a
             )
             SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+        """,
+        "graph_degrees": f"""
+            WITH t AS (SELECT * FROM {_values_sql(TRIPLES_FIXTURE, ["subj", "pred", "obj"])}),
+            o AS (SELECT subj AS entity, COUNT(DISTINCT obj) AS out_degree FROM t GROUP BY subj),
+            i AS (SELECT obj AS entity, COUNT(DISTINCT subj) AS in_degree FROM t GROUP BY obj)
+            SELECT COALESCE(o.entity, i.entity) AS entity,
+                   COALESCE(out_degree, 0) AS out_degree,
+                   COALESCE(in_degree, 0) AS in_degree,
+                   COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS degree
+            FROM o FULL OUTER JOIN i ON o.entity = i.entity
+        """,
+        "graph_two_hop": f"""
+            WITH t AS (SELECT * FROM {_values_sql(TRIPLES_FIXTURE, ["subj", "pred", "obj"])})
+            SELECT DISTINCT l.subj AS a, l.pred AS p1, l.obj AS b, r.pred AS p2, r.obj AS c
+            FROM t l JOIN t r ON l.obj = r.subj
+            WHERE l.subj != r.obj
+        """,
+        "graph_predicate_stats": f"""
+            SELECT pred, COUNT(*) AS n_edges,
+                   COUNT(DISTINCT subj) AS n_subjects,
+                   COUNT(DISTINCT obj) AS n_objects
+            FROM {_values_sql(TRIPLES_FIXTURE, ["subj", "pred", "obj"])}
+            GROUP BY pred
         """,
         "cosine_topk": f"""
             SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine

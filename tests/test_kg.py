@@ -177,3 +177,19 @@ def test_build_knowledge_graph_resume(spark, tiny_model_dir, tmp_path):
         spark, sdf, tiny_model_dir, out, config={"resolution": {"jaccard_threshold": 0.9}}
     )
     assert res3["resumed"][0] is False or res3["resumed"][1] is False
+
+
+def test_graph_queries(spark):
+    from nametag_spark.kg.queries import entity_degrees, neighbors, top_hubs, two_hop_paths
+
+    t = spark.createDataFrame(
+        [(1, "p", 2), (1, "q", 3), (2, "p", 3), (4, "p", 1)], ["subj", "pred", "obj"]
+    )
+    deg = {r["entity"]: (r["out_degree"], r["in_degree"]) for r in entity_degrees(t).collect()}
+    assert deg[1] == (2, 1) and deg[3] == (0, 2) and deg[4] == (1, 0)
+    hubs = [r["entity"] for r in top_hubs(t, k=2).collect()]
+    assert hubs[0] == 1  # degree 3
+    nb = {(r["neighbor"], r["direction"]) for r in neighbors(t, 1).collect()}
+    assert nb == {(2, "out"), (3, "out"), (4, "in")}
+    paths = {(r["a"], r["b"], r["c"]) for r in two_hop_paths(t).collect()}
+    assert (4, 1, 2) in paths and (1, 2, 3) in paths and (4, 1, 3) in paths
