@@ -101,15 +101,77 @@ def run_stage(
     return spark.read.parquet(path), manifest, False
 
 
+def append_mentions(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    model_dir: str,
+    out_dir: str,
+    batch_id: str,
+) -> dict:
+    """Incremental ingest: NER over ONLY the new turns, appended to the
+    mention store partitioned by ingest batch. The expensive stage (NER)
+    never recomputes old data; downstream stages (resolution, triples) are
+    rebuilt from the full cached mention table by build_knowledge_graph
+    (global entity resolution cannot be incrementally patched without
+    changing its semantics — rebuilding from cached mentions is the honest
+    standard pattern).
+
+    Idempotent per batch_id: re-appending an already-ingested batch is a
+    no-op (recorded in the batches manifest).
+    """
+    import glob
+
+    from ..ner.pipeline import recognize_df
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = stage_path(out_dir, "mentions_incremental")
+    manifest_path = os.path.join(out_dir, "mentions_incremental._batches.json")
+    batches = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path, encoding="utf-8") as f:
+            batches = json.load(f)
+    if batch_id in batches:
+        return {"batch_id": batch_id, "rows": batches[batch_id]["rows"], "appended": False}
+
+    mentions = recognize_df(new_transcripts, model_dir).withColumn(
+        "ingest_batch", F.lit(batch_id)
+    )
+    mentions.write.mode("append").partitionBy("ingest_batch").parquet(path)
+    rows = spark.read.parquet(path).where(F.col("ingest_batch") == batch_id).count()
+    batches[batch_id] = {"rows": int(rows), "written_at": time.time()}
+    with open(manifest_path, "w", encoding="utf-8") as f:
+        json.dump(batches, f)
+    # existence of new mentions invalidates the downstream fingerprint chain
+    return {"batch_id": batch_id, "rows": int(rows), "appended": True}
+
+
+def read_incremental_mentions(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(stage_path(out_dir, "mentions_incremental"))
+
+
+def incremental_batches_fingerprint(out_dir: str) -> str:
+    manifest_path = os.path.join(out_dir, "mentions_incremental._batches.json")
+    if not os.path.exists(manifest_path):
+        return "none"
+    with open(manifest_path, encoding="utf-8") as f:
+        return _fingerprint(json.load(f))
+
+
 def build_knowledge_graph(
     spark: SparkSession,
-    transcripts: DataFrame,
+    transcripts: DataFrame | None,
     model_dir: str,
     out_dir: str,
     config: dict | None = None,
+    incremental: bool = False,
 ) -> dict:
     """Full pipeline: transcripts -> mentions -> entities -> triples,
     each stage checkpointed with lineage for exact resume.
+
+    incremental=True reads the append-only mention store maintained by
+    append_mentions() instead of recomputing NER; downstream stages rebuild
+    whenever the ingested-batch set changed (their fingerprints chain off
+    it) and resume otherwise.
 
     Returns {"mentions": df, "entities": df, "triples": df, "manifests": [...],
     "resumed": [...]}.
@@ -124,13 +186,18 @@ def build_knowledge_graph(
     manifests = []
     resumed = []
 
-    mentions, m1, r1 = run_stage(
-        spark,
-        out_dir,
-        "mentions",
-        {**base_fp, "stage": "mentions"},
-        lambda: recognize_df(transcripts, model_dir),
-    )
+    if incremental:
+        mentions = read_incremental_mentions(spark, out_dir).drop("ingest_batch")
+        m1 = {"stage": "mentions_incremental", "fingerprint": incremental_batches_fingerprint(out_dir)}
+        r1 = True
+    else:
+        mentions, m1, r1 = run_stage(
+            spark,
+            out_dir,
+            "mentions",
+            {**base_fp, "stage": "mentions"},
+            lambda: recognize_df(transcripts, model_dir),
+        )
     manifests.append(m1)
     resumed.append(r1)
 

@@ -193,3 +193,38 @@ def test_graph_queries(spark):
     assert nb == {(2, "out"), (3, "out"), (4, "in")}
     paths = {(r["a"], r["b"], r["c"]) for r in two_hop_paths(t).collect()}
     assert (4, 1, 2) in paths and (1, 2, 3) in paths and (4, 1, 3) in paths
+
+
+def test_incremental_ingest(spark, tiny_model_dir, tmp_path):
+    """Append-only NER over new batches; downstream rebuild on new data,
+    resume when the batch set is unchanged; idempotent per batch."""
+    from nametag_spark.data.synth import synth_transcripts
+    from nametag_spark.kg.graph_io import append_mentions, build_knowledge_graph
+
+    out = str(tmp_path / "inc")
+    t1, _ = synth_transcripts(n_conversations=6, seed=41)
+    t2, _ = synth_transcripts(n_conversations=6, seed=42)
+    t2["conv_id"] = t2["conv_id"] + "-b2"
+
+    r1 = append_mentions(spark, spark.createDataFrame(t1), tiny_model_dir, out, "batch-1")
+    assert r1["appended"] and r1["rows"] > 0
+    # idempotent re-append
+    r1b = append_mentions(spark, spark.createDataFrame(t1), tiny_model_dir, out, "batch-1")
+    assert not r1b["appended"] and r1b["rows"] == r1["rows"]
+
+    g1 = build_knowledge_graph(spark, None, tiny_model_dir, out, incremental=True)
+    n1 = g1["triples"].count()
+    assert n1 > 0
+
+    # no new batches -> downstream resumes
+    g1b = build_knowledge_graph(spark, None, tiny_model_dir, out, incremental=True)
+    assert g1b["resumed"][1:] == [True, True, True]
+
+    # new batch -> downstream rebuilds and covers both batches
+    r2 = append_mentions(spark, spark.createDataFrame(t2), tiny_model_dir, out, "batch-2")
+    assert r2["appended"]
+    g2 = build_knowledge_graph(spark, None, tiny_model_dir, out, incremental=True)
+    assert g2["resumed"][1] is False  # mention_entities rebuilt
+    assert g2["triples"].count() > n1
+    convs = {r["conv_id"] for r in g2["mentions"].select("conv_id").distinct().collect()}
+    assert any(c.endswith("-b2") for c in convs)
