@@ -179,6 +179,13 @@ TOKENIZE_GOLD = [
     (8, 2, ["Yes", "."]),
 ]
 
+PII_FIXTURE = [
+    (1, "contact me at jane.doe@corp.com or +1 (555) 123-4567 thanks"),
+    (2, "ssn 123-45-6789 leaked from host 10.0.0.12 yesterday"),
+    (3, "perfectly clean sentence about data pipelines"),
+    (4, "mixed: bob@x.io and 192.168.1.1 and nothing else"),
+]
+
 BIO_FIXTURE = [
     # (sent_id, tok_idx, label) — exercises U, B..L, I runs, O, '_' and
     # adjacent same-type B-B (two U's), I-after-O (treated as span start)
@@ -409,6 +416,15 @@ def q_rp_lsh_topk(spark, sf_dir):
     return rp_lsh_topk(emb, queries, k=5, n_planes=6)
 
 
+def q_pii_flags(spark, sf_dir):
+    from nametag_spark.ops.text import with_pii_flags
+
+    df = spark.createDataFrame(PII_FIXTURE, ["row_id", "text"])
+    return with_pii_flags(df).select(
+        "row_id", "n_email", "n_phone", "n_ssn_like", "n_ipv4", "has_pii"
+    )
+
+
 def q_bio_to_bilou(spark, sf_dir):
     from nametag_spark.ops.labels import bio_to_bilou_df
 
@@ -551,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_predicate_stats": q_graph_predicate_stats,
         "url_email_extract": q_url_email_extract,
         "tokenize_fixture": q_tokenize_fixture,
+        "pii_flags": q_pii_flags,
         "bio_to_bilou": q_bio_to_bilou,
         "rp_lsh_topk": q_rp_lsh_topk,
         "cosine_topk": q_cosine_topk,
@@ -765,6 +782,18 @@ def oracle_sql() -> dict[str, str]:
             ],
             ["row_id", "sent_idx", "tok_idx", "form"],
         ),
+        "pii_flags": f"""
+            SELECT row_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+                   len(regexp_extract_all(text, '\\+?[0-9][0-9() .-]{{7,}}[0-9]')) AS n_phone,
+                   len(regexp_extract_all(text, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}')) AS n_ssn_like,
+                   len(regexp_extract_all(text, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS n_ipv4,
+                   (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
+                    OR len(regexp_extract_all(text, '\\+?[0-9][0-9() .-]{{7,}}[0-9]')) > 0
+                    OR len(regexp_extract_all(text, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}')) > 0
+                    OR len(regexp_extract_all(text, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) > 0) AS has_pii
+            FROM {_values_sql(PII_FIXTURE, ["row_id", "text"])}
+        """,
         "bio_to_bilou": f"""
             SELECT sent_id, tok_idx, label,
                    CASE WHEN label IN ('O', '_') THEN 'O'

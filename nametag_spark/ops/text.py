@@ -77,6 +77,28 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PII_PATTERNS = {
+    # deliberately simple, RE2-compatible patterns (identical in DuckDB)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9() .-]{7,}[0-9]",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+
+
+def with_pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection flags + counts for training-data filtering: one
+    JVM-side regexp count per pattern, plus a combined any-PII flag."""
+    out = df
+    any_expr = None
+    for name, pat in PII_PATTERNS.items():
+        cnt = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        out = out.withColumn(f"n_{name}", cnt)
+        flag = cnt > 0
+        any_expr = flag if any_expr is None else (any_expr | flag)
+    return out.withColumn("has_pii", any_expr)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8, shingle: int = 16) -> DataFrame:
     """Bottom-k sketch fingerprint over character shingles (winnowing-style
     rolling-window hashes): the k smallest 60-bit hashes of all `shingle`-char
