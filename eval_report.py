@@ -52,6 +52,36 @@ def main() -> None:
 
     trip = triple_prf(pred_triples, gold_triples)
 
+    # secondary: generalization to UNSEEN entity vocabulary — train on one
+    # disjoint vocab half, evaluate on the other (0 surface overlap), so the
+    # score reflects feature generalization (capitalization/suffix/context),
+    # not memorized forms
+    from nametag_spark.data.synth import gold_to_conll
+    from nametag_spark.ner.pipeline import recognize_local
+    from nametag_spark.train.trainer import train_ner
+
+    g_tdf, g_gdf = synth_transcripts(n_conversations=60, seed=1, vocab_split="train")
+    g_model = train_ner(
+        "Form/2\nFormCapitalization/2\nFormCaseNormalized/2\nFormSuffix/1 2 4\n"
+        "NumericTimeValue/2\nPreviousStage/3\nURLEmailDetector/1 URL EMAIL",
+        gold_to_conll(g_tdf, g_gdf),
+        stages=2,
+        params={"iterations": 8},
+    )
+    e_tdf, e_gdf = synth_transcripts(n_conversations=25, seed=77, vocab_split="eval")
+    g_pred = set()
+    for row in e_tdf.itertuples(index=False):
+        for m in recognize_local(g_model, [row.text])[0]:
+            g_pred.add((row.conv_id, row.turn_idx, m["sent_idx"], m["tok_start"], m["tok_len"], m["type"]))
+    g_gold = {
+        (r.conv_id, r.turn_idx, r.sent_idx, r.tok_start, r.tok_len, r.type)
+        for r in e_gdf.itertuples(index=False)
+    }
+    g_tp = len(g_pred & g_gold)
+    g_p = g_tp / len(g_pred) if g_pred else 0.0
+    g_r = g_tp / len(g_gold)
+    unseen_f1 = 2 * g_p * g_r / (g_p + g_r) if g_p + g_r else 0.0
+
     report = {
         "span_precision": round(span["precision"], 4),
         "span_recall": round(span["recall"], 4),
@@ -63,6 +93,7 @@ def main() -> None:
         "triple_f1": round(trip["f1"], 4),
         "n_pred_triples": trip["n_pred"],
         "n_gold_triples": trip["n_gold"],
+        "unseen_vocab_f1": round(unseen_f1, 4),
         "gates": {
             "span_f1_ge_0.95": span["f1"] >= 0.95,
             "triple_p_ge_0.95": trip["precision"] >= 0.95,
@@ -85,6 +116,11 @@ def main() -> None:
             f"| triple recall | {report['triple_recall']} | >= 0.95 | {'✅' if report['gates']['triple_r_ge_0.95'] else '❌'} |\n"
             f"| mentions (pred/gold) | {report['n_pred_mentions']} / {report['n_gold_mentions']} | — | |\n"
             f"| triples (pred/gold) | {report['n_pred_triples']} / {report['n_gold_triples']} | — | |\n"
+            f"| unseen-vocabulary span F1 (secondary) | {report['unseen_vocab_f1']} | — | |\n"
+            "\nThe secondary metric trains on one half of the entity vocabulary and\n"
+            "evaluates on the disjoint other half (zero surface overlap) — the score\n"
+            "reflects generalization of capitalization/suffix/context features, not\n"
+            "memorized forms.\n"
         )
     print(json.dumps(report))
     spark.stop()

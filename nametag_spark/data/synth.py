@@ -99,6 +99,7 @@ def synth_transcripts(
     seed: int = 42,
     avg_turns: int = 6,
     mega_conversation: bool = False,
+    vocab_split: str | None = None,
 ):
     """-> (transcripts_df, gold_df) as pandas DataFrames.
 
@@ -107,6 +108,19 @@ def synth_transcripts(
     """
     rng = random.Random(seed)
     base_ts = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    # generalization protocol: disjoint entity vocab halves so eval entities
+    # are unseen in training (features must generalize, not memorize)
+    global FIRST_NAMES, LAST_NAMES, ORG_FIRST, LOCATIONS
+    saved = (FIRST_NAMES, LAST_NAMES, ORG_FIRST, LOCATIONS)
+    if vocab_split == "train":
+        FIRST_NAMES, LAST_NAMES, ORG_FIRST, LOCATIONS = (
+            v[: len(v) // 2] for v in saved
+        )
+    elif vocab_split == "eval":
+        FIRST_NAMES, LAST_NAMES, ORG_FIRST, LOCATIONS = (
+            v[len(v) // 2 :] for v in saved
+        )
 
     rows = []
     gold = []
@@ -152,6 +166,7 @@ def synth_transcripts(
         gold,
         columns=["conv_id", "turn_idx", "sent_idx", "tok_start", "tok_len", "type", "surface"],
     )
+    FIRST_NAMES, LAST_NAMES, ORG_FIRST, LOCATIONS = saved
     return tdf, gdf
 
 
