@@ -270,7 +270,15 @@ def recognize_df(
     if passthrough:
         extra = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.select(*passthrough).schema.fields)
         schema = MENTIONS_SCHEMA + ", " + extra
-    return df.select(*cols).mapInPandas(fn, schema=schema)
+    src = df.select(*cols)
+    # defensive parallelism: a single-file/one-partition batch input would
+    # serialize the NER work onto one task (at scale inputs arrive with many
+    # splits, so this is a no-op there)
+    if not df.isStreaming:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < max(2, par // 2):
+            src = src.repartition(par)
+    return src.mapInPandas(fn, schema=schema)
 
 
 def recognize_local(model, texts):

@@ -267,3 +267,60 @@ def test_pdt_lemma_split_and_lemma_term():
     # the '_;G' term char G produced a feature at token 0 (applied in window)
     assert len(s.features[0]) > 1
     assert proc.map.get("G") is not None
+
+
+def test_cnec_style_nested_entities_e2e():
+    """CNEC-style two-level nesting end-to-end: a model trained on pf/ps/td/
+    tm/ty labels + CzechAddContainers emits nested P/T containers, and the
+    CoNLL sink renders the stacked labels (run_ner.cpp:75-92 semantics)."""
+    from nametag_spark.model.model import NerModel
+    from nametag_spark.ner.pipeline import recognize_local
+    from nametag_spark.sinks.render import render_conll
+    from nametag_spark.train.trainer import train_ner
+    import random
+
+    rng = random.Random(5)
+    firsts = ["Jan", "Petr", "Karel", "Marie", "Eva", "Pavel", "Hana", "Josef"]
+    lasts = ["Novak", "Svoboda", "Dvorak", "Cerny", "Prochazka", "Kucera"]
+    fill = "rekl ze prijde dnes vecer domu brzy potom znovu rano".split()
+
+    lines = []
+    for _ in range(260):
+        kind = rng.randint(0, 2)
+        if kind == 0:  # person: pf ps -> P container
+            toks = [rng.choice(fill), rng.choice(firsts), rng.choice(lasts), rng.choice(fill), "."]
+            labs = ["O", "B-pf", "B-ps", "O", "O"]
+        elif kind == 1:  # date: td tm ty -> T container
+            toks = [rng.choice(fill), str(rng.randint(1, 28)), "ledna", str(rng.randint(1990, 2020)), "."]
+            labs = ["O", "B-td", "B-tm", "B-ty", "O"]
+        else:
+            toks = [rng.choice(fill) for _ in range(4)] + ["."]
+            labs = ["O"] * 5
+        for t, l in zip(toks, labs):
+            lines.append(f"{t}\t{l}")
+        lines.append("")
+    conll = "\n".join(lines)
+
+    model = train_ner(
+        "Form/2\nFormCapitalization/2\nFormSuffix/1 2 4\nNumericTimeValue/2\n"
+        "PreviousStage/3\nCzechAddContainers/0",
+        conll,
+        stages=2,
+        params={"iterations": 8},
+    )
+
+    ments = recognize_local(model, ["dnes Jan Novak prijde ."])[0]
+    types = {(m["tok_start"], m["tok_len"], m["type"]) for m in ments}
+    assert (1, 1, "pf") in types and (2, 1, "ps") in types, types
+    assert (1, 2, "P") in types, f"P container missing: {types}"
+
+    ments_t = recognize_local(model, ["prijde 15 ledna 2005 domu ."])[0]
+    types_t = {(m["tok_start"], m["tok_len"], m["type"]) for m in ments_t}
+    assert (1, 3, "T") in types_t, f"T container missing: {types_t}"
+
+    # conll sink: nested stack rendering (outer container first)
+    forms = ["dnes", "Jan", "Novak", "prijde", "."]
+    ents = [(m["tok_start"], m["tok_len"], m["type"]) for m in ments]
+    out = render_conll([forms], [ents])
+    assert "Jan\tB-P|B-pf" in out
+    assert "Novak\tI-P|B-ps" in out
