@@ -22,6 +22,38 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 import nametag_spark  # noqa: F401 — ensures the package dir is importable on executors
 from nametag_spark.ops.text import EN_STOPWORDS
 
+# Make the package importable on executor python workers regardless of how
+# the caller built its SparkSession: local-mode workers inherit PYTHONPATH,
+# and addPyFile ships a zip for any other deployment.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+_existing = os.environ.get("PYTHONPATH", "")
+if _REPO_ROOT not in _existing.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO_ROOT + (os.pathsep + _existing if _existing else "")
+
+_SHIPPED_SESSIONS: set = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    try:
+        import zipfile
+
+        zpath = os.path.join(tempfile.gettempdir(), "nametag_spark_entry_pkg.zip")
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                pkg = os.path.join(_REPO_ROOT, "nametag_spark")
+                for root, _dirs, files in os.walk(pkg):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            z.write(full, os.path.relpath(full, _REPO_ROOT))
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # local mode with PYTHONPATH set covers the common case
+    _SHIPPED_SESSIONS.add(key)
+
 # ---------------------------------------------------------------------------
 # model cache (trained once per process; deterministic, seed-fixed)
 # ---------------------------------------------------------------------------
@@ -104,12 +136,14 @@ def _sf_of(sf_dir: str) -> float:
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nametag_spark.data.synth import synth_transcripts
 
+    _ensure_shipped(spark)
     n_conv = max(20, int(2000 * _sf_of(sf_dir)))
     tdf, _ = synth_transcripts(n_conversations=n_conv, seed=42)
     return spark.createDataFrame(tdf)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -224,6 +258,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from nametag_spark.kg.triples import extract_triples
     from nametag_spark.ner.pipeline import recognize_df
 
+    _ensure_shipped(spark)
     transcripts = _transcripts(spark, "/root/testdata/sf0.001")
     mentions = recognize_df(transcripts, _model_dir())
     mention_entities, _entities = resolve_entities(mentions)
@@ -400,6 +435,7 @@ def q_tokenize_fixture(spark, sf_dir):
     hand-derived golden token table (true golden test, not a self-compare)."""
     from nametag_spark.ner.pipeline import tokenize_df
 
+    _ensure_shipped(spark)
     df = spark.createDataFrame(
         [(str(r), 0, t) for (r, t) in TOKENIZE_FIXTURE], ["conv_id", "turn_idx", "text"]
     )
@@ -538,6 +574,7 @@ def q_ivf_topk(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     from nametag_spark.ops.multimodal import extract_features, synth_assets
 
+    _ensure_shipped(spark)
     assets = synth_assets(spark, n=48)
     return extract_features(assets, dim=8).select(
         "asset_id", "kind", "feat_dim", F.round(F.element_at("feature", 1), 4).alias("f0")
