@@ -39,14 +39,35 @@ def minhash_dup_pairs(
     bands: int = 4,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    estimate_margin: float = 0.25,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs verified with exact shingle Jaccard.
 
-    shingle -> minhash -> band -> bucket-join, then the candidate pairs are
-    re-checked exactly (no false positives in the output)."""
+    shingle -> minhash -> band -> bucket-join, then candidates are
+    prefiltered by the minhash Jaccard ESTIMATE (matching signature
+    fraction, a cheap integer compare) at threshold - estimate_margin, and
+    only the survivors pay the exact shingle-set verification (no false
+    positives in the output; the margin keeps estimate variance from
+    dropping true pairs)."""
+    from ..kg.resolution import minhash_signatures
+
     base = df.select(F.col(id_col).alias("_id"), F.trim(F.lower(F.col(text_col))).alias("_norm"))
     pairs = lsh_candidate_pairs(base, "_norm", "_id", n_hashes=n_hashes, bands=bands, k=shingle_k)
-    return jaccard_filter(pairs, base, "_norm", "_id", threshold=threshold, k=shingle_k)
+
+    sig = minhash_signatures(base, "_norm", "_id", n_hashes=n_hashes, k=shingle_k)
+    sig_arr = sig.select(F.col("_id"), F.array(*[f"mh{h}" for h in range(n_hashes)]).alias("_sig"))
+    est = (
+        pairs.join(sig_arr.withColumnRenamed("_id", "a").withColumnRenamed("_sig", "_sa"), "a")
+        .join(sig_arr.withColumnRenamed("_id", "b").withColumnRenamed("_sig", "_sb"), "b")
+        .withColumn(
+            "_est",
+            F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m))
+            / F.lit(float(n_hashes)),
+        )
+        .where(F.col("_est") >= threshold - estimate_margin)
+        .select("a", "b")
+    )
+    return jaccard_filter(est, base, "_norm", "_id", threshold=threshold, k=shingle_k)
 
 
 def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
