@@ -33,6 +33,40 @@ if _REPO_ROOT not in _existing.split(os.pathsep):
 _SHIPPED_SESSIONS: set = set()
 
 
+def _pkg_sources() -> list[tuple[str, str]]:
+    """Sorted (arcname, path) of every package .py file."""
+    pkg = os.path.join(_REPO_ROOT, "nametag_spark")
+    out = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                out.append((os.path.relpath(full, _REPO_ROOT), full))
+    return sorted(out)
+
+
+def _pkg_hash() -> str:
+    """Content hash of the package sources: the executor zip is keyed on it,
+    so a code change always rebuilds (no stale-zip shipping), and a
+    pre-planted file at a predictable path cannot be picked up unless it
+    already matches the current sources byte for byte."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for arc, full in _pkg_sources():
+        h.update(arc.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _owned_by_us(path: str) -> bool:
+    try:
+        return os.stat(path).st_uid == os.getuid()
+    except OSError:
+        return False
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _SHIPPED_SESSIONS:
@@ -40,15 +74,21 @@ def _ensure_shipped(spark: SparkSession) -> None:
     try:
         import zipfile
 
-        zpath = os.path.join(tempfile.gettempdir(), "nametag_spark_entry_pkg.zip")
-        if not os.path.exists(zpath):
-            with zipfile.ZipFile(zpath, "w") as z:
-                pkg = os.path.join(_REPO_ROOT, "nametag_spark")
-                for root, _dirs, files in os.walk(pkg):
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            full = os.path.join(root, fn)
-                            z.write(full, os.path.relpath(full, _REPO_ROOT))
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"nametag_spark_entry_pkg_{_pkg_hash()}.zip"
+        )
+        if not (os.path.exists(zpath) and _owned_by_us(zpath)):
+            # build to a private temp file, then atomically publish
+            fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+            try:
+                with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w") as z:
+                    for arc, full in _pkg_sources():
+                        z.write(full, arc)
+                os.replace(tmp, zpath)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
         spark.sparkContext.addPyFile(zpath)
     except Exception:
         pass  # local mode with PYTHONPATH set covers the common case
@@ -88,16 +128,24 @@ _BROWN_TSV = (
 _GAZ_LOC = "Prague\nBerlin\nLondon\nParis\nVienna\nMadrid\nRome\nDublin\n"
 
 
-_MODEL_FINGERPRINT = "entry-model-v2-full-templates"
+_MODEL_FINGERPRINT = "entry-model-v3-dup-feature-accum"
 
 
 def _model_dir() -> str:
+    """Train-once cache of the deterministic entry model.
+
+    The published directory is keyed on the fingerprint, built in a private
+    temp dir, and atomically renamed into place: two concurrent processes
+    that both miss the cache each build their own copy and the rename
+    race is benign (loser reuses the winner's identical dir)."""
     global _MODEL_DIR
     with _MODEL_LOCK:
         if _MODEL_DIR is None:
-            d = os.path.join(tempfile.gettempdir(), "nametag_spark_entry_model")
+            d = os.path.join(
+                tempfile.gettempdir(), f"nametag_spark_entry_model_{_MODEL_FINGERPRINT}"
+            )
             sentinel = os.path.join(d, "_fingerprint")
-            if os.path.exists(sentinel):
+            if os.path.exists(sentinel) and _owned_by_us(d):
                 with open(sentinel, encoding="utf-8") as f:
                     if f.read() == _MODEL_FINGERPRINT:
                         _MODEL_DIR = d  # trained by an earlier process; reuse
@@ -105,8 +153,7 @@ def _model_dir() -> str:
             from nametag_spark.data.synth import gold_to_conll, synth_transcripts
             from nametag_spark.train.trainer import train_ner
 
-            base = os.path.join(tempfile.gettempdir(), "nametag_spark_entry_fixtures")
-            os.makedirs(base, exist_ok=True)
+            base = tempfile.mkdtemp(prefix="nametag_spark_entry_fixtures_")
             with open(os.path.join(base, "brown_clusters.tsv"), "w", encoding="utf-8") as f:
                 f.write(_BROWN_TSV)
             with open(os.path.join(base, "gaz_loc.txt"), "w", encoding="utf-8") as f:
@@ -118,10 +165,15 @@ def _model_dir() -> str:
                 _TEMPLATES, gold_to_conll(tdf, gdf), gold_to_conll(hdf, hgdf), stages=2,
                 params={"iterations": 6}, base_dir=base,
             )
-            model.save(d)
-            with open(sentinel, "w", encoding="utf-8") as f:
+            build = tempfile.mkdtemp(prefix="nametag_spark_entry_model_build_")
+            model.save(build)
+            with open(os.path.join(build, "_fingerprint"), "w", encoding="utf-8") as f:
                 f.write(_MODEL_FINGERPRINT)
-            _MODEL_DIR = d
+            try:
+                os.rename(build, d)  # atomic publish
+            except OSError:
+                pass  # someone else won the race; their dir is identical
+            _MODEL_DIR = d if os.path.exists(sentinel) or os.path.isdir(d) else build
     return _MODEL_DIR
 
 
@@ -629,7 +681,11 @@ def oracle_sql() -> dict[str, str]:
     bio_values = _values_sql(BIO_FIXTURE, ["sent_id", "tok_idx", "label"])
 
     # --- shared SQL fragments (DuckDB dialect) -----------------------------
-    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    # mirrors nametag_spark.ops.text.tokens_col: whitespace-only -> []
+    toks = (
+        "(CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
+    )
 
     def minhash_sql(src: str, key: str, text_norm: str, n_hashes: int, ks: int) -> str:
         """Per-key minhash over distinct char k-shingles (matches
@@ -741,7 +797,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"""
             SELECT doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
                    len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words
             FROM documents
         """,

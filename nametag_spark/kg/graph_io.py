@@ -217,21 +217,23 @@ def build_knowledge_graph(
     resumed.append(r2)
 
     def build_entity_table():
-        from pyspark.sql import Window
-
         surf = mention_entities.groupBy("entity_id", "type", "norm").agg(
             F.count(F.lit(1)).alias("n_mentions")
         )
-        w = Window.partitionBy("entity_id").orderBy(F.desc("n_mentions"), F.asc("norm"))
-        return (
-            surf.withColumn("rn", F.row_number().over(w))
-            .groupBy("entity_id")
-            .agg(
-                F.max(F.when(F.col("rn") == 1, F.col("norm"))).alias("canonical"),
-                F.max(F.when(F.col("rn") == 1, F.col("type"))).alias("type"),
-                F.sum("n_mentions").alias("n_mentions"),
-                F.count(F.lit(1)).alias("n_surfaces"),
-            )
+        # single min_by agg (no window): highest n_mentions, ties lexical asc
+        return surf.groupBy("entity_id").agg(
+            F.min_by(
+                F.struct(F.col("norm"), F.col("type")),
+                F.struct((-F.col("n_mentions")).alias("_negn"), F.col("norm").alias("_n")),
+            ).alias("_c"),
+            F.sum("n_mentions").alias("n_mentions"),
+            F.count(F.lit(1)).alias("n_surfaces"),
+        ).select(
+            "entity_id",
+            F.col("_c.norm").alias("canonical"),
+            F.col("_c.type").alias("type"),
+            "n_mentions",
+            "n_surfaces",
         )
 
     entities, m3, r3 = run_stage(

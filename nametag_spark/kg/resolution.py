@@ -22,6 +22,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# DataFrames persisted by resolve_entities / connected_components in this
+# process; long-lived sessions (bench sweeps, eval loops, streaming batches)
+# call release_persisted() between invocations so cached blocks don't
+# accumulate until executor storage evicts under pressure.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> int:
+    """Unpersist every DataFrame cached by this module; returns the count."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
+
 
 def normalize_surface(col):
     """Canonical surface form: lowercase, strip non-alphanumerics to single
@@ -188,7 +207,7 @@ def _local_components(rows) -> list:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, driver_threshold: int = 2_000_000
+    edges: DataFrame, max_iterations: int = 20, driver_threshold: int = 200_000
 ) -> DataFrame:
     """Alternating large-star/small-star connected components.
 
@@ -208,11 +227,13 @@ def connected_components(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).distinct()
 
-    e = e.persist()
+    e0 = e = e.persist()
     n_edges = e.count()
     if n_edges <= driver_threshold:
         spark = edges.sparkSession
-        comp = _local_components([(r["src"], r["dst"]) for r in e.collect()])
+        rows = [(r["src"], r["dst"]) for r in e.collect()]
+        e0.unpersist()
+        comp = _local_components(rows)
         if not comp:
             return spark.createDataFrame([], "node long, component long")
         return spark.createDataFrame(comp, "node long, component long")
@@ -252,6 +273,9 @@ def connected_components(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         ).distinct()
         e = e.localCheckpoint()  # truncate the iterative plan
+        if e0 is not None:
+            e0.unpersist()  # checkpoint materialized; the input cache is dead weight
+            e0 = None
 
         checksum = e.agg(
             F.count(F.lit(1)).alias("c"),
@@ -288,12 +312,15 @@ def resolve_entities(
     """
     # cut the (expensive) upstream NER lineage once: every branch below —
     # surface aggregation, LSH, similarity join, final assignment join —
-    # would otherwise recompute the mention table
+    # would otherwise recompute the mention table. Registered for
+    # release_persisted() so long-lived sessions can reclaim the blocks.
     m = canonicalize_mentions(mentions).where(F.length("norm") > 0).persist()
+    _PERSISTED.append(m)
 
     surfaces = (
         m.groupBy("type", "norm").agg(F.count(F.lit(1)).alias("n_mentions"))
     ).persist()
+    _PERSISTED.append(surfaces)
     # stable surface key: deterministic hash of (type, norm)
     surfaces = surfaces.withColumn("sid", _hash64(F.concat_ws("\t", "type", "norm"), 0))
 
@@ -326,19 +353,22 @@ def resolve_entities(
         F.coalesce(comp["component"], surfaces["sid"]).alias("entity_id"),
     )
 
-    # canonical surface = most frequent norm in the component (ties: lexical)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("entity_id").orderBy(F.desc("n_mentions"), F.asc("norm"))
-    entities = (
-        assign.withColumn("rn", F.row_number().over(w))
-        .groupBy("entity_id")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("norm"))).alias("canonical"),
-            F.max(F.when(F.col("rn") == 1, F.col("type"))).alias("type"),
-            F.sum("n_mentions").alias("n_mentions"),
-            F.count(F.lit(1)).alias("n_surfaces"),
-        )
+    # canonical surface = most frequent norm in the component (ties: lexical
+    # ascending). One min_by aggregation — no window pass: min over the
+    # struct (-n_mentions, norm) picks highest frequency then lowest norm.
+    entities = assign.groupBy("entity_id").agg(
+        F.min_by(
+            F.struct(F.col("norm"), F.col("type")),
+            F.struct((-F.col("n_mentions")).alias("_negn"), F.col("norm").alias("_n")),
+        ).alias("_c"),
+        F.sum("n_mentions").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_surfaces"),
+    ).select(
+        "entity_id",
+        F.col("_c.norm").alias("canonical"),
+        F.col("_c.type").alias("type"),
+        "n_mentions",
+        "n_surfaces",
     )
 
     mention_entities = m.join(

@@ -84,24 +84,40 @@ def extract_triples(
 
     triples = triples.withColumn("evidence", F.concat_ws(":", "conv_id", "turn_idx"))
 
-    head = triples.groupBy("subj", "pred", "obj").agg(
-        F.first("subj_type").alias("subj_type"),
-        F.first("obj_type").alias("obj_type"),
-        F.first("subj_norm").alias("subj_norm"),
-        F.first("obj_norm").alias("obj_norm"),
-        F.count(F.lit(1)).alias("n_cooccur"),
-    )
+    # One fused salted two-phase aggregation carries the head attributes,
+    # the co-occurrence count, AND the provenance list (previously a head
+    # groupBy + a separate salted agg + a join — two full shuffles over the
+    # same pair set). Phase 1 pre-aggregates on (key, salt) so a hub triple
+    # (a hot (subj, pred, obj) across millions of turns) cannot overload a
+    # single reducer partition (north-rule skew handling; AQE can't split a
+    # collect_list group). All head attributes use min(): deterministic
+    # (unlike first()), so the output is hash-stable run to run. subj/obj
+    # types are constant per entity (resolution is typed), and the norm is
+    # the lexicographically-smallest mention surface of the entity.
+    from .skew import add_salt
 
-    # provenance lists via salted two-phase aggregation: hub triples (a hot
-    # (subj, pred, obj) across millions of turns) cannot overload a single
-    # reducer partition (north-rule skew handling; AQE can't split a
-    # collect_list group)
-    from .skew import salted_two_phase_agg
-
-    prov = salted_two_phase_agg(
-        triples, ["subj", "pred", "obj"], "evidence", list_cap=evidence_cap
+    keyed = triples.select(
+        "subj", "pred", "obj", "subj_type", "obj_type", "subj_norm", "obj_norm", "evidence"
     )
-    return head.join(prov, ["subj", "pred", "obj"]).select(
+    salted = add_salt(keyed, n_salts=16)
+    phase1 = salted.groupBy("subj", "pred", "obj", "_salt").agg(
+        F.min("subj_type").alias("subj_type"),
+        F.min("obj_type").alias("obj_type"),
+        F.min("subj_norm").alias("subj_norm"),
+        F.min("obj_norm").alias("obj_norm"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.array_distinct(F.collect_list("evidence")).alias("_vals"),
+    )
+    merged = phase1.groupBy("subj", "pred", "obj").agg(
+        F.min("subj_type").alias("subj_type"),
+        F.min("obj_type").alias("obj_type"),
+        F.min("subj_norm").alias("subj_norm"),
+        F.min("obj_norm").alias("obj_norm"),
+        F.sum("_cnt").alias("n_cooccur"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_vals")))).alias("_all"),
+    )
+    ev = F.col("_all") if evidence_cap is None else F.slice("_all", 1, evidence_cap)
+    return merged.select(
         "subj",
         "pred",
         "obj",
@@ -109,7 +125,7 @@ def extract_triples(
         "obj_type",
         "subj_norm",
         "obj_norm",
-        F.col("n_evidence"),
-        F.col("evidences").alias("evidence"),
+        F.size("_all").alias("n_evidence"),
+        ev.alias("evidence"),
         "n_cooccur",
     )

@@ -39,35 +39,46 @@ def minhash_dup_pairs(
     bands: int = 4,
     shingle_k: int = 5,
     threshold: float = 0.7,
-    estimate_margin: float = 0.25,
+    estimate_margin: float | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs verified with exact shingle Jaccard.
 
     shingle -> minhash -> band -> bucket-join, then candidates are
     prefiltered by the minhash Jaccard ESTIMATE (matching signature
-    fraction, a cheap integer compare) at threshold - estimate_margin, and
-    only the survivors pay the exact shingle-set verification (no false
-    positives in the output; the margin keeps estimate variance from
-    dropping true pairs)."""
+    fraction, a cheap integer compare), and only the survivors pay the
+    exact shingle-set verification (no false positives in the output).
+
+    The prefilter margin defaults to 3*sqrt(t(1-t)/n_hashes) — three
+    standard deviations of the signature-match estimator at the threshold —
+    so a true pair at exactly J=threshold is dropped with probability
+    ~0.1%, not the ~4-9% a fixed margin allows. When bands == n_hashes
+    (1-row bands: LSH recall is already governed by any-single-hash
+    collision) the prefilter is skipped entirely, since any extra filter
+    would be strictly tighter than the banding the caller asked for."""
     from ..kg.resolution import minhash_signatures
 
     base = df.select(F.col(id_col).alias("_id"), F.trim(F.lower(F.col(text_col))).alias("_norm"))
     pairs = lsh_candidate_pairs(base, "_norm", "_id", n_hashes=n_hashes, bands=bands, k=shingle_k)
 
-    sig = minhash_signatures(base, "_norm", "_id", n_hashes=n_hashes, k=shingle_k)
-    sig_arr = sig.select(F.col("_id"), F.array(*[f"mh{h}" for h in range(n_hashes)]).alias("_sig"))
-    est = (
-        pairs.join(sig_arr.withColumnRenamed("_id", "a").withColumnRenamed("_sig", "_sa"), "a")
-        .join(sig_arr.withColumnRenamed("_id", "b").withColumnRenamed("_sig", "_sb"), "b")
-        .withColumn(
-            "_est",
-            F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m))
-            / F.lit(float(n_hashes)),
+    if bands < n_hashes:
+        if estimate_margin is None:
+            import math
+
+            estimate_margin = 3.0 * math.sqrt(threshold * (1 - threshold) / n_hashes)
+        sig = minhash_signatures(base, "_norm", "_id", n_hashes=n_hashes, k=shingle_k)
+        sig_arr = sig.select(F.col("_id"), F.array(*[f"mh{h}" for h in range(n_hashes)]).alias("_sig"))
+        pairs = (
+            pairs.join(sig_arr.withColumnRenamed("_id", "a").withColumnRenamed("_sig", "_sa"), "a")
+            .join(sig_arr.withColumnRenamed("_id", "b").withColumnRenamed("_sig", "_sb"), "b")
+            .withColumn(
+                "_est",
+                F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m))
+                / F.lit(float(n_hashes)),
+            )
+            .where(F.col("_est") >= threshold - estimate_margin)
+            .select("a", "b")
         )
-        .where(F.col("_est") >= threshold - estimate_margin)
-        .select("a", "b")
-    )
-    return jaccard_filter(est, base, "_norm", "_id", threshold=threshold, k=shingle_k)
+    return jaccard_filter(pairs, base, "_norm", "_id", threshold=threshold, k=shingle_k)
 
 
 def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:

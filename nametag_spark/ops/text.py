@@ -23,8 +23,12 @@ def hash64(col, salt: int = 0):
 
 
 def tokens_col(col):
-    """Whitespace tokenization of trimmed text (empty text -> empty array)."""
-    return F.split(F.trim(col), r"\s+")
+    """Whitespace tokenization of trimmed text (empty/whitespace-only text ->
+    empty array; a bare F.split would yield [''] and give such docs
+    n_tokens=1 and a nonzero simhash)."""
+    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), r"\s+")
+    )
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -127,7 +127,13 @@ def _train_network(n_features, n_out, train_feats, train_outs, heldout, params, 
 
     gs = sigma / len(train_feats)
     n = len(train_feats)
-    feats_arr = [np.unique(np.asarray(f, dtype=np.int64)) for f in train_feats]
+    # keep duplicate feature ids: the reference propagate/backpropagate
+    # (network_classifier.cpp) and this repo's inference paths
+    # (Network.scores_batch, StagePartialScorer) all count every occurrence,
+    # so a token carrying the same feature twice (e.g. a gazetteer span hit
+    # from both a single- and multi-token match) must contribute twice here
+    # too — np.add.at below accumulates duplicate-index updates.
+    feats_arr = [np.asarray(f, dtype=np.int64) for f in train_feats]
     nnz = np.array([len(f) for f in train_feats], dtype=np.float64)
 
     for it in range(iterations):
@@ -153,14 +159,12 @@ def _train_network(n_features, n_out, train_feats, train_outs, heldout, params, 
             err = -out
             err[o] += 1.0
             # w += lr*err - w*gs on present pairs; in adjusted form:
-            M = mask[F]
-            WF += (lr * err - (WF + mw) * gs) * M
-            W[F] = WF
+            np.add.at(W, F, (lr * err - (WF + mw) * gs) * mask[F])
             if n_hidden:
                 # hidden_error computed against pre-update H1
                 herr = (H1 @ err) * hidden * (1.0 - hidden)
                 H1 += lr * np.outer(hidden, err) - H1 * gs
-                H0[F] += lr * herr - H0[F] * gs
+                np.add.at(H0, F, lr * herr - H0[F] * gs)
         if verbose:
             acc = correct * 100.0 / n
             msg = f"iter {it + 1}: lr {lr:.4f} train acc {acc:.2f}%"
