@@ -28,7 +28,7 @@ import unicodedata
 
 import numpy as np
 
-from ..tokenizer.rules import EMAIL_RE, URL_RE, tokenize_forms
+from ..tokenizer.rules import classify_url_email, tokenize_forms
 
 ENTITY_UNKNOWN = -1
 BILOU_B, BILOU_I, BILOU_L, BILOU_O, BILOU_U = 0, 1, 2, 3, 4
@@ -505,10 +505,10 @@ class URLEmailDetector(FeatureProcessor):
         for i in range(sent.size):
             if sent.local_filled[i]:
                 continue
-            form = sent.forms[i]
-            if EMAIL_RE.fullmatch(form):
+            kind = classify_url_email(sent.forms[i])
+            if kind == "EMAIL":
                 etype = self.email
-            elif URL_RE.fullmatch(form) or ("://" in form):
+            elif kind == "URL":
                 etype = self.url
             else:
                 continue

@@ -201,9 +201,10 @@ class FastFeaturizer:
                         continue
                     pin = self.pin_cache.get(form)
                     if pin is None:
-                        if T.EMAIL_RE.fullmatch(form):
+                        kind = T.classify_url_email(form)
+                        if kind == "EMAIL":
                             pin = ("E", p.email)
-                        elif T.URL_RE.fullmatch(form) or ("://" in form):
+                        elif kind == "URL":
                             pin = ("U", p.url)
                         else:
                             pin = (None, None)

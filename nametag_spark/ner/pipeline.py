@@ -34,16 +34,18 @@ MENTIONS_SCHEMA = (
 )
 
 
-def tokenize_df(df: DataFrame, text_col: str = "text") -> DataFrame:
+def tokenize_df(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
     """Token table with per-turn sentence/token indices and char spans
-    (reference tokenizer contract, src/tokenizer/tokenizer.h:20-33)."""
+    (reference tokenizer contract, src/tokenizer/tokenizer.h:20-33).
+    lang selects the grammar: 'en' (english_tokenizer.rl), 'cs'
+    (czech_tokenizer.rl), or 'generic'."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("conv_id", "turn_idx", "sent_idx", "tok_idx", "form", "start", "length")}
             for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf[text_col]):
                 text = text or ""
-                for s_idx, sent in enumerate(tokenize_sentences(text)):
+                for s_idx, sent in enumerate(tokenize_sentences(text, lang)):
                     for t_idx, (start, length) in enumerate(sent):
                         out["conv_id"].append(conv_id)
                         out["turn_idx"].append(turn_idx)

@@ -54,40 +54,63 @@ def cosine_topk(
     )
 
 
-def ivf_centroids(corpus: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Deterministic coarse centroids: the n lowest-id vectors, refined by
-    one Lloyd iteration (mean of assigned vectors). Returns a list of
-    (centroid_id, vector) suitable for broadcasting in a literal plan."""
-    seeds = [
-        (i, [float(x) for x in r[vec_col]])
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+):
+    """Deterministic coarse centroids: the n lowest-id vectors refined by
+    `iterations` Lloyd steps. Returns a list of (centroid_id, vector)
+    suitable for broadcasting in a literal plan.
+
+    The mean update uses posexplode -> groupBy(cid, pos) -> avg: ONE
+    aggregate over (centroid, dimension) pairs regardless of dimensionality
+    (the previous per-dimension F.avg(element_at(...)) built one aggregate
+    expression per dim — fine at 64-d, pathological at 768-d+). Per-iteration
+    driver traffic is just the n_centroids x dim centroid table."""
+    seeds = {
+        i: [float(x) for x in r[vec_col]]
         for i, r in enumerate(corpus.orderBy(id_col).limit(n_centroids).collect())
-    ]
+    }
+    if not seeds:
+        return []
     spark = corpus.sparkSession
-    cdf = spark.createDataFrame(seeds, ["cid", "cvec"])
-    assigned = _assign(corpus, cdf, id_col, vec_col)
-    means = (
-        assigned.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
-        .groupBy("cid")
-        .agg(
-            F.array(
-                *[
-                    F.avg(F.element_at(_as_double(F.col(vec_col)), d + 1)).alias(f"d{d}")
-                    for d in range(len(seeds[0][1]))
-                ]
-            ).alias("cvec")
+    cents = dict(seeds)
+    vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    for _ in range(max(1, iterations)):
+        cdf = spark.createDataFrame(sorted(cents.items()), ["cid", "cvec"])
+        assigned = _assign(corpus, cdf, id_col, vec_col)
+        means = (
+            assigned.join(vecs, id_col)
+            .selectExpr("cid", "posexplode(_v) AS (pos, val)")
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cvec")
+            )
         )
-    )
-    return [(r["cid"], list(r["cvec"])) for r in means.collect()]
+        new = {r["cid"]: [float(x) for x in r["cvec"]] for r in means.collect()}
+        # empty clusters keep their previous centroid (deterministic)
+        cents = {cid: new.get(cid, vec) for cid, vec in cents.items()}
+    return sorted(cents.items())
 
 
 def _assign(corpus: DataFrame, centroids_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, pick the
+    argmax per vector with a min_by aggregation (map-side combinable — no
+    window/shuffle of the full corpus x centroids product). Ties break by
+    lowest cid (min_by over the (-sim, cid) struct)."""
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     scored = c.crossJoin(F.broadcast(centroids_df)).withColumn(
         "sim", _dot(F.col("_v"), F.col("cvec")) / (_norm(F.col("_v")) * _norm(F.col("cvec")))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(id_col, "cid")
+    return scored.groupBy(id_col).agg(
+        F.min_by(F.col("cid"), F.struct((-F.col("sim")).alias("_s"), F.col("cid").alias("_c"))).alias("cid")
     )
 
 
@@ -127,23 +150,47 @@ def rp_lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 99,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k searching only the query's LSH bucket (single-probe;
-    recall grows with fewer planes / multiple tables). The scale path when
-    the corpus is bucketed+persisted once and queried many times."""
-    cb = rp_lsh_buckets(corpus, n_planes, seed, id_col, vec_col)
-    qb = rp_lsh_buckets(
-        queries.select(F.col(query_id_col).alias(id_col), F.col(vec_col)), n_planes, seed, id_col, vec_col
-    ).select(F.col(id_col).alias("query_id"), F.col("bucket"))
+    """Approximate top-k searching the query's LSH bucket in each of
+    n_tables independent hash tables (multi-table OR-amplification: a
+    neighbor at angle theta is missed only if it splits from the query in
+    EVERY table, p_miss = (1-(1-theta/pi)^n_planes)^n_tables). The scale
+    path when the corpus is bucketed+persisted once and queried many times;
+    each table is one (table, bucket) join key, so candidates stay
+    posting-list-bounded."""
+    tables = []
+    qtables = []
+    for t in range(n_tables):
+        cb = rp_lsh_buckets(corpus, n_planes, seed + 7919 * t, id_col, vec_col).select(
+            F.col(id_col), F.lit(t).alias("table"), F.col("bucket")
+        )
+        qb = rp_lsh_buckets(
+            queries.select(F.col(query_id_col).alias(id_col), F.col(vec_col)),
+            n_planes,
+            seed + 7919 * t,
+            id_col,
+            vec_col,
+        ).select(F.col(id_col).alias("query_id"), F.lit(t).alias("table"), F.col("bucket"))
+        tables.append(cb)
+        qtables.append(qb)
+    from functools import reduce
 
-    bucketed = corpus.join(cb, id_col)
-    cand = bucketed.join(qb, "bucket").select(
-        F.col(id_col).alias("vec_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        "query_id",
+    cball = reduce(lambda a, b: a.unionByName(b), tables)
+    qball = reduce(lambda a, b: a.unionByName(b), qtables)
+
+    bucketed = corpus.join(cball, id_col)
+    cand = (
+        bucketed.join(qball, ["table", "bucket"])
+        .select(F.col(id_col).alias("vec_id"), "query_id")
+        .distinct()  # a pair colliding in several tables scores once
+        .join(
+            corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")),
+            "vec_id",
+        )
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     scored = cand.join(q, "query_id").withColumn(

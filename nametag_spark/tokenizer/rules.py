@@ -50,17 +50,118 @@ WORD_RE = re.compile(
     r"|-(?!-)|'(?!['’])|’(?!['’]))*"
 )
 
+# Czech word = u_L (u_L | u_M)* — no hyphens or apostrophes inside words and
+# no clitic splitting (czech_tokenizer.rl:125)
+CS_WORD_RE = re.compile(
+    r"[^\W\d_](?:[^\W\d_]"
+    r"|[̀-ͯ҃-҉֑-ֽؐ-ؚ"
+    r"ً-ٟۖ-ۜัิ-ฺ"
+    r"᪰-᫿᷀-᷿⃐-⃿︠-︯])*"
+)
+
 # number = sign? Nd+ (',' Nd{3})* ('.' Nd+)? ([eE] sign? Nd+)?
 UNSIGNED_NUM_RE = re.compile(r"\d+(?:,\d{3})*(?:\.\d+)?(?:[eE][+-]?\d+)?")
 
-URL_RE = re.compile(
-    r"""(?:(?:https?|ftp)://|www\.)[^\s<>"]*[^\s<>".,;:!?)\]}'’]""",
-    re.IGNORECASE,
+# Czech number = sign? Nd+ ([.,] Nd+)? ([eE] sign? Nd+)? — one decimal
+# separator (either . or ,), no thousands groups (czech_tokenizer.rl:126)
+CS_UNSIGNED_NUM_RE = re.compile(r"\d+(?:[.,]\d+)?(?:[eE][+-]?\d+)?")
+
+# Lowercased Czech abbreviations that suppress eos before '.'
+# (czech_tokenizer.rl:29-43 abbreviations_czech; word list is data, not code)
+CS_ABBREVIATIONS = frozenset(
+    """prof csc drsc doc phd ph d judr mddr mudr mvdr paeddr paedr phdr rndr
+    rsdr dr ing arch mgr bc mag mba bca mga gen plk pplk npor por ppor kpt mjr
+    sgt pls p s pí fa fy mr mrs ms miss tr sv angl fr čes ces čs cs slov něm
+    nem it pol maď mad rus sev vých vych již jiz záp zap adr č c eg ev g hod j
+    kr m max min mj např napr okr popř popr pozn r ř red rep resp srov st stř
+    str tel tj tzv ú u uh ul um zl zn""".split()
 )
-EMAIL_RE = re.compile(
-    r"[A-Za-z0-9][A-Za-z0-9._%+-]*@[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?"
-    r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?)+"
+
+# --- URL/email detector -----------------------------------------------------
+# Re-expression of the reference FSM grammar (ragel_tokenizer.rl:101-140,
+# version 2; the same grammar backs src/utils/url_detector.cpp):
+#   uchar    = alnum | $ - _ . + ! * ' ( ) , %
+#   xchar    = uchar | ; / ? : @ & =
+#   urlpath  = '/' | '/' ('('++ | ')'-- | xchar | u_alnum)*
+#                    ( ')'{parens>0} | (xchar -- [.!',;?:)]) | u_alnum )
+#   port     = ':' digit+   (a bare ':' never extends the accepted prefix —
+#                            verified against the compiled reference FSM)
+#   ip       = 0..255 (strict grammar); hostnumber = ip.ip.ip.ip
+#   hostname = (subdomain '.')+ alpha{2,}
+#   url      = protocol? user? host port? urlpath?   (protocol = alpha{3,}'://')
+#   email    = uchar+ '@' hostname
+# Ties (same end) resolve to EMAIL, like the reference detector.
+_UCHAR = r"[A-Za-z0-9$\-_.+!*'(),%]"
+_SUB = r"[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?"
+_IP = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+_HOSTNAME = rf"(?:{_SUB}\.)+[A-Za-z]{{2,}}"
+_URL_PRE_RE = re.compile(
+    rf"(?:[A-Za-z]{{3,}}://)?(?:{_UCHAR}+(?::{_UCHAR}+)?@)?"
+    rf"(?:{_HOSTNAME}|{_IP}\.{_IP}\.{_IP}\.{_IP})(?::[0-9]+)?"
 )
+_EMAIL_FSM_RE = re.compile(rf"{_UCHAR}+@{_HOSTNAME}")
+_XCHAR_SYM = frozenset("$-_.+!*'(),%;/?:@&=")
+_PATH_NO_FINAL = frozenset(".!',;?:)")
+
+
+def _is_u_alnum(c: str) -> bool:
+    return c.isalnum() or unicodedata.category(c)[0] == "M"
+
+
+def detect_url_email(text: str, i: int):
+    """Longest (url|email) match at position i.
+
+    Returns (kind, end) with kind in {"URL", "EMAIL"} or None. Behavior is
+    pinned against the compiled reference FSM by the URL_FSM_GOLD fixture."""
+    m_email = _EMAIL_FSM_RE.match(text, i)
+    email_end = m_email.end() if m_email else -1
+
+    url_end = -1
+    m = _URL_PRE_RE.match(text, i)
+    if m:
+        url_end = m.end()
+        j = url_end
+        n = len(text)
+        if j < n and text[j] == "/":
+            last = j + 1  # urlpath = '/' alone is accepting
+            parens = 0
+            k = j + 1
+            while k < n:
+                c = text[k]
+                if c == "(":
+                    parens += 1
+                    last = k + 1  # '(' is xchar and not final-excluded
+                elif c == ")":
+                    if parens > 0:
+                        last = k + 1
+                        parens -= 1
+                elif _is_u_alnum(c):
+                    last = k + 1
+                elif c in _XCHAR_SYM:
+                    if c not in _PATH_NO_FINAL:
+                        last = k + 1
+                else:
+                    break
+                k += 1
+            url_end = last
+
+    if email_end >= url_end and email_end > i:
+        return ("EMAIL", email_end)
+    if url_end > i:
+        return ("URL", url_end)
+    return None
+
+
+def classify_url_email(form: str):
+    """Whole-string classification, as the URLEmailDetector feature template
+    uses it (url_detector::detect(form) with length==nullptr — the entire
+    form must match; feature_processor_instances.cpp:1003).
+
+    Returns "URL", "EMAIL", or None."""
+    d = detect_url_email(form, 0)
+    if d is not None and d[1] == len(form):
+        return d[0]
+    return None
 
 EOL_RE = re.compile(r"\r\n|\n\r|\r|\n")
 
@@ -120,19 +221,19 @@ def _split_token(text: str, tokens: list) -> None:
         tokens.append((s + l - split_len, split_len))
 
 
-def _is_eos(text: str, tokens: list, eos_chr: str) -> bool:
+def _is_eos(text: str, tokens: list, eos_chr: str, abbreviations=ABBREVIATIONS) -> bool:
     """unicode_tokenizer.cpp:69-87 — '.' is not eos after 1-char capitals
     or known abbreviations."""
     if eos_chr == "." and tokens:
         s, l = tokens[-1]
         if l == 1 and _cat(text[s]) in ("Lu", "Lt"):
             return False
-        if text[s : s + l].lower() in ABBREVIATIONS:
+        if text[s : s + l].lower() in abbreviations:
             return False
     return True
 
 
-def _match_number(text: str, i: int):
+def _match_number(text: str, i: int, num_re=UNSIGNED_NUM_RE):
     """Number grammar with unary-sign context checks (english_tokenizer.rl:101)."""
     j = i
     c = text[i]
@@ -150,18 +251,31 @@ def _match_number(text: str, i: int):
         j = i + 1
         if j >= len(text):
             return None
-    m = UNSIGNED_NUM_RE.match(text, j)
+    m = num_re.match(text, j)
     if not m or m.end() == j:
         return None
     return m.end()
 
 
-def tokenize_sentences(text: str) -> list:
+# per-language tokenizer grammar: (word_re, number_re, abbreviations,
+# clitic splitting). 'en' follows english_tokenizer.rl, 'cs' (and the
+# mutually-intelligible 'sk' abbreviation variant is folded into cs here)
+# follows czech_tokenizer.rl; 'generic' = czech grammar with NO abbreviation
+# list (generic_tokenizer.rl uses the same word/number rules).
+_LANGS = {
+    "en": (WORD_RE, UNSIGNED_NUM_RE, ABBREVIATIONS, True),
+    "cs": (CS_WORD_RE, CS_UNSIGNED_NUM_RE, CS_ABBREVIATIONS, False),
+    "generic": (CS_WORD_RE, CS_UNSIGNED_NUM_RE, frozenset(), False),
+}
+
+
+def tokenize_sentences(text: str, lang: str = "en") -> list:
     """Tokenize + sentence-segment one text.
 
     Returns a list of sentences; each sentence is a list of (start, length)
     Unicode-char spans into *text*.
     """
+    word_re, num_re, abbreviations, split_clitics = _LANGS[lang]
     n = len(text)
     i = 0
     sentences: list = []
@@ -201,11 +315,11 @@ def tokenize_sentences(text: str) -> list:
             i = j
             continue
 
-        # --- URL / email as one token
-        m = URL_RE.match(text, i) or EMAIL_RE.match(text, i)
-        if m and m.end() > i:
-            tokens.append((i, m.end() - i))
-            i = m.end()
+        # --- URL / email as one token (full FSM grammar; see detect_url_email)
+        d = detect_url_email(text, i)
+        if d is not None:
+            tokens.append((i, d[1] - i))
+            i = d[1]
             if emergency():
                 end_sentence()
             continue
@@ -223,7 +337,7 @@ def tokenize_sentences(text: str) -> list:
                 while k < n and text[k] in _OPENING:
                     k += 1
                 if k < n and _cat(text[k]) in ("Lu", "Lt"):
-                    brk = _is_eos(text, tokens, c)
+                    brk = _is_eos(text, tokens, c, abbreviations)
                     for p in range(i, ws):
                         tokens.append((p, 1))
                     i = ws
@@ -232,17 +346,18 @@ def tokenize_sentences(text: str) -> list:
                     continue
 
         # --- word
-        m = WORD_RE.match(text, i)
+        m = word_re.match(text, i)
         if m and m.end() > i:
             tokens.append((i, m.end() - i))
-            _split_token(text, tokens)
+            if split_clitics:
+                _split_token(text, tokens)
             i = m.end()
             if emergency():
                 end_sentence()
             continue
 
         # --- number
-        e = _match_number(text, i)
+        e = _match_number(text, i, num_re)
         if e is not None:
             tokens.append((i, e - i))
             i = e
@@ -260,8 +375,8 @@ def tokenize_sentences(text: str) -> list:
     return sentences
 
 
-def tokenize_forms(text: str) -> list:
+def tokenize_forms(text: str, lang: str = "en") -> list:
     """Like tokenize_sentences but returns sentences of surface forms."""
     return [
-        [text[s : s + l] for (s, l) in sent] for sent in tokenize_sentences(text)
+        [text[s : s + l] for (s, l) in sent] for sent in tokenize_sentences(text, lang)
     ]
