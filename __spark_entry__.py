@@ -194,6 +194,18 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(tdf)
 
 
+def _transcripts_fixed(spark: SparkSession) -> DataFrame:
+    """Deterministic 20-conversation corpus, independent of sf_dir, so the
+    NER/KG pipeline queries can be hash-checked against pinned golden
+    oracles (scripts/gen_goldens.py regenerates them after any model or
+    tokenizer change; bench.py exercises the sf-scaled path separately)."""
+    from nametag_spark.data.synth import synth_transcripts
+
+    _ensure_shipped(spark)
+    tdf, _ = synth_transcripts(n_conversations=20, seed=42)
+    return spark.createDataFrame(tdf)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -371,12 +383,37 @@ BIO_FIXTURE = [
 
 def _values_sql(rows, cols, types=None) -> str:
     def lit(v):
+        if v is None:
+            return "NULL"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return repr(v)
         return str(v)
 
     body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
     return f"(VALUES {body}) AS fx({', '.join(cols)})"
+
+
+_GOLDEN_PATH = os.path.join(_REPO_ROOT, "fixtures", "goldens_sf001.json")
+
+
+def _golden_oracles() -> dict[str, str]:
+    """VALUES oracles for the model-driven NER/KG queries, pinned by
+    scripts/gen_goldens.py from the deterministic pipeline (fixed corpus +
+    fingerprinted model; stability across fresh processes is test-enforced).
+    Missing file -> no oracle rows (driver falls back to rows-only)."""
+    try:
+        import json
+
+        with open(_GOLDEN_PATH, encoding="utf-8") as f:
+            goldens = json.load(f)
+    except OSError:
+        return {}
+    return {
+        name: "SELECT * FROM " + _values_sql(spec["rows"], spec["columns"])
+        for name, spec in goldens.items()
+    }
 
 
 # hash64: must match nametag_spark.ops.text.hash64 bit for bit
@@ -716,26 +753,29 @@ def q_embedding_dup_pairs(spark, sf_dir):
     return embedding_dup_pairs(emb, threshold=0.3)
 
 
-# --- rows-only (model-driven / non-SQL-expressible) ------------------------
+# --- model-driven NER/KG path (hash-checked against pinned goldens) --------
+# Each runs the REAL pipeline (deterministic model + fixed 20-conversation
+# corpus); the oracle is a pinned VALUES golden regenerated by
+# scripts/gen_goldens.py and verified stable across fresh processes.
 
 
 def q_ner_tokens(spark, sf_dir):
     from nametag_spark.ner.pipeline import tokenize_df
 
-    return tokenize_df(_transcripts(spark, sf_dir))
+    return tokenize_df(_transcripts_fixed(spark))
 
 
 def q_ner_mentions(spark, sf_dir):
     from nametag_spark.ner.pipeline import recognize_df
 
-    return recognize_df(_transcripts(spark, sf_dir), _model_dir())
+    return recognize_df(_transcripts_fixed(spark), _model_dir())
 
 
 def q_kg_entities(spark, sf_dir):
     from nametag_spark.kg.resolution import resolve_entities
     from nametag_spark.ner.pipeline import recognize_df
 
-    mentions = recognize_df(_transcripts(spark, sf_dir), _model_dir())
+    mentions = recognize_df(_transcripts_fixed(spark), _model_dir())
     _, entities = resolve_entities(mentions)
     return entities.select("entity_id", "type", "canonical", "n_mentions", "n_surfaces")
 
@@ -745,7 +785,7 @@ def q_kg_triples(spark, sf_dir):
     from nametag_spark.kg.triples import extract_triples
     from nametag_spark.ner.pipeline import recognize_df
 
-    transcripts = _transcripts(spark, sf_dir)
+    transcripts = _transcripts_fixed(spark)
     mentions = recognize_df(transcripts, _model_dir())
     mention_entities, _ = resolve_entities(mentions)
     return extract_triples(mention_entities, transcripts).select(
@@ -769,7 +809,10 @@ def q_multimodal_features(spark, sf_dir):
     _ensure_shipped(spark)
     assets = synth_assets(spark, n=48)
     return extract_features(assets, dim=8).select(
-        "asset_id", "kind", "feat_dim", F.round(F.element_at("feature", 1), 4).alias("f0")
+        "asset_id",
+        "kind",
+        "feat_dim",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
     )
 
 
@@ -1140,4 +1183,5 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM embeddings WHERE vec_id < 200) r ON l.vec_id < r.vec_id
             WHERE {cosine} >= 0.3
         """,
+        **_golden_oracles(),
     }

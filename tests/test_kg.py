@@ -131,6 +131,31 @@ def test_extract_triples_cooccurrence(spark):
     assert not any(s == 11 or o == 11 for s, _, o in trip)
 
 
+def test_extract_triples_deterministic(spark):
+    """Two runs over mentions with MULTIPLE surface norms per entity must
+    produce identical rows (min() head attributes, not first() — the hash
+    oracle relies on this)."""
+    rows = []
+    for t in range(6):
+        rows.append({"conv_id": f"c{t}", "turn_idx": t, "sent_idx": 0, "tok_start": 0,
+                     "type": "PER", "entity_id": 1, "norm": "alice j" if t % 2 else "alice johnson"})
+        rows.append({"conv_id": f"c{t}", "turn_idx": t, "sent_idx": 0, "tok_start": 3,
+                     "type": "ORG", "entity_id": 2, "norm": "acme" if t % 3 else "acme corp"})
+    me = spark.createDataFrame(pd.DataFrame(rows))
+
+    def run():
+        pdf = extract_triples(me).toPandas()
+        pdf["evidence"] = pdf["evidence"].map(lambda v: tuple(v))
+        return sorted(map(tuple, pdf.itertuples(index=False)))
+
+    a, b = run(), run()
+    assert a == b
+    # head norms are the lexicographic minimum of the observed surfaces
+    t = extract_triples(me).toPandas().iloc[0]
+    assert t["subj_norm"] == "alice j" and t["obj_norm"] == "acme"
+    assert t["n_evidence"] == 6 and t["n_cooccur"] == 6
+
+
 def test_triples_tool_predicate(spark):
     me = spark.createDataFrame(
         pd.DataFrame(
