@@ -365,6 +365,67 @@ CS_TOKENIZE_GOLD = [
     (8, 0, ["Má", "-3,5", "bodu", "."]),
 ]
 
+# --- morpho (G5/G6) fixtures -------------------------------------------------
+# toy root+suffix-class dictionary (morpho_dictionary.h semantics): a form
+# analyzes as (lemma, tag) when form = root || suffix and the root's
+# inflection class appears in the suffix's class map — which is exactly a
+# relational join, so the oracle below is the same dictionary expressed in SQL
+MORPHO_ROOTS = [  # (root, class, lemma)
+    ("hrad", "hrad", "hrad"),
+    ("les", "hrad", "les"),
+    ("dela", "dela", "delat"),
+]
+MORPHO_SUFFIXES = [  # (suffix, class, tag)
+    ("", "hrad", "N1"),
+    ("u", "hrad", "N2"),
+    ("y", "hrad", "N7"),
+    ("t", "dela", "Vf"),
+    ("l", "dela", "Vp"),
+]
+MORPHO_GUESS_RULES = [  # (suffix, n_strip, append, tag) — SuffixRuleGuesser
+    ("s", 1, "", "NNS"),
+    ("ing", 3, "", "VBG"),
+]
+MORPHO_FORMS = [
+    (1, "hrad"), (2, "hradu"), (3, "lesy"), (4, "delal"), (5, "delat"),
+    (6, "cats"), (7, "walking"), (8, "Praha"), (9, "42"), (10, "blorp"),
+]
+
+PDT_LEMMA_FIXTURE = [
+    (1, "hrad"),
+    (2, "hrad-1"),
+    (3, "hrad-2`hrad"),
+    (4, "pila_^(nástroj)"),
+    (5, "pít-1_:T"),
+    (6, "-"),
+    (7, "být"),
+]
+# hand-derived from czech_lemma_addinfo.h:35-56 split rules (raw lemma ends
+# at first ` _ or -digit past position 0; lemma id keeps the -digits run)
+PDT_LEMMA_GOLD = [
+    (1, "hrad", "hrad", ""),
+    (2, "hrad", "hrad-1", ""),
+    (3, "hrad", "hrad-2", "`hrad"),
+    (4, "pila", "pila", "_^(nástroj)"),
+    (5, "pít", "pít-1", "_:T"),
+    (6, "-", "-", ""),
+    (7, "být", "být", ""),
+]
+
+# hand-computed Viterbi golden (weights below; see tests/test_morpho.py):
+# analyses: form 'x' -> tags A|B, 'y' -> C|D; w=x:B=2 beats A=1; transitions
+# t-1=B,C=3 and t-1=A,D=2. All paths have unique scores (no ties).
+VITERBI_FIXTURE = [
+    (1, ["x", "y"]),
+    (2, ["x"]),
+    (3, ["x", "y", "x"]),
+]
+VITERBI_GOLD = [
+    (1, 0, "x", "B"), (1, 1, "y", "C"),
+    (2, 0, "x", "B"),
+    (3, 0, "x", "B"), (3, 1, "y", "C"), (3, 2, "x", "B"),
+]
+
 PII_FIXTURE = [
     (1, "contact me at jane.doe@corp.com or +1 (555) 123-4567 thanks"),
     (2, "ssn 123-45-6789 leaked from host 10.0.0.12 yesterday"),
@@ -621,6 +682,108 @@ def q_tokenize_fixture(spark, sf_dir):
     )
 
 
+def q_morpho_analyze(spark, sf_dir):
+    """G5 morpho dictionary + rule guesser, run distributed; the oracle is
+    the SAME dictionary expressed as a relational join (root || suffix =
+    form, classes matched) plus the guesser rules as SQL CASEs."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    df = spark.createDataFrame(MORPHO_FORMS, ["form_id", "form"])
+
+    def fn(batches):
+        from nametag_spark.morpho.dictionary import (
+            Morpho,
+            MorphoDictionary,
+            SuffixRuleGuesser,
+        )
+
+        paradigms = {}
+        for suffix, cls, tag in MORPHO_SUFFIXES:
+            paradigms.setdefault(cls, []).append((suffix, tag))
+        lexicon = [(lemma, root, cls) for (root, cls, lemma) in MORPHO_ROOTS]
+        m = Morpho(
+            MorphoDictionary.from_paradigms(paradigms, lexicon),
+            SuffixRuleGuesser(
+                [(s, n, a, [t]) for (s, n, a, t) in MORPHO_GUESS_RULES]
+            ),
+            unknown_tag="UNK",
+        )
+        for pdf in batches:
+            rows = {"form_id": [], "form": [], "lemma": [], "tag": []}
+            for fid, form in zip(pdf["form_id"], pdf["form"]):
+                for lemma, tag in m.analyze(form):
+                    rows["form_id"].append(fid)
+                    rows["form"].append(form)
+                    rows["lemma"].append(lemma)
+                    rows["tag"].append(tag)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "form_id long, form string, lemma string, tag string")
+
+
+def q_pdt_lemma_split(spark, sf_dir):
+    """PDT lemma structure split (czech_lemma_addinfo.h:35-56) against a
+    hand-derived golden."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    df = spark.createDataFrame(PDT_LEMMA_FIXTURE, ["lemma_id_row", "lemma"])
+
+    def fn(batches):
+        from nametag_spark.features.templates import Sentence
+
+        for pdf in batches:
+            rows = {"lemma_id_row": [], "raw_lemma": [], "lemma_id": [], "comments": []}
+            for rid, lemma in zip(pdf["lemma_id_row"], pdf["lemma"]):
+                raw, lid, comments = Sentence.split_pdt_lemma(lemma)
+                rows["lemma_id_row"].append(rid)
+                rows["raw_lemma"].append(raw)
+                rows["lemma_id"].append(lid)
+                rows["comments"].append(comments)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        fn, "lemma_id_row long, raw_lemma string, lemma_id string, comments string"
+    )
+
+
+def q_viterbi_tagger_fixture(spark, sf_dir):
+    """G6 perceptron Viterbi decode with hand-set weights against a
+    hand-computed golden path (includes the decoding_order node-merge)."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    df = spark.createDataFrame(
+        [(sid, forms) for (sid, forms) in VITERBI_FIXTURE], ["sent_id", "forms"]
+    )
+
+    def fn(batches):
+        from nametag_spark.morpho.tagger import PerceptronTagger
+
+        t = PerceptronTagger()
+        t.weights = {
+            ("w=x", "A"): 1.0,
+            ("w=x", "B"): 2.0,
+            ("t-1=A", "D"): 2.0,
+            ("t-1=B", "C"): 3.0,
+        }
+        analyses = {"x": [("a", "A"), ("b", "B")], "y": [("c", "C"), ("d", "D")]}
+        for pdf in batches:
+            rows = {"sent_id": [], "tok_idx": [], "form": [], "tag": []}
+            for sid, forms in zip(pdf["sent_id"], pdf["forms"]):
+                forms = list(forms)
+                _lemmas, tags = t.tag_with_lemmas(forms, [analyses[f] for f in forms])
+                for i, (f, tag) in enumerate(zip(forms, tags)):
+                    rows["sent_id"].append(sid)
+                    rows["tok_idx"].append(i)
+                    rows["form"].append(f)
+                    rows["tag"].append(tag)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "sent_id long, tok_idx int, form string, tag string")
+
+
 def q_url_fsm_fixture(spark, sf_dir):
     """Runs the Python URL/email detector (tokenizer/rules.detect_url_email)
     distributed over the fixture; the oracle is the output of the COMPILED
@@ -839,6 +1002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_predicate_stats": q_graph_predicate_stats,
         "url_email_extract": q_url_email_extract,
         "url_fsm_fixture": q_url_fsm_fixture,
+        "morpho_analyze": q_morpho_analyze,
+        "pdt_lemma_split": q_pdt_lemma_split,
+        "viterbi_tagger_fixture": q_viterbi_tagger_fixture,
         "tokenize_fixture": q_tokenize_fixture,
         "tokenize_cs_fixture": q_tokenize_cs_fixture,
         "pii_flags": q_pii_flags,
@@ -1062,6 +1228,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(token, '^(https?|ftp)://[^ ]+$')
                OR regexp_matches(token, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}$')
         """,
+        # G5: the dictionary re-expressed relationally — a form analyzes as
+        # (lemma, tag) iff form = root || suffix with matching inflection
+        # class; guesser rules and shape fallbacks as SQL predicates
+        "morpho_analyze": f"""
+            WITH roots AS (SELECT * FROM {_values_sql(MORPHO_ROOTS, ["root", "cls", "lemma"])}),
+            suffs AS (SELECT * FROM {_values_sql(MORPHO_SUFFIXES, ["suffix", "cls", "tag"])}),
+            forms AS (SELECT * FROM {_values_sql(MORPHO_FORMS, ["form_id", "form"])}),
+            dict_hits AS (
+              SELECT f.form_id, f.form, r.lemma, s.tag
+              FROM forms f, roots r, suffs s
+              WHERE r.cls = s.cls AND f.form = r.root || s.suffix
+            ),
+            oov AS (SELECT * FROM forms WHERE form_id NOT IN (SELECT form_id FROM dict_hits)),
+            guesses AS (
+              SELECT form_id, form, substr(lower(form), 1, length(form) - 1) AS lemma, 'NNS' AS tag
+              FROM oov WHERE ends_with(lower(form), 's') AND length(form) > 1
+              UNION ALL
+              SELECT form_id, form, substr(lower(form), 1, length(form) - 3), 'VBG'
+              FROM oov WHERE ends_with(lower(form), 'ing') AND length(form) > 3
+              UNION ALL
+              SELECT form_id, form, form, 'NNP' FROM oov WHERE substr(form, 1, 1) BETWEEN 'A' AND 'Z'
+              UNION ALL
+              SELECT form_id, form, form, 'CD' FROM oov WHERE substr(form, 1, 1) BETWEEN '0' AND '9'
+            )
+            SELECT * FROM dict_hits
+            UNION ALL SELECT * FROM guesses
+            UNION ALL
+            SELECT form_id, form, lower(form) AS lemma, 'NN' AS tag FROM oov
+            WHERE form_id NOT IN (SELECT form_id FROM guesses)
+        """,
+        "pdt_lemma_split": "SELECT * FROM "
+        + _values_sql(PDT_LEMMA_GOLD, ["lemma_id_row", "raw_lemma", "lemma_id", "comments"]),
+        "viterbi_tagger_fixture": "SELECT * FROM "
+        + _values_sql(VITERBI_GOLD, ["sent_id", "tok_idx", "form", "tag"]),
         "url_fsm_fixture": "SELECT * FROM "
         + _values_sql(
             [(i, k, ln) for (i, _s, k, ln) in URL_FSM_FIXTURE],

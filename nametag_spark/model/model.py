@@ -19,10 +19,13 @@ from ..ner import core
 
 
 class NerModel:
-    def __init__(self, entities: EntityMap, templates: FeatureTemplates, networks):
+    def __init__(self, entities: EntityMap, templates: FeatureTemplates, networks, tagger=None):
         self.entities = entities
         self.templates = templates
         self.networks = networks  # list[core.Network], one per stage
+        # optional MorphoTagger (G4-G6): when present, sentences are built
+        # with real (lemma, tag) morphology instead of the trivial tagger
+        self.tagger = tagger
 
     @property
     def stages(self) -> int:
@@ -44,6 +47,9 @@ class NerModel:
             for k, v in net.to_arrays().items():
                 arrays[f"net{s}_{k}"] = v
         np.savez_compressed(os.path.join(model_dir, "networks.npz"), **arrays)
+        if self.tagger is not None:
+            with open(os.path.join(model_dir, "morpho.json"), "w", encoding="utf-8") as f:
+                json.dump(self.tagger.state(), f)
 
     @classmethod
     def load(cls, model_dir: str) -> "NerModel":
@@ -53,7 +59,24 @@ class NerModel:
         templates = FeatureTemplates.from_state(meta["templates"], base_dir=model_dir)
         arrs = np.load(os.path.join(model_dir, "networks.npz"))
         networks = [core.Network.from_arrays(arrs, prefix=f"net{s}_") for s in range(meta["stages"])]
-        return cls(entities, templates, networks)
+        tagger = None
+        morpho_path = os.path.join(model_dir, "morpho.json")
+        if os.path.exists(morpho_path):
+            from ..morpho.tagger import MorphoTagger
+
+            with open(morpho_path, encoding="utf-8") as f:
+                tagger = MorphoTagger.from_state(json.load(f))
+        return cls(entities, templates, networks, tagger)
+
+    # --------------------------------------------------- sentence construction
+    def make_sentence(self, forms) -> Sentence:
+        """Trivial tagger (raw_lemma=lemma=form, tag='') without morphology;
+        with a MorphoTagger, PDT-split lemmas + tags (morphodita_tagger.cpp
+        contract) so F5-F8 templates see real values."""
+        if self.tagger is not None:
+            lemmas, tags = self.tagger.tag_sentence(forms)
+            return Sentence.from_pdt(forms, lemmas, tags)
+        return Sentence(list(forms))
 
     # ------------------------------------------------------- single sentence
     def recognize_sentence(self, forms):
@@ -62,7 +85,7 @@ class NerModel:
         Reference loop: /root/reference/src/ner/bilou_ner.cpp:37-94.
         Returns sorted (start, length, type_name) spans.
         """
-        sent = Sentence(list(forms))
+        sent = self.make_sentence(forms)
         if sent.size == 0:
             return []
         sent.clear_previous_stage()

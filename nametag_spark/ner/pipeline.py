@@ -240,7 +240,7 @@ def recognize_df(
                 text = texts.iloc[pos] or ""
                 for s_idx, spans in enumerate(tokenize_sentences(text)):
                     forms = [text[a : a + b] for (a, b) in spans]
-                    sentences.append(Sentence(forms))
+                    sentences.append(model.make_sentence(forms))
                     sent_meta.append((pos, s_idx, spans, text))
 
             results = rec.recognize_batch(sentences)
@@ -292,7 +292,7 @@ def recognize_local(model, texts):
     out = []
     for text in texts:
         sents = tokenize_sentences(text)
-        sentences = [Sentence([text[a : a + b] for (a, b) in s]) for s in sents]
+        sentences = [model.make_sentence([text[a : a + b] for (a, b) in s]) for s in sents]
         results = rec.recognize_batch(sentences)
         mentions = []
         for s_idx, (spans, ents) in enumerate(zip(sents, results)):

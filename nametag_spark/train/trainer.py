@@ -76,12 +76,16 @@ class _LabelledSentence:
         self.outcomes = outcomes
 
 
-def _load_data(conll_sentences, entities, add_entities):
+def _load_data(conll_sentences, entities, add_entities, tagger=None):
     data = []
     for sent in conll_sentences:
         forms = [f for f, _ in sent]
         labels = [l for _, l in sent]
-        s = Sentence(forms)
+        if tagger is not None:
+            lemmas, tags = tagger.tag_sentence(forms)
+            s = Sentence.from_pdt(forms, lemmas, tags)
+        else:
+            s = Sentence(forms)
         s.clear_previous_stage()
         data.append(_LabelledSentence(s, bio_to_outcomes(labels, entities, add_entities)))
     return data
@@ -217,16 +221,23 @@ def train_ner(
     params: dict | None = None,
     base_dir: str = "",
     verbose: bool = False,
+    tagger=None,
 ) -> NerModel:
-    """Full training lifecycle (bilou_ner_trainer.cpp:20-75)."""
+    """Full training lifecycle (bilou_ner_trainer.cpp:20-75).
+
+    tagger: optional morpho.tagger.MorphoTagger — training sentences then
+    carry real (lemma, tag) morphology, matching the external/MorphoDiTa
+    tagger path of the reference trainer."""
     params = dict(params or {})
     if not 0 < stages < 256:
         raise ValueError("stages must be in 1..255")
 
     entities = EntityMap()
-    train_data = _load_data(parse_conll(train_conll), entities, add_entities=True)
+    train_data = _load_data(parse_conll(train_conll), entities, add_entities=True, tagger=tagger)
     heldout_data = (
-        _load_data(parse_conll(heldout_conll), entities, add_entities=False) if heldout_conll else []
+        _load_data(parse_conll(heldout_conll), entities, add_entities=False, tagger=tagger)
+        if heldout_conll
+        else []
     )
 
     templates = FeatureTemplates.parse(templates_text, entities, base_dir=base_dir)
@@ -249,4 +260,4 @@ def train_ner(
         if heldout_data:
             _compute_previous_stage(heldout_data, templates, net)
 
-    return NerModel(entities, templates, networks)
+    return NerModel(entities, templates, networks, tagger=tagger)
