@@ -784,6 +784,55 @@ def q_viterbi_tagger_fixture(spark, sf_dir):
     return df.mapInPandas(fn, "sent_id long, tok_idx int, form string, tag string")
 
 
+# sentences + the reference run_ner's own output on them (see
+# tests/test_binary_model.py for the provenance of fixtures/tiny_ref.ner)
+BINARY_MODEL_SENTENCES = [
+    (1, ["Alice", "Johnson", "works", "at", "Acme", "Corp", "in", "Prague", "."]),
+    (2, ["Bob", "visited", "London", "and", "Berlin", "yesterday", "."]),
+    (3, ["Contact", "alice@acme.com", "or", "see", "https://acme.com", "now", "."]),
+    (4, ["Eve", "flew", "to", "New", "York", "."]),
+]
+BINARY_MODEL_REF_GOLD = [
+    (1, 0, 2, "PER"), (1, 4, 2, "ORG"), (1, 7, 1, "LOC"),
+    (2, 0, 1, "PER"), (2, 2, 1, "LOC"), (2, 4, 1, "LOC"),
+    (3, 1, 1, "EMAIL"), (3, 4, 1, "URL"),
+    (4, 3, 2, "LOC"),
+]
+
+
+def q_binary_model_mentions(spark, sf_dir):
+    """Loads the REFERENCE-trained binary .ner model (fixtures/tiny_ref.ner,
+    produced by the compiled unmodified reference train_ner) through
+    nametag_spark.model.binary_reader and decodes distributed; the oracle is
+    the reference run_ner's own output on the same sentences — end-to-end
+    output parity against the reference binary."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    ner_path = os.path.join(_REPO_ROOT, "fixtures", "tiny_ref.ner")
+    with open(ner_path, "rb") as fh:
+        blob = fh.read()
+    df = spark.createDataFrame(BINARY_MODEL_SENTENCES, ["sent_id", "forms"])
+
+    def fn(batches):
+        import io
+
+        from nametag_spark.model.binary_reader import load_binary_ner
+
+        model = load_binary_ner(io.BytesIO(blob))
+        for pdf in batches:
+            rows = {"sent_id": [], "tok_start": [], "tok_len": [], "type": []}
+            for sid, forms in zip(pdf["sent_id"], pdf["forms"]):
+                for (start, length, type_name) in model.recognize_sentence(list(forms)):
+                    rows["sent_id"].append(sid)
+                    rows["tok_start"].append(start)
+                    rows["tok_len"].append(length)
+                    rows["type"].append(type_name)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "sent_id long, tok_start int, tok_len int, type string")
+
+
 def q_url_fsm_fixture(spark, sf_dir):
     """Runs the Python URL/email detector (tokenizer/rules.detect_url_email)
     distributed over the fixture; the oracle is the output of the COMPILED
@@ -1005,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morpho_analyze": q_morpho_analyze,
         "pdt_lemma_split": q_pdt_lemma_split,
         "viterbi_tagger_fixture": q_viterbi_tagger_fixture,
+        "binary_model_mentions": q_binary_model_mentions,
         "tokenize_fixture": q_tokenize_fixture,
         "tokenize_cs_fixture": q_tokenize_cs_fixture,
         "pii_flags": q_pii_flags,
@@ -1262,6 +1312,8 @@ def oracle_sql() -> dict[str, str]:
         + _values_sql(PDT_LEMMA_GOLD, ["lemma_id_row", "raw_lemma", "lemma_id", "comments"]),
         "viterbi_tagger_fixture": "SELECT * FROM "
         + _values_sql(VITERBI_GOLD, ["sent_id", "tok_idx", "form", "tag"]),
+        "binary_model_mentions": "SELECT * FROM "
+        + _values_sql(BINARY_MODEL_REF_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
         "url_fsm_fixture": "SELECT * FROM "
         + _values_sql(
             [(i, k, ln) for (i, _s, k, ln) in URL_FSM_FIXTURE],
