@@ -161,6 +161,64 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_similarity_edges(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH candidate generation with the exact-Jaccard verify FUSED into the
+    bucket self-join: the shingle set rides along with the band rows, so the
+    within-bucket join immediately produces both shingle arrays and the
+    similarity predicate applies in the same stage — two fewer shuffles than
+    lsh_candidate_pairs + jaccard_filter (which join the shingles back on).
+    Returns (src, dst) with src < dst. Used by resolve_entities, where the
+    surface table is small relative to the mention table and per-stage
+    latency dominates; the un-fused building blocks remain for callers that
+    want candidates and verification separately."""
+    rows = n_hashes // bands
+    sh = shingles(text_col, k)
+    src = df.select(F.col(key_col).alias("_k"), sh.alias("_sh")).withColumn(
+        "_h", F.transform("_sh", lambda s: _hash28(s))
+    )
+    consts = minhash_affine_constants(n_hashes)
+    mins = [
+        F.array_min(
+            F.transform("_h", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    sig = src.select("_k", "_sh", *mins)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{h}").cast("string") for h in range(b * rows, (b + 1) * rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
+        )
+    buckets = sig.select(
+        "_k", "_sh", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("_k", "_sh", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    oversized = buckets.groupBy("band", "sig").count().where(F.col("count") > max_bucket)
+    ok = buckets.join(F.broadcast(oversized.select("band", "sig")), ["band", "sig"], "left_anti")
+    l, r = ok.alias("l"), ok.alias("r")
+    jac = F.size(F.array_intersect("l._sh", "r._sh")) / F.size(F.array_union("l._sh", "r._sh"))
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l._k") < F.col("r._k")),
+        )
+        .where(jac >= threshold)
+        .select(F.col("l._k").alias("src"), F.col("r._k").alias("dst"))
+        .distinct()
+    )
+
+
 def jaccard_filter(
     pairs: DataFrame, df: DataFrame, text_col: str, key_col: str, threshold: float = 0.5, k: int = 3
 ) -> DataFrame:
@@ -324,25 +382,19 @@ def resolve_entities(
     # stable surface key: deterministic hash of (type, norm)
     surfaces = surfaces.withColumn("sid", _hash64(F.concat_ws("\t", "type", "norm"), 0))
 
-    # candidate pairs within the same entity type only
-    typed = surfaces.select("sid", F.concat_ws("\t", "type", "norm").alias("tnorm"), "norm", "type")
-    pairs = lsh_candidate_pairs(
-        typed.select("sid", F.concat_ws("|", "type", "norm").alias("key_text")),
+    # candidate pairs within the same entity type only (the type prefix in
+    # the key text keeps cross-type pairs out of both blocking and verify);
+    # fused LSH + jaccard verify — see lsh_similarity_edges
+    typed = surfaces.select("sid", F.concat_ws("|", "type", "norm").alias("key_text"))
+    edges = lsh_similarity_edges(
+        typed,
         "key_text",
         "sid",
         n_hashes=lsh_hashes,
         bands=lsh_bands,
         k=shingle_k,
-    )
-    # similarity filter on the type-prefixed text keeps cross-type pairs out
-    edges = jaccard_filter(
-        pairs,
-        typed.select("sid", F.concat_ws("|", "type", "norm").alias("key_text")),
-        "key_text",
-        "sid",
         threshold=jaccard_threshold,
-        k=shingle_k,
-    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
 
     comp = connected_components(edges)
     assign = surfaces.join(comp, surfaces["sid"] == comp["node"], "left").select(

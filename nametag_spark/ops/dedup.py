@@ -40,19 +40,23 @@ def minhash_dup_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     estimate_margin: float | None = None,
+    estimate_hashes: int = 48,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs verified with exact shingle Jaccard.
 
     shingle -> minhash -> band -> bucket-join, then candidates are
-    prefiltered by the minhash Jaccard ESTIMATE (matching signature
-    fraction, a cheap integer compare), and only the survivors pay the
-    exact shingle-set verification (no false positives in the output).
+    prefiltered by a minhash Jaccard ESTIMATE (matching signature fraction,
+    a cheap integer compare), and only the survivors pay the exact
+    shingle-set verification (no false positives in the output).
 
-    The prefilter margin defaults to 3*sqrt(t(1-t)/n_hashes) — three
-    standard deviations of the signature-match estimator at the threshold —
-    so a true pair at exactly J=threshold is dropped with probability
-    ~0.1%, not the ~4-9% a fixed margin allows. When bands == n_hashes
-    (1-row bands: LSH recall is already governed by any-single-hash
+    The estimate uses its OWN signature of max(n_hashes, estimate_hashes)
+    functions — affine permutations of one md5 per shingle, so widening it
+    costs almost nothing — and a margin of 3 standard deviations of the
+    estimator at the threshold, 3*sqrt(t(1-t)/estimate_hashes). At the
+    default 48 hashes that is a tight cut (~0.53 for t=0.7) while a true
+    pair at exactly J=threshold is dropped with probability ~0.2% (the old
+    fixed 0.25 margin on a 12-hash estimate dropped ~4-9%). When bands ==
+    n_hashes (1-row bands: LSH recall is already governed by any-single-hash
     collision) the prefilter is skipped entirely, since any extra filter
     would be strictly tighter than the banding the caller asked for."""
     from ..kg.resolution import minhash_signatures
@@ -61,19 +65,20 @@ def minhash_dup_pairs(
     pairs = lsh_candidate_pairs(base, "_norm", "_id", n_hashes=n_hashes, bands=bands, k=shingle_k)
 
     if bands < n_hashes:
+        n_est = max(n_hashes, estimate_hashes)
         if estimate_margin is None:
             import math
 
-            estimate_margin = 3.0 * math.sqrt(threshold * (1 - threshold) / n_hashes)
-        sig = minhash_signatures(base, "_norm", "_id", n_hashes=n_hashes, k=shingle_k)
-        sig_arr = sig.select(F.col("_id"), F.array(*[f"mh{h}" for h in range(n_hashes)]).alias("_sig"))
+            estimate_margin = 3.0 * math.sqrt(threshold * (1 - threshold) / n_est)
+        sig = minhash_signatures(base, "_norm", "_id", n_hashes=n_est, k=shingle_k)
+        sig_arr = sig.select(F.col("_id"), F.array(*[f"mh{h}" for h in range(n_est)]).alias("_sig"))
         pairs = (
             pairs.join(sig_arr.withColumnRenamed("_id", "a").withColumnRenamed("_sig", "_sa"), "a")
             .join(sig_arr.withColumnRenamed("_id", "b").withColumnRenamed("_sig", "_sb"), "b")
             .withColumn(
                 "_est",
                 F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m))
-                / F.lit(float(n_hashes)),
+                / F.lit(float(n_est)),
             )
             .where(F.col("_est") >= threshold - estimate_margin)
             .select("a", "b")
