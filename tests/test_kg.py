@@ -204,6 +204,23 @@ def test_build_knowledge_graph_resume(spark, tiny_model_dir, tmp_path):
     assert res3["resumed"][0] is False or res3["resumed"][1] is False
 
 
+def test_partition_pruning_on_pred(spark, tmp_path):
+    """The triples table is written partitionBy('pred'); a pred-equality
+    filter must prune at the source (PartitionFilters in the scan, not a
+    post-scan Filter over all partitions) — the property that makes
+    per-predicate queries touch 1/N of a 100-TB graph table."""
+    t = spark.createDataFrame(
+        [(1, "located_in", 2), (1, "affiliated_with", 3), (2, "located_in", 4)],
+        ["subj", "pred", "obj"],
+    )
+    path = str(tmp_path / "triples")
+    t.write.partitionBy("pred").parquet(path)
+    back = spark.read.parquet(path).where(F.col("pred") == "located_in")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "located_in" in plan, plan
+    assert back.count() == 2
+
+
 def test_graph_queries(spark):
     from nametag_spark.kg.queries import entity_degrees, neighbors, top_hubs, two_hop_paths
 
