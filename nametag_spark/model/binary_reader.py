@@ -108,9 +108,25 @@ def _read_blob(f) -> _Decoder:
     compressed = f.read(clen)
     if len(props) != 5 or len(compressed) != clen:
         raise BinaryFormatError("truncated blob body")
-    # lzma_alone container = 5 props bytes + u64 uncompressed size + stream
-    alone = props + struct.pack("<Q", ulen) + compressed
-    data = lzma.decompress(alone, format=lzma.FORMAT_ALONE)
+    # raw LZMA1 with parameters from the 5 props bytes; decode exactly ulen
+    # output bytes — tolerates both marker-terminated streams (reference
+    # writer) and marker-less truncated streams (binary_writer.py)
+    lclppb = props[0]
+    lc = lclppb % 9
+    lp = (lclppb // 9) % 5
+    pb = lclppb // 45
+    dict_size = struct.unpack("<I", props[1:5])[0]
+    filt = [
+        {
+            "id": lzma.FILTER_LZMA1,
+            "dict_size": max(4096, dict_size),
+            "lc": lc,
+            "lp": lp,
+            "pb": pb,
+        }
+    ]
+    dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=filt)
+    data = dec.decompress(compressed, max_length=ulen)
     if len(data) != ulen:
         raise BinaryFormatError("decompressed length mismatch")
     return _Decoder(data)

@@ -73,3 +73,93 @@ def test_binary_rejects_morphodita_tagger(tmp_path):
 
     with pytest.raises(BinaryFormatError, match="MORPHODITA"):
         load_binary_ner(io.BytesIO(bytes([1, 2])))
+
+
+REF_RUN_NER = "/tmp/refbuild/run_ner"  # compiled unmodified reference (optional)
+
+
+def test_binary_writer_roundtrip():
+    """reference .ner -> our model -> re-encoded .ner -> reload: identical
+    structure and decisions (weights already f32, so no quantization drift)."""
+    import tempfile
+
+    from nametag_spark.model.binary_writer import save_binary_ner
+
+    m = load_binary_ner(FIXTURE)
+    with tempfile.NamedTemporaryFile(suffix=".ner") as tmp:
+        save_binary_ner(m, tmp.name)
+        m2 = load_binary_ner(tmp.name)
+    assert m2.entities.id2str == m.entities.id2str
+    assert [p.name for p in m2.templates.processors] == [p.name for p in m.templates.processors]
+    assert m2.templates.total.value == m.templates.total.value
+    for sent in SENTENCES:
+        assert m2.recognize_sentence(sent) == m.recognize_sentence(sent)
+
+
+def test_binary_writer_runs_in_reference_engine(tmp_path):
+    """Export a model TRAINED BY THIS ENGINE to .ner and run it under the
+    compiled reference run_ner: the reference's entity output must equal our
+    own decode of the re-imported (f32-quantized) model. Skipped when the
+    compiled reference binary is not present."""
+    import subprocess
+
+    import pytest
+
+    if not os.path.exists(REF_RUN_NER):
+        pytest.skip("compiled reference run_ner not available")
+
+    from nametag_spark.model.binary_writer import save_binary_ner
+    from nametag_spark.train.trainer import train_ner
+
+    conll = "\n\n".join(
+        [
+            "Alice\tB-PER\nworks\tO\nat\tO\nAcme\tB-ORG\nin\tO\nPrague\tB-LOC\n.\tO",
+            "Bob\tB-PER\nvisited\tO\nLondon\tB-LOC\n.\tO",
+            "Email\tO\nbob@x.com\tO\nnow\tO\n.\tO",
+        ]
+        * 5
+    )
+    templates = (
+        "Form/2\nFormCapitalization/2\nFormSuffix/1 2 4\nPreviousStage/3\n"
+        "URLEmailDetector/1 URL EMAIL\n"
+    )
+    model = train_ner(templates, conll, stages=2, params={"iterations": 8})
+    ner_path = str(tmp_path / "exported.ner")
+    save_binary_ner(model, ner_path)
+
+    sentences = [
+        ["Alice", "works", "at", "Acme", "in", "Prague", "."],
+        ["Bob", "visited", "London", "."],
+        ["Email", "bob@x.com", "now", "."],
+        ["Carol", "visited", "Prague", "."],
+    ]
+    vertical = "\n\n".join("\n".join(s) for s in sentences) + "\n\n"
+    out = subprocess.run(
+        [REF_RUN_NER, "--input=vertical", "--output=vertical", ner_path],
+        input=vertical,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+
+    # parse reference vertical output: "i,j\tTYPE\tsurface" with global ids
+    ref_spans = set()
+    for line in out.stdout.splitlines():
+        if "\t" not in line:
+            continue
+        ids, type_name, _surface = line.split("\t", 2)
+        toks = [int(x) for x in ids.split(",")]
+        ref_spans.add((toks[0], len(toks), type_name))
+
+    # our decode of the re-imported model, with the same global token ids
+    # (reference vertical output counts tokens 1-based across sentences
+    # with a +1 gap per sentence boundary)
+    m2 = load_binary_ner(ner_path)
+    ours = set()
+    base = 1
+    for s in sentences:
+        for (start, length, type_name) in m2.recognize_sentence(s):
+            ours.add((base + start, length, type_name))
+        base += len(s) + 1
+    assert ref_spans == ours, (ref_spans, ours)

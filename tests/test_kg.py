@@ -42,8 +42,10 @@ def test_connected_components_matches_union_find(spark, driver_threshold):
     import random
 
     rng = random.Random(4)
-    nodes = list(range(1, 120))
-    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(140)]
+    # 10k edges over 3k nodes: dense enough for multi-round star convergence
+    # on the distributed path, and both paths must agree exactly
+    nodes = list(range(1, 3_000))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(10_000)]
     edges = [(a, b) for a, b in edges if a != b]
 
     df = spark.createDataFrame(edges, ["src", "dst"])
