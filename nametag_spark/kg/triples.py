@@ -25,6 +25,69 @@ PREDICATE_RULES = [
 ]
 
 
+def triple_evidence(
+    mention_entities: DataFrame,
+    transcripts: DataFrame | None = None,
+    window: str = "sentence",
+    id_cols: tuple = ("entity_id",),
+) -> DataFrame:
+    """Pre-aggregation triple evidence: one row per co-occurring mention
+    pair with its predicate and provenance. The streaming path appends these
+    rows per micro-batch (no global state needed) and aggregates at
+    compaction; the batch path feeds them straight into aggregate_triples.
+
+    id_cols: columns carried from each mention side as subj/obj identity —
+    ('entity_id',) after resolution, or none (surface-only evidence) when
+    resolution is deferred to compaction."""
+    keys = ["conv_id", "turn_idx"] + (["sent_idx"] if window == "sentence" else [])
+
+    sel = [*keys, "tok_start", "type", "norm", *[c for c in id_cols if c]]
+    m = mention_entities.select(*sel)
+
+    rules = m.sparkSession.createDataFrame(
+        PREDICATE_RULES, ["subj_type", "obj_type", "pred"]
+    )
+
+    left = m.alias("l")
+    right = m.alias("r")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    # subject precedes object in the sentence; self-pairs excluded
+    cond.append(F.col("l.tok_start") < F.col("r.tok_start"))
+    if "entity_id" in id_cols:
+        cond.append(F.col("l.entity_id") != F.col("r.entity_id"))
+    else:
+        cond.append(
+            (F.col("l.type") != F.col("r.type")) | (F.col("l.norm") != F.col("r.norm"))
+        )
+
+    cols = [
+        F.col("l.conv_id").alias("conv_id"),
+        F.col("l.turn_idx").alias("turn_idx"),
+        F.col("l.type").alias("subj_type"),
+        F.col("r.type").alias("obj_type"),
+        F.col("l.norm").alias("subj_norm"),
+        F.col("r.norm").alias("obj_norm"),
+    ]
+    if "entity_id" in id_cols:
+        cols += [F.col("l.entity_id").alias("subj"), F.col("r.entity_id").alias("obj")]
+    pairs = left.join(right, cond).select(*cols)
+
+    # predicate rules are a tiny dimension -> broadcast hash join
+    triples = pairs.join(F.broadcast(rules), ["subj_type", "obj_type"])
+
+    if transcripts is not None:
+        ctx = transcripts.select("conv_id", "turn_idx", "role", "tool")
+        triples = triples.join(ctx, ["conv_id", "turn_idx"], "left").withColumn(
+            "pred",
+            F.when(
+                (F.col("role") == "tool") & (F.length("tool") > 0),
+                F.concat_ws("_", F.col("pred"), F.lit("via"), F.col("tool")),
+            ).otherwise(F.col("pred")),
+        ).drop("role", "tool")
+
+    return triples.withColumn("evidence", F.concat_ws(":", "conv_id", "turn_idx"))
+
+
 def extract_triples(
     mention_entities: DataFrame,
     transcripts: DataFrame | None = None,
@@ -41,49 +104,13 @@ def extract_triples(
     where subj/obj are canonical entity ids and evidence is a deduplicated
     list of "conv_id:turn_idx" provenance strings.
     """
-    keys = ["conv_id", "turn_idx"] + (["sent_idx"] if window == "sentence" else [])
+    triples = triple_evidence(mention_entities, transcripts, window)
+    return aggregate_triples(triples, evidence_cap)
 
-    m = mention_entities.select(
-        *keys, "tok_start", "type", "entity_id", "norm"
-    )
 
-    rules = m.sparkSession.createDataFrame(
-        PREDICATE_RULES, ["subj_type", "obj_type", "pred"]
-    )
-
-    left = m.alias("l")
-    right = m.alias("r")
-    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
-    # subject precedes object in the sentence; self-pairs excluded
-    cond.append(F.col("l.tok_start") < F.col("r.tok_start"))
-    cond.append(F.col("l.entity_id") != F.col("r.entity_id"))
-
-    pairs = left.join(right, cond).select(
-        F.col("l.conv_id").alias("conv_id"),
-        F.col("l.turn_idx").alias("turn_idx"),
-        F.col("l.type").alias("subj_type"),
-        F.col("r.type").alias("obj_type"),
-        F.col("l.entity_id").alias("subj"),
-        F.col("r.entity_id").alias("obj"),
-        F.col("l.norm").alias("subj_norm"),
-        F.col("r.norm").alias("obj_norm"),
-    )
-
-    # predicate rules are a tiny dimension -> broadcast hash join
-    triples = pairs.join(F.broadcast(rules), ["subj_type", "obj_type"])
-
-    if transcripts is not None:
-        ctx = transcripts.select("conv_id", "turn_idx", "role", "tool")
-        triples = triples.join(ctx, ["conv_id", "turn_idx"], "left").withColumn(
-            "pred",
-            F.when(
-                (F.col("role") == "tool") & (F.length("tool") > 0),
-                F.concat_ws("_", F.col("pred"), F.lit("via"), F.col("tool")),
-            ).otherwise(F.col("pred")),
-        )
-
-    triples = triples.withColumn("evidence", F.concat_ws(":", "conv_id", "turn_idx"))
-
+def aggregate_triples(triples: DataFrame, evidence_cap: int | None = 1000) -> DataFrame:
+    """Evidence rows -> aggregated triple table (used by the batch path and
+    by the streaming compaction over accumulated evidence)."""
     # One fused salted two-phase aggregation carries the head attributes,
     # the co-occurrence count, AND the provenance list (previously a head
     # groupBy + a separate salted agg + a join — two full shuffles over the

@@ -92,6 +92,120 @@ def dedup_turns_stateful(stream_df: DataFrame) -> DataFrame:
     )
 
 
+def run_incremental_kg(
+    stream_df: DataFrame,
+    model_dir: str,
+    out_dir: str,
+    checkpoint_path: str,
+    window: str = "sentence",
+):
+    """Incremental KG construction over a transcript stream.
+
+    Per micro-batch (foreachBatch = exactly-once with the checkpoint;
+    batch-id-keyed overwrite makes replays idempotent):
+      turns -> NER mentions -> canonicalized SURFACE-level triple evidence
+      appended under out_dir/evidence/batch=<id>/, plus the batch's full
+      mention-surface counts under out_dir/surfaces/batch=<id>/ (ALL
+      surfaces, not just paired ones — resolution needs the complete
+      surface population or clustering diverges from the batch pipeline).
+    Entity resolution is deliberately deferred to compact_triples():
+    clustering is a global decision (a surface observed in batch 900 can
+    merge entities first seen in batch 3), so the stream stays stateless
+    and append-only — the classic evidence-log + periodic-compaction split.
+
+    Returns the StreamingQuery (availableNow trigger: drains what exists,
+    then stops; restart with the same checkpoint resumes exactly)."""
+    from ..kg.resolution import canonicalize_mentions
+    from ..kg.triples import triple_evidence
+    from ..ner.pipeline import recognize_df
+
+    def process(batch_df, batch_id: int):
+        mentions = recognize_df(batch_df, model_dir)
+        m = canonicalize_mentions(mentions).where(F.length("norm") > 0).persist()
+        ev = triple_evidence(
+            m, batch_df.select("conv_id", "turn_idx", "role", "tool"), window, id_cols=()
+        )
+        ev.write.mode("overwrite").parquet(f"{out_dir}/evidence/batch={batch_id}")
+        m.groupBy("type", "norm").agg(F.count(F.lit(1)).alias("n_mentions")).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/surfaces/batch={batch_id}")
+        m.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_triples(
+    spark: SparkSession,
+    out_dir: str,
+    evidence_cap: int | None = 1000,
+    lsh_hashes: int = 12,
+    lsh_bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.6,
+):
+    """Compaction over the accumulated evidence log: resolve entities across
+    ALL surfaces seen so far (LSH blocking + connected components on the
+    distinct (type, norm) table — small relative to the evidence), assign
+    ids to both pair sides, and run the fused triple aggregation. Returns
+    the triples DataFrame; callers persist it with graph_io.write_stage for
+    lineage + pred partitioning."""
+    from ..kg.resolution import _hash64, connected_components, lsh_similarity_edges
+    from ..kg.triples import aggregate_triples
+
+    ev = spark.read.parquet(f"{out_dir}/evidence")
+
+    surfaces = (
+        spark.read.parquet(f"{out_dir}/surfaces")
+        .groupBy("type", "norm")
+        .agg(F.sum("n_mentions").alias("n_mentions"))
+        .withColumn("sid", _hash64(F.concat_ws("\t", "type", "norm"), 0))
+        .persist()
+    )
+    # same blocking/verify parameters as resolve_entities' defaults, so the
+    # compacted clustering equals the batch pipeline's
+    typed = surfaces.select("sid", F.concat_ws("|", "type", "norm").alias("key_text"))
+    comp = connected_components(
+        lsh_similarity_edges(
+            typed,
+            "key_text",
+            "sid",
+            n_hashes=lsh_hashes,
+            bands=lsh_bands,
+            k=shingle_k,
+            threshold=jaccard_threshold,
+        )
+    )
+    assign = surfaces.join(comp, surfaces["sid"] == comp["node"], "left").select(
+        surfaces["type"],
+        surfaces["norm"],
+        F.coalesce(comp["component"], surfaces["sid"]).alias("entity_id"),
+    )
+
+    subj_assign = assign.select(
+        F.col("type").alias("subj_type"),
+        F.col("norm").alias("subj_norm"),
+        F.col("entity_id").alias("subj"),
+    )
+    obj_assign = assign.select(
+        F.col("type").alias("obj_type"),
+        F.col("norm").alias("obj_norm"),
+        F.col("entity_id").alias("obj"),
+    )
+    keyed = (
+        ev.join(subj_assign, ["subj_type", "subj_norm"])
+        .join(obj_assign, ["obj_type", "obj_norm"])
+        .where(F.col("subj") != F.col("obj"))
+    )
+    out = aggregate_triples(keyed, evidence_cap)
+    surfaces.unpersist()
+    return out
+
+
 def run_stream_to_parquet(
     mentions_or_counts: DataFrame,
     out_path: str,

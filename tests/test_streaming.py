@@ -99,3 +99,46 @@ def test_stream_resume_from_checkpoint(spark, tiny_model_dir, stream_src, tmp_pa
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_incremental_kg_matches_batch(spark, tiny_model_dir, stream_src, tmp_path):
+    """Evidence-log streaming + compaction must produce EXACTLY the batch
+    pipeline's triple table on the same data (ids, norms, counts,
+    provenance)."""
+    from nametag_spark.kg.resolution import release_persisted, resolve_entities
+    from nametag_spark.kg.triples import extract_triples
+    from nametag_spark.ner.pipeline import recognize_df
+    from nametag_spark.streaming.stream import compact_triples, run_incremental_kg
+
+    src, tdf, _base = stream_src
+    out_dir = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "kg_ckpt")
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+    q = run_incremental_kg(stream, tiny_model_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+
+    def rows(df):
+        pdf = df.toPandas()
+        pdf["evidence"] = pdf["evidence"].map(lambda v: tuple(v))
+        cols = ["subj", "pred", "obj", "subj_type", "obj_type",
+                "subj_norm", "obj_norm", "n_evidence", "evidence", "n_cooccur"]
+        return sorted(map(tuple, pdf[cols].itertuples(index=False)))
+
+    incremental = rows(compact_triples(spark, out_dir))
+
+    batch_input = spark.createDataFrame(tdf)
+    mentions = recognize_df(batch_input, tiny_model_dir)
+    me, _ = resolve_entities(mentions)
+    batch = rows(extract_triples(me, batch_input))
+    release_persisted()
+
+    assert incremental == batch
+    assert len(incremental) > 0
+
+    # restart with the same checkpoint: no new input -> unchanged evidence
+    q2 = run_incremental_kg(
+        read_transcript_stream(spark, src), tiny_model_dir, out_dir, ckpt
+    )
+    q2.awaitTermination(120)
+    assert rows(compact_triples(spark, out_dir)) == incremental
