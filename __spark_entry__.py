@@ -365,6 +365,31 @@ CS_TOKENIZE_GOLD = [
     (8, 0, ["Má", "-3,5", "bodu", "."]),
 ]
 
+def _emb_dup_fixture() -> list:
+    """Clustered embeddings with exact-binary-float perturbations: 4 tight
+    clusters of 4 near-duplicate vectors + 8 spread singletons (8-d)."""
+    rows = []
+    vid = 0
+    bases = [
+        [8, 1, 0, 0, 2, 0, 1, 0],
+        [0, 7, 2, 0, 0, 3, 0, 1],
+        [1, 0, 0, 9, 0, 0, 2, 0],
+        [0, 2, 5, 0, 6, 0, 0, 3],
+    ]
+    for c, base in enumerate(bases):
+        for k in range(4):
+            v = [float(x) + (0.0078125 * k if d == c else 0.0) for d, x in enumerate(base)]
+            rows.append((vid, v))
+            vid += 1
+    for j in range(8):
+        rows.append((vid, [float((j * 3 + d * 7) % 11 - 5) for d in range(8)]))
+        vid += 1
+    return rows
+
+
+EMB_DUP_FIXTURE = _emb_dup_fixture()
+
+
 # --- morpho (G5/G6) fixtures -------------------------------------------------
 # toy root+suffix-class dictionary (morpho_dictionary.h semantics): a form
 # analyzes as (lemma, tag) when form = root || suffix and the root's
@@ -450,6 +475,8 @@ def _values_sql(rows, cols, types=None) -> str:
             return "'" + v.replace("'", "''") + "'"
         if isinstance(v, float):
             return repr(v)
+        if isinstance(v, (list, tuple)):
+            return "[" + ", ".join(lit(x) for x in v) + "]"
         return str(v)
 
     body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
@@ -1015,6 +1042,29 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
 
 
+def q_embedding_dup_sharded(spark, sf_dir):
+    """IVF-sharded embedding near-dup (per-shard exact verification). The
+    oracle is the full brute-force pair scan in SQL: any pair the sharding
+    misses turns the row red, so shard recall is enforced at threshold."""
+    from nametag_spark.ops.dedup import embedding_dup_pairs_sharded
+
+    df = spark.createDataFrame(EMB_DUP_FIXTURE, "vec_id long, embedding array<double>")
+    return embedding_dup_pairs_sharded(df, threshold=0.9, n_centroids=6, n_probe=2)
+
+
+def q_resize_images(spark, sf_dir):
+    """Multimodal resize plumbing (fake decoder): output identity = md5 of
+    the resized pixel buffer, pinned from the same deterministic byte logic
+    computed driver-side (no Spark) in the oracle."""
+    from nametag_spark.ops.multimodal import resize_images, synth_assets
+
+    _ensure_shipped(spark)
+    assets = synth_assets(spark, n=48)
+    return resize_images(assets, out_w=16, out_h=12).select(
+        "asset_id", "out_w", "out_h", F.md5("pixels").alias("pixels_md5")
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from nametag_spark.ops.multimodal import extract_features, synth_assets
 
@@ -1068,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "embedding_dup_sharded": q_embedding_dup_sharded,
+        "resize_images": q_resize_images,
     }
 
 
@@ -1435,5 +1487,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM embeddings WHERE vec_id < 200) r ON l.vec_id < r.vec_id
             WHERE {cosine} >= 0.3
         """,
+        "embedding_dup_sharded": f"""
+            SELECT l.vec_id AS a, r.vec_id AS b, ROUND({cosine}, 6) AS cosine
+            FROM (SELECT * FROM {_values_sql(EMB_DUP_FIXTURE, ["vec_id", "embedding"])}) l
+            JOIN (SELECT * FROM {_values_sql(EMB_DUP_FIXTURE, ["vec_id", "embedding"])}) r
+              ON l.vec_id < r.vec_id
+            WHERE {cosine} >= 0.9
+        """,
+        "resize_images": "SELECT * FROM " + _values_sql(
+            _resize_golden(), ["asset_id", "out_w", "out_h", "pixels_md5"]
+        ),
         **_golden_oracles(),
     }
+
+
+def _resize_golden() -> list:
+    """Expected resize outputs computed driver-side from the same
+    deterministic byte logic (no Spark)."""
+    import hashlib
+
+    from nametag_spark.ops.multimodal import fake_resized_pixels, synth_asset_rows
+
+    out = []
+    for (aid, kind, data, _w, _h, _dur) in synth_asset_rows(48):
+        if kind == "image":
+            md5 = hashlib.md5(fake_resized_pixels(bytes(data), 16, 12)).hexdigest()
+            out.append((aid, 16, 12, md5))
+    return out

@@ -220,6 +220,64 @@ def ngram_jaccard_pairs(
     return out
 
 
+def embedding_dup_pairs_sharded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: IVF sharding + per-shard exact
+    verification (the composition of ops.similarity's bucketing with the
+    brute-force building block).
+
+    Every vector is assigned to its n_probe nearest coarse centroids; the
+    candidate self-join runs WITHIN shards only (cost sum of squared shard
+    sizes, not |df|^2), then exact cosine filters and cross-shard duplicates
+    collapse. Near-duplicates (cosine >= a high threshold) are nearly
+    parallel vectors, so they share a nearest centroid almost surely;
+    multi-assign covers Voronoi-boundary pairs. Recall vs the brute-force
+    oracle is exact on the clustered fixture in __spark_entry__."""
+    from pyspark.sql import Window
+
+    from .similarity import _as_double, _dot, _norm, ivf_centroids
+
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(cents, ["cid", "cvec"])
+
+    v = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")).withColumn(
+        "_n", _norm(F.col("_v"))
+    )
+    scored = v.crossJoin(F.broadcast(cdf)).withColumn(
+        "_sim", _dot(F.col("_v"), F.col("cvec")) / (F.col("_n") * _norm(F.col("cvec")))
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_sim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_probe)
+        .select("cid", "_id", "_v", "_n")
+    )
+    l, r = assigned.alias("l"), assigned.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l._v"), F.col("r._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        l.join(r, (F.col("l.cid") == F.col("r.cid")) & (F.col("l._id") < F.col("r._id")))
+        .withColumn("cosine", dot / (F.col("l._n") * F.col("r._n")))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .distinct()
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -25,8 +25,9 @@ FEATURES_SCHEMA = "asset_id long, kind string, feature array<float>, feat_dim in
 FRAMES_SCHEMA = "asset_id long, frame_idx int, frame_ms int, frame binary"
 
 
-def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake binary assets for tests/benchmarks."""
+def synth_asset_rows(n: int = 64, seed: int = 42) -> list:
+    """Deterministic fake asset rows (plain Python — also used to compute
+    pinned oracle values without a SparkSession)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -43,7 +44,19 @@ def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 1000 * (1 + i % 30) if kind != "image" else None,
             )
         )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return rows
+
+
+def fake_resized_pixels(data: bytes, out_w: int, out_h: int) -> bytes:
+    """The decoder='fake' resize payload (tiled to out_w*out_h*3 bytes)."""
+    n_out = out_w * out_h * 3
+    reps = n_out // max(1, len(data)) + 1
+    return (data * reps)[:n_out]
+
+
+def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake binary assets for tests/benchmarks."""
+    return spark.createDataFrame(synth_asset_rows(n, seed), ASSET_SCHEMA)
 
 
 def _fake_feature(data: bytes, dim: int) -> np.ndarray:
@@ -78,6 +91,43 @@ def extract_features(df: DataFrame, dim: int = 32, decoder: str = "fake") -> Dat
             )
 
     return df.select("asset_id", "kind", "data").mapInPandas(fn, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "asset_id long, width int, height int, out_w int, out_h int, pixels binary"
+
+
+def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32, decoder: str = "fake") -> DataFrame:
+    """image -> fixed-size RGB buffer (out_w*out_h*3 bytes).
+
+    decoder='fake' emits a deterministic byte buffer derived from the
+    payload (tiled + length-stamped) so the batching/schema/size contract is
+    real and testable; decoder='real' is the PIL seam."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                # real decode seam: PIL.Image.open(io.BytesIO(data)).resize(...)
+                raise NotImplementedError(
+                    "real image decode requires PIL; use decoder='fake'"
+                )
+            out = {"asset_id": [], "width": [], "height": [], "out_w": [], "out_h": [], "pixels": []}
+            for aid, w, h, data in zip(pdf["asset_id"], pdf["width"], pdf["height"], pdf["data"]):
+                if data is None:
+                    continue
+                buf = fake_resized_pixels(bytes(data), out_w, out_h)
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["pixels"].append(bytearray(buf))
+            yield pd.DataFrame(out)
+
+    return (
+        df.where("kind = 'image'")
+        .select("asset_id", "width", "height", "data")
+        .mapInPandas(fn, schema=RESIZED_SCHEMA)
+    )
 
 
 def sample_frames(df: DataFrame, every_ms: int = 5000, max_frames: int = 8, decoder: str = "fake") -> DataFrame:
