@@ -860,6 +860,78 @@ def q_binary_model_mentions(spark, sf_dir):
     return df.mapInPandas(fn, "sent_id long, tok_start int, tok_len int, type string")
 
 
+MORPHO_NER_SENTENCES = [
+    (1, ["pani", "pila"]),
+    (2, ["vcera", "pila", "vodu"]),
+    (3, ["navstivil", "jsem", "pani", "pila"]),
+]
+# deterministic decode of the morpho-tagged NER model (see q_morpho_ner_fixture):
+# 'pila' is PER exactly in the noun reading, which only the POS tagger can see
+MORPHO_NER_GOLD = [
+    (1, 1, 1, "PER"),
+    (3, 3, 1, "PER"),
+]
+
+
+def q_morpho_ner_fixture(spark, sf_dir):
+    """G4-G6 end-to-end through NER: a model whose ONLY features are the
+    token's own Tag/Lemma (window 0) — with the trivial tagger both
+    readings of 'pila' are indistinguishable; with the morpho dictionary +
+    perceptron POS tagger the noun reading becomes PER and the verb reading
+    stays O. Training is deterministic; decode runs distributed."""
+    import pandas as pd
+
+    from nametag_spark.morpho.dictionary import Morpho, MorphoDictionary, SuffixRuleGuesser
+    from nametag_spark.morpho.tagger import MorphoTagger, PerceptronTagger
+    from nametag_spark.train.trainer import train_ner
+
+    _ensure_shipped(spark)
+    d = MorphoDictionary.from_forms(
+        [
+            ("pila", "pít", "Vp"),
+            ("pila", "Pila", "NNP"),
+            ("pani", "pani", "DT"),
+            ("vodu", "voda", "NN"),
+            ("vcera", "vcera", "RB"),
+            ("navstivil", "navstivit", "Vp"),
+            ("jsem", "být", "VB"),
+        ]
+    )
+    morpho = Morpho(d, SuffixRuleGuesser(), unknown_tag="UNK")
+    pos_sents = [
+        (["pani", "pila"], ["DT", "NNP"]),
+        (["vcera", "pila", "vodu"], ["RB", "Vp", "NN"]),
+        (["navstivil", "jsem", "pani", "pila"], ["Vp", "VB", "DT", "NNP"]),
+        (["pila", "vodu"], ["Vp", "NN"]),
+    ] * 3
+    mt = MorphoTagger(morpho, PerceptronTagger.train(pos_sents, morpho.analyze, iterations=6))
+    conll = "\n\n".join(
+        [
+            "pani\tO\npila\tB-PER",
+            "vcera\tO\npila\tO\nvodu\tO",
+            "navstivil\tO\njsem\tO\npani\tO\npila\tB-PER",
+            "pila\tO\nvodu\tO",
+        ]
+        * 4
+    )
+    model = train_ner("Tag/0\nLemma/0\n", conll, stages=1, params={"iterations": 10}, tagger=mt)
+
+    df = spark.createDataFrame(MORPHO_NER_SENTENCES, ["sent_id", "forms"])
+
+    def fn(batches):
+        for pdf in batches:
+            rows = {"sent_id": [], "tok_start": [], "tok_len": [], "type": []}
+            for sid, forms in zip(pdf["sent_id"], pdf["forms"]):
+                for (start, length, type_name) in model.recognize_sentence(list(forms)):
+                    rows["sent_id"].append(sid)
+                    rows["tok_start"].append(start)
+                    rows["tok_len"].append(length)
+                    rows["type"].append(type_name)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "sent_id long, tok_start int, tok_len int, type string")
+
+
 def q_url_fsm_fixture(spark, sf_dir):
     """Runs the Python URL/email detector (tokenizer/rules.detect_url_email)
     distributed over the fixture; the oracle is the output of the COMPILED
@@ -1105,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdt_lemma_split": q_pdt_lemma_split,
         "viterbi_tagger_fixture": q_viterbi_tagger_fixture,
         "binary_model_mentions": q_binary_model_mentions,
+        "morpho_ner_fixture": q_morpho_ner_fixture,
         "tokenize_fixture": q_tokenize_fixture,
         "tokenize_cs_fixture": q_tokenize_cs_fixture,
         "pii_flags": q_pii_flags,
@@ -1366,6 +1439,8 @@ def oracle_sql() -> dict[str, str]:
         + _values_sql(VITERBI_GOLD, ["sent_id", "tok_idx", "form", "tag"]),
         "binary_model_mentions": "SELECT * FROM "
         + _values_sql(BINARY_MODEL_REF_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
+        "morpho_ner_fixture": "SELECT * FROM "
+        + _values_sql(MORPHO_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
         "url_fsm_fixture": "SELECT * FROM "
         + _values_sql(
             [(i, k, ln) for (i, _s, k, ln) in URL_FSM_FIXTURE],

@@ -179,12 +179,17 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df_count: int | None = None,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs.
 
     Blocking: a pair must share at least one n-gram (explode + self-join on
     the n-gram hash), so cost is bounded by n-gram posting-list sizes rather
-    than |df|^2; hot n-grams (stop phrases) are capped via max_df pruning."""
+    than |df|^2; hot n-grams (stop phrases) are capped via max_df pruning.
+
+    max_df_count: absolute hot-gram document-frequency cap. When None, it is
+    derived as max(100, 1% of the corpus) — which costs one extra count()
+    job; pass an explicit cap to keep the op fully lazy at scale."""
     toks = tokens_col(F.lower(F.col(text_col)))
     grams = F.when(
         F.size(toks) >= n,
@@ -198,8 +203,7 @@ def ngram_jaccard_pairs(
     g = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
     posting = g.select("_id", F.explode("_grams").alias("gram"))
     # prune n-grams occurring in >1% of docs (or >100 docs) — boilerplate
-    total = g.count()
-    cap = max(100, int(total * 0.01))
+    cap = max_df_count if max_df_count is not None else max(100, int(g.count() * 0.01))
     hot = posting.groupBy("gram").count().where(F.col("count") > cap)
     posting = posting.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
     l, r = posting.alias("l"), posting.alias("r")
