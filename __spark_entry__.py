@@ -932,6 +932,59 @@ def q_morpho_ner_fixture(spark, sf_dir):
     return df.mapInPandas(fn, "sent_id long, tok_start int, tok_len int, type string")
 
 
+# hand-derived sink renderings (run_ner.cpp:63-172 formats) of one fixed
+# turn: "Alice Johnson visits Prague. Bob waits." with entities
+# PER(Alice Johnson), LOC(Prague), PER(Bob)
+SINKS_TEXT = "Alice Johnson visits Prague. Bob waits."
+SINKS_ENTITIES = [[(0, 2, "PER"), (3, 1, "LOC")], [(0, 1, "PER")]]
+SINKS_GOLD = (
+    [("conll", i, line) for i, line in enumerate(
+        ["Alice\tB-PER", "Johnson\tI-PER", "visits\tO", "Prague\tB-LOC", ".\tO", "",
+         "Bob\tB-PER", "waits\tO", ".\tO", ""])]
+    + [("vertical", i, line) for i, line in enumerate(
+        ["1,2\tPER\tAlice Johnson", "4\tLOC\tPrague", "7\tPER\tBob"])]
+    + [("xml", 0,
+        '<sentence><ne type="PER"><token>Alice</token> <token>Johnson</token></ne> '
+        '<token>visits</token> <ne type="LOC"><token>Prague</token></ne>'
+        "<token>.</token></sentence> "
+        '<sentence><ne type="PER"><token>Bob</token></ne> <token>waits</token>'
+        "<token>.</token></sentence>")]
+)
+
+
+def q_render_sinks(spark, sf_dir):
+    """S5-S7 sink kernels (CoNLL / vertical / XML) over fixed entities,
+    rendered distributed and exploded to one row per output line; oracle =
+    hand-derived goldens of the reference stream formats."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    df = spark.createDataFrame([("conll",), ("vertical",), ("xml",)], ["fmt"])
+
+    def fn(batches):
+        from nametag_spark.sinks.render import render_conll, render_vertical, render_xml
+        from nametag_spark.tokenizer.rules import tokenize_sentences
+
+        spans = tokenize_sentences(SINKS_TEXT)
+        forms = [[SINKS_TEXT[a : a + b] for (a, b) in s] for s in spans]
+        for pdf in batches:
+            rows = {"fmt": [], "line_no": [], "line": []}
+            for fmt in pdf["fmt"]:
+                if fmt == "conll":
+                    lines = render_conll(forms, SINKS_ENTITIES).splitlines()
+                elif fmt == "vertical":
+                    lines = render_vertical(forms, SINKS_ENTITIES).splitlines()
+                else:
+                    lines = [render_xml(SINKS_TEXT, spans, SINKS_ENTITIES)]
+                for i, line in enumerate(lines):
+                    rows["fmt"].append(fmt)
+                    rows["line_no"].append(i)
+                    rows["line"].append(line)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "fmt string, line_no int, line string")
+
+
 def q_url_fsm_fixture(spark, sf_dir):
     """Runs the Python URL/email detector (tokenizer/rules.detect_url_email)
     distributed over the fixture; the oracle is the output of the COMPILED
@@ -1178,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_tagger_fixture": q_viterbi_tagger_fixture,
         "binary_model_mentions": q_binary_model_mentions,
         "morpho_ner_fixture": q_morpho_ner_fixture,
+        "render_sinks": q_render_sinks,
         "tokenize_fixture": q_tokenize_fixture,
         "tokenize_cs_fixture": q_tokenize_cs_fixture,
         "pii_flags": q_pii_flags,
@@ -1441,6 +1495,8 @@ def oracle_sql() -> dict[str, str]:
         + _values_sql(BINARY_MODEL_REF_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
         "morpho_ner_fixture": "SELECT * FROM "
         + _values_sql(MORPHO_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
+        "render_sinks": "SELECT * FROM "
+        + _values_sql(SINKS_GOLD, ["fmt", "line_no", "line"]),
         "url_fsm_fixture": "SELECT * FROM "
         + _values_sql(
             [(i, k, ln) for (i, _s, k, ln) in URL_FSM_FIXTURE],
