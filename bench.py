@@ -86,9 +86,13 @@ def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf) -> dict:
     timed("ner_recognize", lambda: recognize_df(transcripts, model_dir).count())
 
     def kg_e2e():
+        from nametag_spark.kg.resolution import release_persisted
+
         mentions = recognize_df(transcripts, model_dir)
         me, _ = resolve_entities(mentions)
-        return extract_triples(me, transcripts).count()
+        n = extract_triples(me, transcripts).count()
+        release_persisted()  # reclaim resolution caches before later queries
+        return n
 
     timed("kg_triples_e2e", kg_e2e)
 
