@@ -985,6 +985,49 @@ def q_render_sinks(spark, sf_dir):
     return df.mapInPandas(fn, "fmt string, line_no int, line string")
 
 
+GRU_TOKENIZE_FIXTURE = [
+    (1, "Hello world. Second one here. tail"),
+    (2, "pi is 3.14 ok."),
+    (3, "see https://acme.com/x now"),
+]
+# hand-derived from the demo network's construction (whitespace tokens,
+# '.'-before-space or final '.' ends the sentence, URL override)
+GRU_TOKENIZE_GOLD = [
+    (1, 0, ["Hello", "world."]),
+    (1, 1, ["Second", "one", "here."]),
+    (1, 2, ["tail"]),
+    (2, 0, ["pi", "is", "3.14", "ok."]),
+    (3, 0, ["see", "https://acme.com/x", "now"]),
+]
+
+
+def q_gru_tokenize_fixture(spark, sf_dir):
+    """T8 GRU tokenizer: bi-GRU char classifier + segmentation semantics
+    (gru_tokenizer.cpp decision loop), run distributed with hand-constructed
+    weights whose behavior is derivable by hand."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    df = spark.createDataFrame(GRU_TOKENIZE_FIXTURE, ["row_id", "text"])
+
+    def fn(batches):
+        from nametag_spark.tokenizer.gru import demo_network, gru_tokenize_sentences
+
+        net = demo_network()
+        for pdf in batches:
+            rows = {"row_id": [], "sent_idx": [], "tok_idx": [], "form": []}
+            for rid, text in zip(pdf["row_id"], pdf["text"]):
+                for s_idx, sent in enumerate(gru_tokenize_sentences(text, net)):
+                    for t_idx, (a, b) in enumerate(sent):
+                        rows["row_id"].append(rid)
+                        rows["sent_idx"].append(s_idx)
+                        rows["tok_idx"].append(t_idx)
+                        rows["form"].append(text[a : a + b])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "row_id long, sent_idx int, tok_idx int, form string")
+
+
 def q_url_fsm_fixture(spark, sf_dir):
     """Runs the Python URL/email detector (tokenizer/rules.detect_url_email)
     distributed over the fixture; the oracle is the output of the COMPILED
@@ -1232,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_model_mentions": q_binary_model_mentions,
         "morpho_ner_fixture": q_morpho_ner_fixture,
         "render_sinks": q_render_sinks,
+        "gru_tokenize_fixture": q_gru_tokenize_fixture,
         "tokenize_fixture": q_tokenize_fixture,
         "tokenize_cs_fixture": q_tokenize_cs_fixture,
         "pii_flags": q_pii_flags,
@@ -1497,6 +1541,15 @@ def oracle_sql() -> dict[str, str]:
         + _values_sql(MORPHO_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
         "render_sinks": "SELECT * FROM "
         + _values_sql(SINKS_GOLD, ["fmt", "line_no", "line"]),
+        "gru_tokenize_fixture": "SELECT * FROM "
+        + _values_sql(
+            [
+                (row_id, sent_idx, tok_idx, form)
+                for (row_id, sent_idx, toks) in GRU_TOKENIZE_GOLD
+                for tok_idx, form in enumerate(toks)
+            ],
+            ["row_id", "sent_idx", "tok_idx", "form"],
+        ),
         "url_fsm_fixture": "SELECT * FROM "
         + _values_sql(
             [(i, k, ln) for (i, _s, k, ln) in URL_FSM_FIXTURE],
