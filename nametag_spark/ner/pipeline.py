@@ -201,6 +201,7 @@ def recognize_df(
     model_dir: str,
     text_col: str = "text",
     passthrough: tuple = (),
+    lang: str = "en",
 ) -> DataFrame:
     """The mention table: one row per recognized entity span.
 
@@ -238,7 +239,7 @@ def recognize_df(
             texts = pdf[text_col]
             for pos in range(len(pdf)):
                 text = texts.iloc[pos] or ""
-                for s_idx, spans in enumerate(tokenize_sentences(text)):
+                for s_idx, spans in enumerate(tokenize_sentences(text, lang)):
                     forms = [text[a : a + b] for (a, b) in spans]
                     sentences.append(model.make_sentence(forms))
                     sent_meta.append((pos, s_idx, spans, text))
@@ -283,7 +284,7 @@ def recognize_df(
     return src.mapInPandas(fn, schema=schema)
 
 
-def recognize_local(model, texts):
+def recognize_local(model, texts, lang: str = "en"):
     """Single-process oracle: same kernels, no Spark — used for parity tests
     (FIXTURES.md §6). Returns list of per-text mention dicts."""
     from ..features.templates import Sentence
@@ -291,7 +292,7 @@ def recognize_local(model, texts):
     rec = _BatchRecognizer(model)
     out = []
     for text in texts:
-        sents = tokenize_sentences(text)
+        sents = tokenize_sentences(text, lang)
         sentences = [model.make_sentence([text[a : a + b] for (a, b) in s]) for s in sents]
         results = rec.recognize_batch(sentences)
         mentions = []

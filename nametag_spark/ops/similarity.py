@@ -204,6 +204,90 @@ def rp_lsh_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: vectors written PARTITIONED BY their
+    nearest-centroid id + a small centroids.json. The index is built once
+    (one clustering + one shuffle); queries then read only their nprobe
+    partitions — at 100-TB corpus scale the scan cost per query batch is
+    nprobe/n_centroids of the table, enforced by parquet partition pruning
+    (asserted in tests)."""
+    import json
+    import os
+
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, iterations)
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(cents, ["cid", "cvec"])
+    assignment = _assign(corpus, cdf, id_col, vec_col)
+    (
+        corpus.join(assignment, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    with open(os.path.join(path, "centroids.json"), "w", encoding="utf-8") as f:
+        json.dump([[cid, list(vec)] for cid, vec in cents], f)
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k against a materialized IVF index. The scan carries a
+    `cid IN (union of probed lists)` partition filter, so only the probed
+    fraction of the index is read; per-query candidate sets are then the
+    (query_id, cid) probe join."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json"), encoding="utf-8") as f:
+        cents = [(int(cid), [float(x) for x in vec]) for cid, vec in json.load(f)]
+    cdf = spark.createDataFrame(cents, ["cid", "cvec"])
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cdf)).withColumn(
+        "sim", _dot(F.col("qv"), F.col("cvec")) / (_norm(F.col("qv")) * _norm(F.col("cvec")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    probe_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+
+    vectors = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("cid").isin(probe_cids)  # partition-pruned scan
+    )
+    cand = vectors.join(F.broadcast(probes), "cid").select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        "query_id",
+    )
+    scored = cand.join(q, "query_id").withColumn(
+        "cosine", _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

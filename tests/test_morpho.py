@@ -224,3 +224,65 @@ def test_pdt_lemma_split_through_tagger():
     assert s.raw_lemmas[0] == "hrad"
     assert s.lemma_ids[0] == "hrad-1"
     assert s.tags[0] == "N2"
+
+
+def test_czech_full_stack_generalization():
+    """Czech-model-class behavior end-to-end: cs tokenizer grammar + morpho
+    dictionary with PDT term comments + POS tags + CzechLemmaTerm features
+    + containers. The model is trained WITHOUT Form features, so it can
+    only label through morphology — and it must recognize a name pair it
+    has NEVER seen in training (present only in the dictionary), which is
+    exactly what F5-F8 morphology features exist for."""
+    from nametag_spark.ner.pipeline import recognize_local
+    from nametag_spark.train.trainer import train_ner
+
+    firsts_train = ["jan", "petr", "karel", "marie"]
+    lasts_train = ["novák", "svoboda", "dvořák"]
+    firsts_eval = ["zdeněk"]
+    lasts_eval = ["čapek"]
+    fills = "přijel řekl dnes večer doma rychle že znovu".split()
+
+    rows = []
+    for n in firsts_train + firsts_eval:
+        rows.append((n, n.capitalize() + "_;Y", "NNP"))  # given-name term cat
+    for n in lasts_train + lasts_eval:
+        rows.append((n, n.capitalize() + "_;S", "NNP"))  # surname term cat
+    for w in fills:
+        rows.append((w, w, "V"))
+    rows.append((".", ".", "Z"))
+    morpho = Morpho(MorphoDictionary.from_forms(rows), SuffixRuleGuesser(), unknown_tag="UNK")
+    mt = MorphoTagger(morpho, PerceptronTagger())  # analyses are unambiguous
+
+    import random
+
+    rng = random.Random(9)
+    lines = []
+    for _ in range(160):
+        if rng.random() < 0.6:
+            toks = [rng.choice(fills), rng.choice(firsts_train).capitalize(),
+                    rng.choice(lasts_train).capitalize(), rng.choice(fills), "."]
+            labs = ["O", "B-pf", "B-ps", "O", "O"]
+        else:
+            toks = [rng.choice(fills) for _ in range(4)] + ["."]
+            labs = ["O"] * 5
+        for t, l in zip(toks, labs):
+            lines.append(f"{t}\t{l}")
+        lines.append("")
+    model = train_ner(
+        "Tag/1\nCzechLemmaTerm/1\nPreviousStage/3\nCzechAddContainers/0",
+        "\n".join(lines),
+        stages=2,
+        params={"iterations": 8},
+        tagger=mt,
+    )
+
+    # names unseen in TRAINING, known only to the morpho dictionary
+    ments = recognize_local(model, ["dnes Zdeněk Čapek přijel ."], lang="cs")[0]
+    types = {(m["tok_start"], m["tok_len"], m["type"]) for m in ments}
+    assert (1, 1, "pf") in types and (2, 1, "ps") in types, types
+    assert (1, 2, "P") in types, f"P container missing: {types}"
+
+    # and the cs grammar really drove tokenization (no clitic machinery,
+    # diacritic words are single L(L|M)* tokens)
+    surfaces = {m["surface"] for m in ments}
+    assert "Zdeněk" in surfaces and "Čapek" in surfaces

@@ -178,3 +178,27 @@ def test_rp_lsh_recall(spark, embeddings):
         recall += len(e & a) / len(e)
     recall /= exact["query_id"].nunique()
     assert recall >= 0.2, f"RP-LSH recall@10 too low: {recall}"
+
+
+def test_ivf_index_lifecycle(spark, tmp_path):
+    """build once -> query with partition pruning -> exact top-k results
+    (nprobe=4/8 lists reproduces brute force on this corpus, like the
+    ivf_topk oracle row)."""
+    from pyspark.sql import functions as F
+
+    from nametag_spark.ops.similarity import build_ivf_index, cosine_topk, query_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, iterations=3)
+
+    got = query_ivf_index(spark, path, queries, k=5, nprobe=4)
+    # pruning evidence: the index scan must carry a cid partition filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan, plan
+
+    exact = {tuple(r) for r in cosine_topk(emb, queries, k=5).collect()}
+    assert {tuple(r) for r in got.collect()} == exact
