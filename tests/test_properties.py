@@ -101,3 +101,44 @@ def test_bio_to_bilou_legal_sequences(labels):
     for i, o in enumerate(outcomes):
         if o >= 3 and (o - 3) % 2 == 0:  # B code
             assert i + 1 < len(outcomes), "B cannot be sentence-final"
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_strategy, st.sampled_from(["cs", "generic"]))
+def test_cs_generic_tokenizer_same_invariants(text, lang):
+    """The Czech/generic grammars keep the span invariants: valid ordered
+    non-overlapping spans covering every non-space char."""
+    import unicodedata
+
+    prev_end = -1
+    covered = set()
+    for sent in tokenize_sentences(text, lang):
+        assert sent
+        for (s, l) in sent:
+            assert l >= 1 and 0 <= s and s + l <= len(text)
+            assert s >= prev_end
+            prev_end = s + l
+            covered.update(range(s, s + l))
+            assert text[s : s + l].strip() == text[s : s + l]
+    for i, c in enumerate(text):
+        if not (c in "\r\t\n" or unicodedata.category(c) == "Zs"):
+            assert i in covered
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_strategy)
+def test_url_detector_invariants(text):
+    """detect_url_email: end is in-range and past the start; the matched
+    prefix re-detects to the same (kind, end) — the longest-match property
+    makes detection stable under truncation to its own match."""
+    from nametag_spark.tokenizer.rules import detect_url_email
+
+    for i in range(0, min(len(text), 40)):
+        d = detect_url_email(text, i)
+        if d is None:
+            continue
+        kind, end = d
+        assert kind in ("URL", "EMAIL")
+        assert i < end <= len(text)
+        again = detect_url_email(text[:end], i)
+        assert again == (kind, end)
