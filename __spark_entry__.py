@@ -128,7 +128,22 @@ _BROWN_TSV = (
 _GAZ_LOC = "Prague\nBerlin\nLondon\nParis\nVienna\nMadrid\nRome\nDublin\n"
 
 
-_MODEL_FINGERPRINT = "entry-model-v3-dup-feature-accum"
+_MODEL_FINGERPRINT = "entry-model-v4-shape-morpho"
+
+
+def _entry_tagger():
+    """Deterministic shape-based morpho tagger for the flagship model: an
+    empty dictionary + the rule guesser (caps->NNP, digits->CD, -s->NNS,
+    -ing->VBG, ... default NN) decoded with zero perceptron weights (first
+    analysis wins — exact zero-weight Viterbi). This makes the
+    RawLemma*/Lemma/Tag feature templates LIVE (raw_lemma = guessed lemma,
+    tag = shape class) instead of inert under the trivial tagger, at
+    O(dict-lookup) per token."""
+    from nametag_spark.morpho.dictionary import Morpho, MorphoDictionary, SuffixRuleGuesser
+    from nametag_spark.morpho.tagger import MorphoTagger, PerceptronTagger
+
+    morpho = Morpho(MorphoDictionary(), SuffixRuleGuesser(), unknown_tag="UNK")
+    return MorphoTagger(morpho, PerceptronTagger())
 
 
 def _model_dir() -> str:
@@ -163,7 +178,7 @@ def _model_dir() -> str:
             hdf, hgdf = synth_transcripts(n_conversations=10, seed=2)
             model = train_ner(
                 _TEMPLATES, gold_to_conll(tdf, gdf), gold_to_conll(hdf, hgdf), stages=2,
-                params={"iterations": 6}, base_dir=base,
+                params={"iterations": 6}, base_dir=base, tagger=_entry_tagger(),
             )
             build = tempfile.mkdtemp(prefix="nametag_spark_entry_model_build_")
             model.save(build)

@@ -174,14 +174,32 @@ class MorphoTagger:
     """The G4 wrapper (morphodita_tagger.cpp analogue): morpho analyses ->
     Viterbi decode -> per-token (lemma, tag), consumed by
     Sentence.from_pdt so the RawLemma*/Lemma/Tag/CzechLemmaTerm feature
-    templates (F5-F8) see real morphology."""
+    templates (F5-F8) see real morphology.
+
+    Per-form analyses are memoized (forms follow a Zipf law; the dictionary
+    lookup dominates the hot path otherwise), and an untrained decoder
+    (no weights) short-circuits to the first analysis per token — exactly
+    the zero-weight Viterbi result (every path ties; first-insertion order
+    wins), without the per-sentence DP."""
 
     def __init__(self, morpho, tagger: PerceptronTagger):
         self.morpho = morpho
         self.tagger = tagger
+        self._cache: dict = {}
+
+    def _analyses(self, form):
+        a = self._cache.get(form)
+        if a is None:
+            a = self._cache[form] = self.morpho.analyze(form)
+            if len(self._cache) > 500_000:  # bound worker memory
+                self._cache.clear()
+        return a
 
     def tag_sentence(self, forms):
-        analyses = [self.morpho.analyze(f) for f in forms]
+        analyses = [self._analyses(f) for f in forms]
+        if not self.tagger.weights:
+            firsts = [a[0] for a in analyses]
+            return [l for (l, _t) in firsts], [t for (_l, t) in firsts]
         return self.tagger.tag_with_lemmas(forms, analyses)
 
     def state(self) -> dict:

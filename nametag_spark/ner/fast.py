@@ -57,20 +57,34 @@ _OUTER = (
 )
 
 
-def _token_feature_ids(proc, form):
+def _token_feature_ids(proc, form, raw=None, lid=None, tag="", comments=""):
     """Replicates the per-token body of each pure processor, returning the
-    base feature ids it would apply_in_window at this token."""
+    base feature ids it would apply_in_window at this token.
+
+    raw/lid/tag/comments are the token's morphology (raw_lemma, lemma_id,
+    tag, lemma_comments); under the trivial tagger raw=lid=form and
+    tag=comments=''. They must be pure functions of the form (context-free
+    tagger) — FastFeaturizer falls back to the slow path otherwise."""
+    if raw is None:
+        raw = form
+    if lid is None:
+        lid = form
     out = []
     if isinstance(proc, T.CzechLemmaTerm):
-        return []  # trivial tagger: no lemma comments
+        # `_;X` term chars of the lemma comments (templates.py:929-936)
+        for pos in range(max(0, len(comments) - 2)):
+            if comments[pos] == "_" and comments[pos + 1] == ";":
+                out.append(proc.map.get(comments[pos + 2]))
+        return [(f, proc.window) for f in out if f is not None]
     if isinstance(proc, T.BrownClusters):
-        cid = proc.map.get(form)
+        cid = proc.map.get(raw)  # keyed on raw_lemma (templates.py slow path)
         if cid is not None:
             return [(f, proc.window) for f in proc.clusters[cid]]
         return []
     if isinstance(proc, (T.FormCapitalization, T.RawLemmaCapitalization)):
+        src = raw if isinstance(proc, T.RawLemmaCapitalization) else form
         was_upper = was_lower = False
-        for k, ch in enumerate(form):
+        for k, ch in enumerate(src):
             c = T._cat(ch)
             was_upper = was_upper or c in ("Lu", "Lt")
             was_lower = was_lower or c == "Ll"
@@ -81,7 +95,8 @@ def _token_feature_ids(proc, form):
         if was_upper and was_lower:
             out.append(proc.map.get("m"))
     elif isinstance(proc, T.Suffix):
-        f = T._case_normalize(form) if proc.normalized else form
+        f = raw if isinstance(proc, (T.RawLemmaSuffix, T.RawLemmaCaseNormalizedSuffix)) else form
+        f = T._case_normalize(f) if proc.normalized else f
         buf = []
         for s in range(1, min(proc.longest, len(f)) + 1):
             buf.append(f[len(f) - s])
@@ -115,10 +130,16 @@ def _token_feature_ids(proc, form):
             if k > start and k == len(form) and num < 60:
                 out.append(proc.map.get("t"))
     elif isinstance(proc, T.Tag):
-        out.append(proc.map.get(""))  # trivial tagger: tag is always ""
-    elif isinstance(proc, (T.FormCaseNormalized, T.RawLemmaCaseNormalized)):
+        out.append(proc.map.get(tag))
+    elif isinstance(proc, T.RawLemmaCaseNormalized):
+        out.append(proc.map.get(T._case_normalize(raw)))
+    elif isinstance(proc, T.FormCaseNormalized):
         out.append(proc.map.get(T._case_normalize(form)))
-    else:  # Form / RawLemma / Lemma — identity lookup
+    elif isinstance(proc, T.RawLemma):
+        out.append(proc.map.get(raw))
+    elif isinstance(proc, T.Lemma):
+        out.append(proc.map.get(lid))
+    else:  # Form — identity lookup
         out.append(proc.map.get(form))
     return [(f, proc.window) for f in out if f is not None]
 
@@ -144,6 +165,12 @@ class FastFeaturizer:
             T.CzechAddContainers,
         )
         self.supported = all(isinstance(p, known) for p in procs)
+        # the per-form memoization requires morphology to be a pure function
+        # of the form: a TRAINED perceptron tagger uses tag context, so such
+        # models take the slow (reference-shaped) path
+        self.tagger = model.tagger
+        if self.tagger is not None and self.tagger.tagger.weights:
+            self.supported = False
         self.form_cache: dict = {}
         self.pin_cache: dict = {}
         self.outer_cache: dict = {}
@@ -156,12 +183,22 @@ class FastFeaturizer:
         self.outer_windows = sorted(outer_windows.items())
         self.url_procs = [p for p in procs if isinstance(p, T.URLEmailDetector)]
 
+    def _morpho_of(self, form):
+        """(raw_lemma, lemma_id, tag, comments) for a form under the
+        model's context-free tagger (trivial when no tagger)."""
+        if self.tagger is None:
+            return form, form, "", ""
+        lemma, tag = self.tagger._analyses(form)[0]
+        raw, lid, comments = T.Sentence.split_pdt_lemma(lemma)
+        return raw, lid, tag, comments
+
     def _form_events(self, form):
         ev = self.form_cache.get(form)
         if ev is None:
+            raw, lid, tag, comments = self._morpho_of(form)
             pairs = []
             for p in self.pure:
-                pairs.extend(_token_feature_ids(p, form))
+                pairs.extend(_token_feature_ids(p, form, raw, lid, tag, comments))
             if pairs:
                 fids = np.array([f for f, _ in pairs], dtype=np.int64)
                 ws = np.array([w for _, w in pairs], dtype=np.int64)

@@ -157,8 +157,12 @@ class _BatchRecognizer:
             s.clear_previous_stage()
         last_best = {}
         # external-tagger sentences carry per-token analyses the form-keyed
-        # fast caches cannot represent -> reference-shaped slow path
-        use_fast = self.use_fast and not any(s.external for s in live)
+        # fast caches cannot represent -> reference-shaped slow path.
+        # Sentences tagged by the model's own CONTEXT-FREE tagger are
+        # form-determined and stay fast (make_sentence marks them).
+        use_fast = self.use_fast and not any(
+            s.external and not s.context_free_tagged for s in live
+        )
         for stage, net in enumerate(model.networks):
             if use_fast:
                 self._stage_fast(live, self.scorers[stage])

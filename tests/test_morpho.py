@@ -286,3 +286,57 @@ def test_czech_full_stack_generalization():
     # diacritic words are single L(L|M)* tokens)
     surfaces = {m["surface"] for m in ments}
     assert "Zdeněk" in surfaces and "Čapek" in surfaces
+
+
+def test_fast_slow_parity_with_context_free_tagger():
+    """The vectorized fast path must equal the reference-shaped slow path
+    when a context-free (zero-weight) morpho tagger is attached — RawLemma*/
+    Lemma/Tag/CzechLemmaTerm features are live and per-form memoizable."""
+    from nametag_spark.morpho.dictionary import Morpho, MorphoDictionary, SuffixRuleGuesser
+    from nametag_spark.ner.pipeline import _BatchRecognizer
+    from nametag_spark.train.trainer import train_ner
+
+    d = MorphoDictionary.from_forms(
+        [("praha", "Praha_;G", "NNP"), ("pila", "pít", "Vp")]
+    )
+    mt = MorphoTagger(Morpho(d, SuffixRuleGuesser(), "UNK"), PerceptronTagger())
+    conll = "\n\n".join(
+        [
+            "Alice\tB-PER\nvisited\tO\nPraha\tB-LOC\n.\tO",
+            "Bob\tB-PER\nwalked\tO\nhome\tO\n.\tO",
+            "cities\tO\nand\tO\n12\tO\ntowns\tO\n.\tO",
+        ]
+        * 4
+    )
+    templates = (
+        "Form/2\nFormCapitalization/2\nRawLemma/2\nRawLemmaCapitalization/1\n"
+        "RawLemmaCaseNormalized/1\nRawLemmaSuffix/1 2 3\nLemma/1\nTag/1\n"
+        "CzechLemmaTerm/1\nFormSuffix/1 2 4\nNumericTimeValue/2\nPreviousStage/3\n"
+    )
+    model = train_ner(templates, conll, stages=2, params={"iterations": 6}, tagger=mt)
+
+    fast = _BatchRecognizer(model, use_fast=True)
+    slow = _BatchRecognizer(model, use_fast=False)
+    assert fast.use_fast, "context-free tagger must stay on the fast path"
+
+    texts = [
+        ["Alice", "visited", "Praha", "."],
+        ["Carol", "walked", "home", "."],
+        ["cities", "and", "12", "towns", "."],
+        ["Praha", "pila", "unknownword", "."],
+    ]
+    for forms in texts:
+        a = fast.recognize_batch([model.make_sentence(forms)])
+        b = slow.recognize_batch([model.make_sentence(forms)])
+        assert a == b, (forms, a, b)
+
+
+def test_trained_tagger_forces_slow_path():
+    from nametag_spark.ner.pipeline import _BatchRecognizer
+    from nametag_spark.train.trainer import train_ner
+
+    mt = _toy_morpho_tagger()  # trained -> context-dependent tags
+    conll = "pani\tO\npila\tB-PER"
+    model = train_ner("Tag/0\nLemma/0\n", conll, stages=1, params={"iterations": 2}, tagger=mt)
+    rec = _BatchRecognizer(model, use_fast=True)
+    assert not rec.use_fast
