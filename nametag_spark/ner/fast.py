@@ -39,7 +39,7 @@ _PURE = (
     T.Tag,
     T.NumericTimeValue,
     T.BrownClusters,
-    T.CzechLemmaTerm,  # inert with the trivial tagger (no lemma comments)
+    T.CzechLemmaTerm,
 )
 
 # of those, the ones that also emit outer-word features (literal `window` id)
@@ -63,8 +63,8 @@ def _token_feature_ids(proc, form, raw=None, lid=None, tag="", comments=""):
 
     raw/lid/tag/comments are the token's morphology (raw_lemma, lemma_id,
     tag, lemma_comments); under the trivial tagger raw=lid=form and
-    tag=comments=''. They must be pure functions of the form (context-free
-    tagger) — FastFeaturizer falls back to the slow path otherwise."""
+    tag=comments=''. Context-dependent taggers are fine: the featurizer
+    keys its memoization on the full tuple, not the bare form."""
     if raw is None:
         raw = form
     if lid is None:
@@ -165,12 +165,6 @@ class FastFeaturizer:
             T.CzechAddContainers,
         )
         self.supported = all(isinstance(p, known) for p in procs)
-        # the per-form memoization requires morphology to be a pure function
-        # of the form: a TRAINED perceptron tagger uses tag context, so such
-        # models take the slow (reference-shaped) path
-        self.tagger = model.tagger
-        if self.tagger is not None and self.tagger.tagger.weights:
-            self.supported = False
         self.form_cache: dict = {}
         self.pin_cache: dict = {}
         self.outer_cache: dict = {}
@@ -183,19 +177,32 @@ class FastFeaturizer:
         self.outer_windows = sorted(outer_windows.items())
         self.url_procs = [p for p in procs if isinstance(p, T.URLEmailDetector)]
 
-    def _morpho_of(self, form):
-        """(raw_lemma, lemma_id, tag, comments) for a form under the
-        model's context-free tagger (trivial when no tagger)."""
-        if self.tagger is None:
-            return form, form, "", ""
-        lemma, tag = self.tagger._analyses(form)[0]
-        raw, lid, comments = T.Sentence.split_pdt_lemma(lemma)
-        return raw, lid, tag, comments
+    def _token_keys(self, sent):
+        """Per-token memoization keys. Trivial-tagger sentences key on the
+        form string; tagged sentences (external or model-morpho, including
+        TRAINED context-dependent taggers) key on the full
+        (form, raw_lemma, lemma_id, tag, comments) tuple — the tuple
+        population is still Zipf-compressible, so the per-key featurization
+        collapses the same way."""
+        if not sent.external:
+            return sent.forms
+        raws = sent.get_raw_lemmas()
+        lids = sent.get_lemma_ids()
+        tags = sent.get_tags()
+        comments = sent.lemma_comments or [""] * sent.size
+        return [
+            f if (r == f and l == f and t == "" and not c)
+            else (f, r, l, t, c or "")
+            for f, r, l, t, c in zip(sent.forms, raws, lids, tags, comments)
+        ]
 
-    def _form_events(self, form):
-        ev = self.form_cache.get(form)
+    def _form_events(self, key):
+        ev = self.form_cache.get(key)
         if ev is None:
-            raw, lid, tag, comments = self._morpho_of(form)
+            if isinstance(key, tuple):
+                form, raw, lid, tag, comments = key
+            else:
+                form, raw, lid, tag, comments = key, key, key, "", ""
             pairs = []
             for p in self.pure:
                 pairs.extend(_token_feature_ids(p, form, raw, lid, tag, comments))
@@ -206,7 +213,7 @@ class FastFeaturizer:
                 fids = np.empty(0, dtype=np.int64)
                 ws = np.empty(0, dtype=np.int64)
             ev = (fids, ws, len(pairs))
-            self.form_cache[form] = ev
+            self.form_cache[key] = ev
         return ev
 
     def _outer_pattern(self, Tn: int):
@@ -291,7 +298,7 @@ class FastFeaturizer:
         base = 0
         for si, s in enumerate(sentences):
             Tn = s.size
-            forms_all.extend(s.forms)
+            forms_all.extend(self._token_keys(s))
             # complex-path appends (already window-expanded by the processor)
             feats = s.features
             if feats is not None:
@@ -311,7 +318,9 @@ class FastFeaturizer:
 
         # --- pure per-form events: factorize forms, look each distinct form
         # up once, then expand with gather/repeat (no per-token python)
-        codes, uniques = pd.factorize(np.array(forms_all, dtype=object))
+        keys_arr = np.empty(len(forms_all), dtype=object)
+        keys_arr[:] = forms_all  # 1-D even when keys are same-length tuples
+        codes, uniques = pd.factorize(keys_arr)
         u_fids = []
         u_ws = []
         u_len = np.empty(len(uniques), dtype=np.int64)
@@ -475,7 +484,7 @@ class StagePartialScorer:
         base = 0
         for s in sentences:
             Tn = s.size
-            forms_all.extend(s.forms)
+            forms_all.extend(self.fz._token_keys(s))
             feats = s.features
             if feats is not None:
                 for i in range(Tn):
@@ -502,7 +511,9 @@ class StagePartialScorer:
             base += Tn
 
         # form partial sums, one per distinct form in the batch
-        codes, uniques = pd.factorize(np.array(forms_all, dtype=object))
+        keys_arr = np.empty(len(forms_all), dtype=object)
+        keys_arr[:] = forms_all  # 1-D even when keys are same-length tuples
+        codes, uniques = pd.factorize(keys_arr)
         U = len(uniques)
         S_all = np.empty((U, 2 * m + 1, n_out + self.nh), dtype=np.float64)
         C_all = np.empty((U, 2 * m + 1), dtype=np.int64)

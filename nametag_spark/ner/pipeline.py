@@ -156,13 +156,11 @@ class _BatchRecognizer:
         for s in live:
             s.clear_previous_stage()
         last_best = {}
-        # external-tagger sentences carry per-token analyses the form-keyed
-        # fast caches cannot represent -> reference-shaped slow path.
-        # Sentences tagged by the model's own CONTEXT-FREE tagger are
-        # form-determined and stay fast (make_sentence marks them).
-        use_fast = self.use_fast and not any(
-            s.external and not s.context_free_tagged for s in live
-        )
+        # tagged sentences (external analyses or a model morpho tagger,
+        # trained or not) stay on the fast path: the featurizer keys its
+        # caches on the full (form, raw_lemma, lemma_id, tag, comments)
+        # tuple, so per-token morphology is represented exactly
+        use_fast = self.use_fast
         for stage, net in enumerate(model.networks):
             if use_fast:
                 self._stage_fast(live, self.scorers[stage])

@@ -331,12 +331,25 @@ def test_fast_slow_parity_with_context_free_tagger():
         assert a == b, (forms, a, b)
 
 
-def test_trained_tagger_forces_slow_path():
+def test_trained_tagger_stays_fast_with_parity():
+    """A TRAINED (context-dependent) tagger also runs on the fast path —
+    the featurizer keys its caches on the full morpho tuple, so the same
+    form under different tags memoizes separately. Decisions must equal the
+    slow path on context-disambiguated sentences."""
     from nametag_spark.ner.pipeline import _BatchRecognizer
     from nametag_spark.train.trainer import train_ner
 
     mt = _toy_morpho_tagger()  # trained -> context-dependent tags
-    conll = "pani\tO\npila\tB-PER"
-    model = train_ner("Tag/0\nLemma/0\n", conll, stages=1, params={"iterations": 2}, tagger=mt)
-    rec = _BatchRecognizer(model, use_fast=True)
-    assert not rec.use_fast
+    conll = "\n\n".join(
+        ["pani\tO\npila\tB-PER", "vcera\tO\npila\tO\nvodu\tO"] * 4
+    )
+    model = train_ner("Tag/0\nLemma/0\n", conll, stages=1, params={"iterations": 8}, tagger=mt)
+    fast = _BatchRecognizer(model, use_fast=True)
+    assert fast.use_fast
+    slow = _BatchRecognizer(model, use_fast=False)
+    for forms in (["pani", "pila"], ["vcera", "pila", "vodu"], ["pila", "vodu"]):
+        a = fast.recognize_batch([model.make_sentence(forms)])
+        b = slow.recognize_batch([model.make_sentence(forms)])
+        assert a == b, (forms, a, b)
+    # the context split itself still decodes correctly on the fast path
+    assert fast.recognize_batch([model.make_sentence(["pani", "pila"])]) == [[(1, 1, "PER")]]
