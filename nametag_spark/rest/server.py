@@ -1,0 +1,210 @@
+"""REST server (S9) — reference-compatible HTTP API.
+
+Re-expression of src/rest_server/nametag_service.cpp:
+
+  - GET/POST /models      -> {"models": {id: ["recognize", "tokenize"]},
+                              "default_model": id}   (:59-66)
+  - GET/POST /recognize   -> {"model": id, "acknowledgements": [...],
+                              "result": "<rendered>"}  (:102-110)
+      params: model (id, or empty for the default), data (the text),
+      input = untokenized | vertical (:210-230 semantics),
+      output = xml | vertical | conll (:123-128)
+  - GET/POST /tokenize    -> same envelope, output xml | vertical
+
+The reference serves with its microrestd; here it's the Python stdlib
+ThreadingHTTPServer — the engine part (tokenizer, NER decode, renderers)
+is the same code the Spark pipeline uses, and models may be this engine's
+directory format OR reference binary .ner files. For cluster-scale scoring
+use recognize_df; this server is the drop-in single-node API surface.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+ACKNOWLEDGEMENT = "http://ufal.mff.cuni.cz/nametag/1#nametag_acknowledgements"
+
+
+def load_model(path: str):
+    """Model directory (JSON+npz) or reference binary .ner file."""
+    import os
+
+    from ..model.model import NerModel
+
+    if os.path.isdir(path):
+        return NerModel.load(path)
+    from ..model.binary_reader import load_binary_ner
+
+    return load_binary_ner(path)
+
+
+class NametagService:
+    def __init__(self, models: dict, default: str | None = None, lang: str = "en"):
+        """models: {rest_id: model path or NerModel}."""
+        self.models = {}
+        for rid, m in models.items():
+            self.models[rid] = m if hasattr(m, "recognize_sentence") else load_model(m)
+        self.default = default or next(iter(self.models))
+        self.lang = lang
+        self._recognizers = {}
+        self._lock = threading.Lock()
+
+    def _recognizer(self, rid: str):
+        from ..ner.pipeline import _BatchRecognizer
+
+        with self._lock:
+            rec = self._recognizers.get(rid)
+            if rec is None:
+                rec = self._recognizers[rid] = _BatchRecognizer(self.models[rid])
+            return rec
+
+    # ------------------------------------------------------------ endpoints
+    def models_json(self) -> dict:
+        return {
+            "models": {rid: ["recognize", "tokenize"] for rid in self.models},
+            "default_model": self.default,
+        }
+
+    def _sentences(self, data: str, input_mode: str):
+        """-> (text, sent_spans, sent_forms). Vertical input: one token per
+        line, blank line ends a sentence (nametag_service.cpp vertical
+        tokenizer); untokenized: the model-language tokenizer."""
+        from ..tokenizer.rules import tokenize_sentences
+
+        if input_mode == "vertical":
+            spans = []
+            cur = []
+            pos = 0
+            text_parts = []
+            for line in data.split("\n"):
+                tok = line.rstrip("\r")
+                if not tok:
+                    if cur:
+                        spans.append(cur)
+                        cur = []
+                    continue
+                text_parts.append(tok)
+                cur.append((pos, len(tok)))
+                pos += len(tok) + 1
+            if cur:
+                spans.append(cur)
+            text = " ".join(text_parts)
+        else:
+            text = data
+            spans = tokenize_sentences(text, self.lang)
+        forms = [[text[a : a + b] for (a, b) in s] for s in spans]
+        return text, spans, forms
+
+    def recognize(self, rid: str, data: str, input_mode: str, output: str) -> str:
+        from ..sinks.render import render_conll, render_vertical, render_xml
+
+        model = self.models[rid]
+        rec = self._recognizer(rid)
+        text, spans, forms = self._sentences(data, input_mode)
+        sentences = [model.make_sentence(f) for f in forms]
+        entities = rec.recognize_batch(sentences)
+        if output == "conll":
+            return render_conll(forms, entities)
+        if output == "vertical":
+            return render_vertical(forms, entities)
+        return render_xml(text, spans, entities)
+
+    def tokenize(self, rid: str, data: str, output: str) -> str:
+        from ..sinks.render import render_vertical, render_xml
+
+        text, spans, forms = self._sentences(data, "untokenized")
+        if output == "vertical":
+            # one token per line, blank line between sentences
+            out = []
+            for sent in forms:
+                out.extend(sent)
+                out.append("")
+            return "\n".join(out) + ("\n" if out else "")
+        return render_xml(text, spans, [[] for _ in spans])
+
+    def envelope(self, rid: str, result: str) -> dict:
+        return {
+            "model": rid,
+            "acknowledgements": [ACKNOWLEDGEMENT],
+            "result": result,
+        }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: NametagService = None  # set by serve()
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    def _params(self):
+        parsed = urlparse(self.path)
+        params = {k: v[-1] for k, v in parse_qs(parsed.query).items()}
+        if self.command == "POST":
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n).decode("utf-8") if n else ""
+            ctype = self.headers.get("Content-Type", "")
+            if "application/x-www-form-urlencoded" in ctype or "=" in body:
+                for k, v in parse_qs(body).items():
+                    params[k] = v[-1]
+            elif body:
+                params.setdefault("data", body)
+        return parsed.path, params
+
+    def _respond(self, code: int, payload, mime="application/json"):
+        body = (
+            json.dumps(payload, ensure_ascii=False).encode("utf-8")
+            if not isinstance(payload, (bytes, str))
+            else (payload.encode("utf-8") if isinstance(payload, str) else payload)
+        )
+        self.send_response(code)
+        self.send_header("Content-Type", mime)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _handle(self):
+        svc = self.service
+        path, params = self._params()
+        try:
+            if path == "/models":
+                return self._respond(200, svc.models_json())
+            rid = params.get("model", "") or svc.default
+            if rid not in svc.models:
+                return self._respond(
+                    404, f"Requested model '{rid}' does not exist.\n", mime="text/plain"
+                )
+            data = params.get("data", "")
+            if path == "/recognize":
+                input_mode = params.get("input", "untokenized")
+                if input_mode not in ("untokenized", "vertical"):
+                    return self._respond(400, "Unknown input mode.\n", mime="text/plain")
+                output = params.get("output", "xml")
+                if output not in ("xml", "vertical", "conll"):
+                    return self._respond(400, "Unknown output mode.\n", mime="text/plain")
+                result = svc.recognize(rid, data, input_mode, output)
+                return self._respond(200, svc.envelope(rid, result))
+            if path == "/tokenize":
+                output = params.get("output", "xml")
+                if output not in ("xml", "vertical"):
+                    return self._respond(400, "Unknown output mode.\n", mime="text/plain")
+                result = svc.tokenize(rid, data, output)
+                return self._respond(200, svc.envelope(rid, result))
+            return self._respond(404, "Unknown endpoint.\n", mime="text/plain")
+        except Exception as exc:  # mirror respond_error
+            return self._respond(500, f"{exc}\n", mime="text/plain")
+
+    do_GET = _handle
+    do_POST = _handle
+
+
+def serve(service: NametagService, host: str = "127.0.0.1", port: int = 0):
+    """Start a threaded HTTP server; returns (server, thread). port=0 picks
+    a free port (server.server_address[1])."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    server = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread
