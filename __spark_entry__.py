@@ -186,9 +186,17 @@ def _model_dir() -> str:
                 f.write(_MODEL_FINGERPRINT)
             try:
                 os.rename(build, d)  # atomic publish
+                _MODEL_DIR = d
             except OSError:
-                pass  # someone else won the race; their dir is identical
-            _MODEL_DIR = d if os.path.exists(sentinel) or os.path.isdir(d) else build
+                # rename failed because d exists: adopt it ONLY if it passes
+                # the same sentinel + ownership check that gated reuse above
+                # (a concurrent identical build); otherwise keep our own
+                # freshly-built private copy — never an untrusted directory
+                ok = False
+                if os.path.exists(sentinel) and _owned_by_us(d):
+                    with open(sentinel, encoding="utf-8") as f:
+                        ok = f.read() == _MODEL_FINGERPRINT
+                _MODEL_DIR = d if ok else build
     return _MODEL_DIR
 
 

@@ -58,10 +58,6 @@ class Sentence:
         "tags",
         "raw_lemmas_all",
         "external",
-        # True when the morphology was produced by the MODEL'S OWN
-        # context-free tagger (pure function of the form): the form-keyed
-        # fast caches remain valid, unlike arbitrary external analyses
-        "context_free_tagged",
     )
 
     def __init__(self, forms, lemma_comments=None, raw_lemmas=None, lemma_ids=None,
@@ -75,7 +71,6 @@ class Sentence:
         self.tags = tags
         self.raw_lemmas_all = raw_lemmas_all
         self.external = raw_lemmas is not None or tags is not None
-        self.context_free_tagged = False
         self.size = len(forms)
         self.features = None
         self.local = None

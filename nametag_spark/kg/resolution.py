@@ -22,18 +22,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# DataFrames persisted by resolve_entities / connected_components in this
+# WEAK references to DataFrames persisted by resolve_entities in this
 # process; long-lived sessions (bench sweeps, eval loops, streaming batches)
 # call release_persisted() between invocations so cached blocks don't
-# accumulate until executor storage evicts under pressure.
-_PERSISTED: list[DataFrame] = []
+# accumulate until executor storage evicts under pressure. Weak refs keep
+# the registry from pinning the DataFrames alive — once the caller drops
+# its last reference, Spark's ContextCleaner can still GC-unpersist the
+# blocks exactly as it did before the registry existed.
+import weakref
+
+_PERSISTED: list = []  # list[weakref.ref[DataFrame]]
+
+
+def _register_persisted(df: DataFrame) -> None:
+    _PERSISTED.append(weakref.ref(df))
 
 
 def release_persisted() -> int:
-    """Unpersist every DataFrame cached by this module; returns the count."""
+    """Unpersist every still-live DataFrame cached by this module; returns
+    the count of frames unpersisted."""
     n = 0
     while _PERSISTED:
-        df = _PERSISTED.pop()
+        df = _PERSISTED.pop()()
+        if df is None:
+            continue  # already GC'd; ContextCleaner handles the blocks
         try:
             df.unpersist()
             n += 1
@@ -114,6 +126,33 @@ def minhash_signatures(df: DataFrame, text_col: str, key_col: str, n_hashes: int
     return sh.groupBy(key_col).agg(*aggs)
 
 
+def _banded_ok_buckets(
+    sig: DataFrame, carry: list, n_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    """Shared LSH banding: signature rows (mh0..mh{n-1} + carry columns) ->
+    (*carry, band, sig) bucket rows with oversized buckets removed.
+
+    Buckets larger than max_bucket are dropped (degenerate surfaces would
+    make the downstream self-join quadratic); the oversized-bucket set is a
+    tiny aggregate -> broadcast anti-join. Single definition so the fused
+    (lsh_similarity_edges) and staged (lsh_candidate_pairs) paths can never
+    diverge on banding or capping policy."""
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{h}").cast("string") for h in range(b * rows, (b + 1) * rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
+        )
+    buckets = sig.select(*carry, F.explode(F.array(*band_cols)).alias("bk")).select(
+        *carry, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    oversized = buckets.groupBy("band", "sig").count().where(F.col("count") > max_bucket)
+    return buckets.join(
+        F.broadcast(oversized.select("band", "sig")), ["band", "sig"], "left_anti"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -126,27 +165,10 @@ def lsh_candidate_pairs(
     """Candidate pairs (a, b) with a < b sharing at least one LSH band.
 
     bands divide the signature into n_hashes/bands rows each; a pair of keys
-    collides if any band hashes equal. Buckets larger than max_bucket are
-    dropped (degenerate norms; callers can count them via the returned
-    metrics if needed) to bound the within-bucket self-join.
+    collides if any band hashes equal.
     """
-    rows = n_hashes // bands
     sig = minhash_signatures(df, text_col, key_col, n_hashes, k)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{h}").cast("string") for h in range(b * rows, (b + 1) * rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig")).alias(f"b{b}")
-        )
-    buckets = (
-        sig.select(key_col, F.explode(F.array(*band_cols)).alias("bk"))
-        .select(key_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    )
-    # Cap pathological buckets before the self-join (degenerate surfaces
-    # would otherwise make it quadratic); the oversized-bucket set is a tiny
-    # aggregate -> broadcast anti-join.
-    oversized = buckets.groupBy("band", "sig").count().where(F.col("count") > max_bucket)
-    ok = buckets.join(F.broadcast(oversized.select("band", "sig")), ["band", "sig"], "left_anti")
+    ok = _banded_ok_buckets(sig, [key_col], n_hashes, bands, max_bucket)
     left = ok.alias("l")
     right = ok.alias("r")
     return (
@@ -180,7 +202,6 @@ def lsh_similarity_edges(
     surface table is small relative to the mention table and per-stage
     latency dominates; the un-fused building blocks remain for callers that
     want candidates and verification separately."""
-    rows = n_hashes // bands
     sh = shingles(text_col, k)
     src = df.select(F.col(key_col).alias("_k"), sh.alias("_sh")).withColumn(
         "_h", F.transform("_sh", lambda s: _hash28(s))
@@ -193,17 +214,7 @@ def lsh_similarity_edges(
         for i, (a, b) in enumerate(consts)
     ]
     sig = src.select("_k", "_sh", *mins)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{h}").cast("string") for h in range(b * rows, (b + 1) * rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
-        )
-    buckets = sig.select(
-        "_k", "_sh", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("_k", "_sh", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    oversized = buckets.groupBy("band", "sig").count().where(F.col("count") > max_bucket)
-    ok = buckets.join(F.broadcast(oversized.select("band", "sig")), ["band", "sig"], "left_anti")
+    ok = _banded_ok_buckets(sig, ["_k", "_sh"], n_hashes, bands, max_bucket)
     l, r = ok.alias("l"), ok.alias("r")
     jac = F.size(F.array_intersect("l._sh", "r._sh")) / F.size(F.array_union("l._sh", "r._sh"))
     return (
@@ -373,12 +384,12 @@ def resolve_entities(
     # would otherwise recompute the mention table. Registered for
     # release_persisted() so long-lived sessions can reclaim the blocks.
     m = canonicalize_mentions(mentions).where(F.length("norm") > 0).persist()
-    _PERSISTED.append(m)
+    _register_persisted(m)
 
     surfaces = (
         m.groupBy("type", "norm").agg(F.count(F.lit(1)).alias("n_mentions"))
     ).persist()
-    _PERSISTED.append(surfaces)
+    _register_persisted(surfaces)
     # stable surface key: deterministic hash of (type, norm)
     surfaces = surfaces.withColumn("sid", _hash64(F.concat_ws("\t", "type", "norm"), 0))
 

@@ -75,12 +75,7 @@ class NerModel:
         contract) so F5-F8 templates see real values."""
         if self.tagger is not None:
             lemmas, tags = self.tagger.tag_sentence(forms)
-            sent = Sentence.from_pdt(forms, lemmas, tags)
-            # a zero-weight decoder picks per-form first analyses: the
-            # morphology is a pure function of the form, so the vectorized
-            # fast path's form-keyed caches stay valid
-            sent.context_free_tagged = not self.tagger.tagger.weights
-            return sent
+            return Sentence.from_pdt(forms, lemmas, tags)
         return Sentence(list(forms))
 
     # ------------------------------------------------------- single sentence

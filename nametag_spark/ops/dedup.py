@@ -249,6 +249,8 @@ def embedding_dup_pairs_sharded(
 
     cents = ivf_centroids(df, n_centroids, id_col, vec_col)
     spark = df.sparkSession
+    if not cents:  # empty corpus -> no pairs
+        return spark.createDataFrame([], "a long, b long, cosine double")
     cdf = spark.createDataFrame(cents, ["cid", "cvec"])
 
     v = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")).withColumn(

@@ -223,11 +223,14 @@ def build_ivf_index(
 
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, iterations)
     spark = corpus.sparkSession
-    cdf = spark.createDataFrame(cents, ["cid", "cvec"])
-    assignment = _assign(corpus, cdf, id_col, vec_col)
+    if cents:
+        cdf = spark.createDataFrame(cents, ["cid", "cvec"])
+        assignment = _assign(corpus, cdf, id_col, vec_col)
+        indexed = corpus.join(assignment, id_col)
+    else:  # empty corpus -> a valid empty index
+        indexed = corpus.withColumn("cid", F.lit(0))
     (
-        corpus.join(assignment, id_col)
-        .write.mode("overwrite")
+        indexed.write.mode("overwrite")
         .partitionBy("cid")
         .parquet(os.path.join(path, "vectors"))
     )
@@ -263,11 +266,21 @@ def query_ivf_index(
         "sim", _dot(F.col("qv"), F.col("cvec")) / (_norm(F.col("qv")) * _norm(F.col("cvec")))
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
-    probes = (
+    # one tiny collect (queries x nprobe rows) serves BOTH the partition
+    # filter and the probe join — re-deriving probes in the join would run
+    # the query-x-centroid scoring plan twice
+    probe_rows = (
         qc.withColumn("rn", F.row_number().over(wq)).where(F.col("rn") <= nprobe)
-        .select("query_id", "cid")
+        .select("query_id", "cid").collect()
     )
-    probe_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+    if not probe_rows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cosine double"
+        )
+    probes = spark.createDataFrame(
+        [(r["query_id"], r["cid"]) for r in probe_rows], ["query_id", "cid"]
+    )
+    probe_cids = sorted({r["cid"] for r in probe_rows})
 
     vectors = spark.read.parquet(os.path.join(path, "vectors")).where(
         F.col("cid").isin(probe_cids)  # partition-pruned scan
@@ -304,6 +317,10 @@ def ivf_topk(
     cid); queries then touch nprobe/n_centroids of the corpus."""
     spark = corpus.sparkSession
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if not cents:  # empty corpus -> empty result with the output schema
+        return spark.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cosine double"
+        )
     cdf = spark.createDataFrame(cents, ["cid", "cvec"])
 
     assignment = _assign(corpus, cdf, id_col, vec_col)

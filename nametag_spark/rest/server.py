@@ -146,7 +146,10 @@ class _Handler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(n).decode("utf-8") if n else ""
             ctype = self.headers.get("Content-Type", "")
-            if "application/x-www-form-urlencoded" in ctype or "=" in body:
+            # dispatch on Content-Type ONLY (like the reference service):
+            # sniffing the body for '=' would destroy plain-text payloads
+            # such as "E=mc2"
+            if "application/x-www-form-urlencoded" in ctype:
                 for k, v in parse_qs(body).items():
                     params[k] = v[-1]
             elif body:
