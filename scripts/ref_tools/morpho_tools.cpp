@@ -1,0 +1,136 @@
+// morpho_tools — fixture-builder driver around the UNMODIFIED reference
+// (NameTag's bundled MorphoDiTa, MPL-2.0). Compiled by
+// scripts/reference_parity.sh against the reference sources in /tmp/refbuild;
+// used ONLY to generate parity fixtures (tiny generic morpho dictionaries,
+// perceptron taggers, and golden tag/analyze outputs) that the Python reader
+// in nametag_spark/morpho/morphodita.py is tested against.
+//
+// This is original driver code: it calls the reference's public encoder /
+// trainer / runtime entry points the same way MorphoDiTa's own CLI tools do
+// (encode_dictionary / train_tagger / run_tagger), but shares no code with
+// them.
+//
+// Subcommands:
+//   encode_dict  <max_suffix_len> <unk> <num> <punct> <sym> <out.dict>
+//                [guesser.txt]                      < raw_dict.tsv
+//   train_tagger <generic2|generic2_3|generic3|generic4> <dict_file>
+//                <use_guesser 0|1> <templates_file> <iterations>
+//                <out.tagger>                       < train.tsv
+//   tag          <tagger_file>                      < vertical sentences
+//   analyze      <tagger_file> <0|1 use_guesser>    < one form per line
+
+#include <fstream>
+#include <iostream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "morphodita/morpho/generic_morpho_encoder.h"
+#include "morphodita/morpho/morpho.h"
+#include "morphodita/morpho/morpho_ids.h"
+#include "morphodita/tagger/tagger.h"
+#include "morphodita/tagger/tagger_ids.h"
+#include "morphodita/tagger/generic_elementary_features.h"
+#include "morphodita/tagger/perceptron_tagger_trainer.h"
+#include "morphodita/tagger/tagger_trainer.h"
+#include "morphodita/tagger/training_maps.h"
+
+using namespace ufal::nametag::morphodita;
+using ufal::nametag::utils::string_piece;
+using namespace std;
+
+static int usage() {
+  cerr << "usage: morpho_tools encode_dict|train_tagger|tag|analyze ..." << endl;
+  return 1;
+}
+
+int main(int argc, char* argv[]) {
+  if (argc < 2) return usage();
+  string cmd = argv[1];
+
+  if (cmd == "encode_dict") {
+    if (argc < 8) return usage();
+    int max_suffix_len = stoi(argv[2]);
+    generic_morpho_encoder::tags tags;
+    tags.unknown_tag = argv[3];
+    tags.number_tag = argv[4];
+    tags.punctuation_tag = argv[5];
+    tags.symbol_tag = argv[6];
+    ofstream out(argv[7], ofstream::binary);
+    if (!out) { cerr << "cannot open " << argv[7] << endl; return 1; }
+    ifstream guesser;
+    if (argc > 8) {
+      guesser.open(argv[8]);
+      if (!guesser) { cerr << "cannot open " << argv[8] << endl; return 1; }
+    }
+    out.put(morpho_ids::GENERIC);
+    generic_morpho_encoder::encode(cin, max_suffix_len, tags, guesser, out);
+    return 0;
+  }
+
+  if (cmd == "train_tagger") {
+    if (argc < 8) return usage();
+    tagger_id id;
+    if (!tagger_ids::parse(argv[2], id)) { cerr << "bad tagger id" << endl; return 1; }
+    ifstream dict(argv[3], ifstream::binary);
+    if (!dict) { cerr << "cannot open " << argv[3] << endl; return 1; }
+    bool use_guesser = stoi(argv[4]) != 0;
+    ifstream templates(argv[5]);
+    if (!templates) { cerr << "cannot open " << argv[5] << endl; return 1; }
+    int iterations = stoi(argv[6]);
+    ofstream out(argv[7], ofstream::binary);
+    if (!out) { cerr << "cannot open " << argv[7] << endl; return 1; }
+    ifstream no_heldout;  // unopened -> evaluates false
+    out.put(id);
+    tagger_trainer<perceptron_tagger_trainer<train_feature_sequences<generic_elementary_features>>>::train(
+        tagger_ids::decoding_order(id), tagger_ids::window_size(id), iterations,
+        dict, use_guesser, templates, /*prune_features=*/false,
+        cin, no_heldout, /*early_stopping=*/false, out);
+    return 0;
+  }
+
+  if (cmd == "tag") {
+    if (argc < 3) return usage();
+    unique_ptr<tagger> t(tagger::load(argv[2]));
+    if (!t) { cerr << "cannot load tagger" << endl; return 1; }
+    string line;
+    vector<string> words;
+    vector<string_piece> forms;
+    vector<tagged_lemma> tags;
+    auto flush = [&]() {
+      if (words.empty()) return;
+      forms.clear();
+      for (auto&& w : words) forms.emplace_back(w.c_str(), w.size());
+      t->tag(forms, tags);
+      for (size_t i = 0; i < words.size(); i++)
+        cout << words[i] << '\t' << tags[i].lemma << '\t' << tags[i].tag << '\n';
+      cout << '\n';
+      words.clear();
+    };
+    while (getline(cin, line)) {
+      if (line.empty()) flush();
+      else words.push_back(line);
+    }
+    flush();
+    return 0;
+  }
+
+  if (cmd == "analyze") {
+    if (argc < 4) return usage();
+    unique_ptr<tagger> t(tagger::load(argv[2]));
+    if (!t) { cerr << "cannot load tagger" << endl; return 1; }
+    const morpho* m = t->get_morpho();
+    auto mode = stoi(argv[3]) ? morpho::GUESSER : morpho::NO_GUESSER;
+    string line;
+    vector<tagged_lemma> lemmas;
+    while (getline(cin, line)) {
+      int res = m->analyze(string_piece(line.c_str(), line.size()), mode, lemmas);
+      for (auto&& tl : lemmas)
+        cout << line << '\t' << tl.lemma << '\t' << tl.tag << '\t' << res << '\n';
+      cout << '\n';
+    }
+    return 0;
+  }
+
+  return usage();
+}
