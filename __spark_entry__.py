@@ -955,6 +955,190 @@ def q_morpho_ner_fixture(spark, sf_dir):
     return df.mapInPandas(fn, "sent_id long, tok_start int, tok_len int, type string")
 
 
+# --- MorphoDiTa .tagger/.ner reader fixtures ---------------------------------
+# fixtures/morphodita/tiny.tagger + tiny_md.ner were built by the UNMODIFIED
+# compiled reference (scripts/ref_tools/morpho_tools.cpp drives the
+# reference's generic_morpho_encoder + perceptron_tagger_trainer, then
+# train_ner with tagger=morphodita:tiny.tagger). The goldens below are the
+# reference's OWN outputs (morpho_tools tag / run_ner --output=vertical).
+MORPHODITA_TAG_SENTENCES = [
+    (1, ["the", "book", "is", "new"]),
+    (2, ["I", "book", "flights", "to", "Praha"]),
+    (3, ["he", "saw", "the", "saw", "in", "the", "park"]),
+    (4, ["she", "was", "jumping", "quickly"]),
+    (5, ["the", "dogs", "ran", "slowly"]),
+    (6, ["Xylofon", "played", "42", "."]),
+    (7, ["the", "older", "man", "books", "a", "walk"]),
+    (8, ["čaje", "in", "města", "were", "new"]),
+]
+MORPHODITA_TAG_GOLD = [
+    (1, 0, "the", "the", "DT"), (1, 1, "book", "book", "NN"),
+    (1, 2, "is", "be", "VBZ"), (1, 3, "new", "new", "JJ"),
+    (2, 0, "I", "I", "PRP"), (2, 1, "book", "book", "VB"),
+    (2, 2, "flights", "flight", "NNS"), (2, 3, "to", "to", "TO"),
+    (2, 4, "Praha", "Praha", "NNP"),
+    (3, 0, "he", "he", "PRP"), (3, 1, "saw", "see", "VBD"),
+    (3, 2, "the", "the", "DT"), (3, 3, "saw", "saw", "NN"),
+    (3, 4, "in", "in", "IN"), (3, 5, "the", "the", "DT"),
+    (3, 6, "park", "park", "NN"),
+    (4, 0, "she", "she", "PRP"), (4, 1, "was", "be", "VBD"),
+    (4, 2, "jumping", "jump", "VBG"), (4, 3, "quickly", "quickly", "RB"),
+    (5, 0, "the", "the", "DT"), (5, 1, "dogs", "dog", "NNS"),
+    (5, 2, "ran", "run", "VBD"), (5, 3, "slowly", "slowly", "RB"),
+    (6, 0, "Xylofon", "Xylofon", "NN"), (6, 1, "played", "play", "VBD"),
+    (6, 2, "42", "42", "CD"), (6, 3, ".", ".", "PUNCT"),
+    (7, 0, "the", "the", "DT"), (7, 1, "older", "old", "JJR"),
+    (7, 2, "man", "man", "NN"), (7, 3, "books", "book", "NNS"),
+    (7, 4, "a", "a", "DT"), (7, 5, "walk", "walk", "NN"),
+    (8, 0, "čaje", "čaj", "NNS"), (8, 1, "in", "in", "IN"),
+    (8, 2, "města", "město", "NNS"), (8, 3, "were", "were", "NN"),
+    (8, 4, "new", "new", "JJ"),
+]
+MORPHODITA_NER_SENTENCES = [
+    (1, ["Alice", "saw", "Prahy", "."]),
+    (2, ["Bob", "books", "flights", "to", "města", "and", "Praha", "."]),
+    (3, ["the", "man", "walked", "in", "park", "."]),
+    (4, ["Eve", "ran", "to", "město", "quickly", "."]),
+]
+# reference run_ner output on tiny_md.ner (fixtures/morphodita/ner_golden_vertical.txt)
+MORPHODITA_NER_GOLD = [
+    (1, 0, 1, "PER"), (1, 2, 1, "LOC"),
+    (2, 0, 1, "PER"), (2, 4, 1, "LOC"), (2, 6, 1, "LOC"),
+    (4, 3, 1, "LOC"),
+]
+
+
+# czech fixtures: tiny_cs.tagger embeds a CZECH morpho (PDT lemmas with
+# homonym numbers + _;X comments, prefix guesser, statistical guesser) and a
+# CZECH2 tagger; tiny_cs.ner adds CzechLemmaTerm (F8) + GazetteersEnhanced
+# hard_pre/hard_post (D2/D3) on top. Goldens = reference outputs.
+MORPHODITA_CS_TAG_SENTENCES = [
+    (1, ["malá", "pila", "je", "nová", "."]),
+    (2, ["ona", "pila", "vodou", "."]),
+    (3, ["Karel", "viděl", "stát", "."]),
+    (4, ["nemalá", "žena", "pila", "v", "Brně", "."]),
+    (5, ["Novák", "je", "v", "Praze", "."]),
+    (6, ["ona", "viděla", "ženách", "."]),
+]
+MORPHODITA_CS_TAG_GOLD = [
+    (1, 0, "malá", "malý", "AAFS1"), (1, 1, "pila", "pila_;K", "NNFS1"),
+    (1, 2, "je", "být", "VB-S3"), (1, 3, "nová", "nový", "AAFS1"),
+    (1, 4, ".", ".", "Z:---"),
+    (2, 0, "ona", "ona", "PP-S1"), (2, 1, "pila", "pít", "VpQW3"),
+    (2, 2, "vodou", "voda", "NNFS7"), (2, 3, ".", ".", "Z:---"),
+    (3, 0, "Karel", "Karel_;Y", "NNMS1"), (3, 1, "viděl", "vidět", "VpYS3"),
+    (3, 2, "stát", "stát-2", "Vf---"), (3, 3, ".", ".", "Z:---"),
+    (4, 0, "nemalá", "nemalý", "AAFS1"), (4, 1, "žena", "žena", "NNFS1"),
+    (4, 2, "pila", "pít", "VpQW3"), (4, 3, "v", "v", "RR--6"),
+    (4, 4, "Brně", "Brno_;G", "NNNS6"), (4, 5, ".", ".", "Z:---"),
+    (5, 0, "Novák", "Novák_;S", "NNMS1"), (5, 1, "je", "být", "VB-S3"),
+    (5, 2, "v", "v", "RR--6"), (5, 3, "Praze", "Praha_;G", "NNFS6"),
+    (5, 4, ".", ".", "Z:---"),
+    (6, 0, "ona", "ona", "PP-S1"), (6, 1, "viděla", "viděla", "NNFS1"),
+    (6, 2, "ženách", "žena", "NNFS6"), (6, 3, ".", ".", "Z:---"),
+]
+MORPHODITA_CS_NER_SENTENCES = [
+    (1, ["Nováka", "viděl", "Karel", "v", "Brně", "."]),
+    (2, ["stát", "je", "malý", "."]),
+    (3, ["ona", "viděla", "Prahy", "a", "město", "."]),
+    (4, ["Novák", "pila", "vodou", "."]),
+    (5, ["Karel", "viděl", "Karla", "stát", "."]),
+]
+MORPHODITA_CS_NER_GOLD = [
+    (1, 0, 1, "PER"), (1, 2, 1, "PER"), (1, 4, 1, "LOC"),
+    (2, 0, 1, "LOC"),
+    (3, 2, 1, "LOC"),
+    (4, 0, 1, "PER"),
+    (5, 0, 1, "PER"), (5, 2, 1, "PER"), (5, 3, 1, "LOC"),
+]
+
+
+def _q_morphodita_tag(spark, tagger_file, sentences):
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    with open(os.path.join(_REPO_ROOT, "fixtures", "morphodita", tagger_file), "rb") as fh:
+        blob = fh.read()
+    df = spark.createDataFrame(sentences, ["sent_id", "forms"])
+
+    def fn(batches):
+        from nametag_spark.morpho.morphodita import MorphoditaTagger
+
+        tagger = MorphoditaTagger.from_bytes(blob)
+        for pdf in batches:
+            rows = {"sent_id": [], "tok_idx": [], "form": [], "lemma": [], "tag": []}
+            for sid, forms in zip(pdf["sent_id"], pdf["forms"]):
+                for i, (lemma, tag) in enumerate(tagger.tag(list(forms))):
+                    rows["sent_id"].append(sid)
+                    rows["tok_idx"].append(i)
+                    rows["form"].append(forms[i])
+                    rows["lemma"].append(lemma)
+                    rows["tag"].append(tag)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "sent_id long, tok_idx int, form string, lemma string, tag string")
+
+
+def _q_morphodita_ner(spark, ner_file, sentences):
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    with open(os.path.join(_REPO_ROOT, "fixtures", "morphodita", ner_file), "rb") as fh:
+        blob = fh.read()
+    df = spark.createDataFrame(sentences, ["sent_id", "forms"])
+
+    def fn(batches):
+        import io
+
+        from nametag_spark.model.binary_reader import load_binary_ner
+
+        model = load_binary_ner(io.BytesIO(blob))
+        for pdf in batches:
+            rows = {"sent_id": [], "tok_start": [], "tok_len": [], "type": []}
+            for sid, forms in zip(pdf["sent_id"], pdf["forms"]):
+                for (start, length, type_name) in model.recognize_sentence(list(forms)):
+                    rows["sent_id"].append(sid)
+                    rows["tok_start"].append(start)
+                    rows["tok_len"].append(length)
+                    rows["type"].append(type_name)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "sent_id long, tok_start int, tok_len int, type string")
+
+
+def q_morphodita_cs_tag_fixture(spark, sf_dir):
+    """G4-G6 via the real CZECH MorphoDiTa format: PDT lemmas (homonym
+    numbers + _;X comments), prefix guesser, statistical guesser, czech
+    elementary features — decoded distributed with the reference's own
+    (lemma, tag) output as the oracle."""
+    return _q_morphodita_tag(spark, "tiny_cs.tagger", MORPHODITA_CS_TAG_SENTENCES)
+
+
+def q_morphodita_cs_ner_mentions(spark, sf_dir):
+    """D2/D3/F8 driver oracle: tiny_cs.ner carries GazetteersEnhanced
+    hard_pre (Novák -> PER pinned pre-decode) + hard_post (raw lemma stát ->
+    LOC override post-decode) + CzechLemmaTerm (PDT _;X comment features) —
+    decode parity vs the reference run_ner."""
+    return _q_morphodita_ner(spark, "tiny_cs.ner", MORPHODITA_CS_NER_SENTENCES)
+
+
+def q_morphodita_tag_fixture(spark, sf_dir):
+    """G4 via the REAL MorphoDiTa format: the reference-built .tagger
+    (serialized persistent-map dictionary + statistical guesser + perceptron
+    feature sequences) is parsed by morpho/morphodita.py and decoded
+    distributed; the oracle is the reference runtime's own (lemma, tag)
+    output on the same sentences."""
+    return _q_morphodita_tag(spark, "tiny.tagger", MORPHODITA_TAG_SENTENCES)
+
+
+def q_morphodita_binary_mentions(spark, sf_dir):
+    """S4 completion: a .ner whose tagger payload is an embedded MorphoDiTa
+    stream (the format every PUBLISHED NameTag model uses) loads through
+    binary_reader and decodes distributed, matching the reference run_ner's
+    own output."""
+    return _q_morphodita_ner(spark, "tiny_md.ner", MORPHODITA_NER_SENTENCES)
+
+
 # hand-derived sink renderings (run_ner.cpp:63-172 formats) of one fixed
 # turn: "Alice Johnson visits Prague. Bob waits." with entities
 # PER(Alice Johnson), LOC(Prague), PER(Bob)
@@ -1297,6 +1481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_tagger_fixture": q_viterbi_tagger_fixture,
         "binary_model_mentions": q_binary_model_mentions,
         "morpho_ner_fixture": q_morpho_ner_fixture,
+        "morphodita_tag_fixture": q_morphodita_tag_fixture,
+        "morphodita_binary_mentions": q_morphodita_binary_mentions,
+        "morphodita_cs_tag_fixture": q_morphodita_cs_tag_fixture,
+        "morphodita_cs_ner_mentions": q_morphodita_cs_ner_mentions,
         "render_sinks": q_render_sinks,
         "gru_tokenize_fixture": q_gru_tokenize_fixture,
         "tokenize_fixture": q_tokenize_fixture,
@@ -1562,6 +1750,14 @@ def oracle_sql() -> dict[str, str]:
         + _values_sql(BINARY_MODEL_REF_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
         "morpho_ner_fixture": "SELECT * FROM "
         + _values_sql(MORPHO_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
+        "morphodita_tag_fixture": "SELECT * FROM "
+        + _values_sql(MORPHODITA_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
+        "morphodita_binary_mentions": "SELECT * FROM "
+        + _values_sql(MORPHODITA_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
+        "morphodita_cs_tag_fixture": "SELECT * FROM "
+        + _values_sql(MORPHODITA_CS_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
+        "morphodita_cs_ner_mentions": "SELECT * FROM "
+        + _values_sql(MORPHODITA_CS_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
         "render_sinks": "SELECT * FROM "
         + _values_sql(SINKS_GOLD, ["fmt", "line_no", "line"]),
         "gru_tokenize_fixture": "SELECT * FROM "

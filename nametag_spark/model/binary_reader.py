@@ -27,9 +27,11 @@ format was studied from):
       (propagate semantics network_classifier.cpp:180-210 map onto our
       adjusted-weight representation W_adj[f,o] = w - missing_weight)
 
-Supported taggers: TRIVIAL and EXTERNAL (no payload). MORPHODITA models
-embed a full MorphoDiTa tagger stream and are rejected with a clear error
-(train an equivalent model with nametag_spark.morpho instead).
+Supported taggers: TRIVIAL and EXTERNAL (no payload), and MORPHODITA —
+the embedded MorphoDiTa tagger stream is parsed by
+nametag_spark.morpho.morphodita (dictionary + guesser + perceptron feature
+sequences + Viterbi) with golden-checked output parity vs the compiled
+reference.
 """
 
 from __future__ import annotations
@@ -247,13 +249,15 @@ def load_binary_ner(path_or_stream):
             raise BinaryFormatError(f"unknown ner id {ner_id!r}")
 
         tagger_id = f.read(1)[0]
+        tagger = None
         if tagger_id == TAGGER_MORPHODITA:
-            raise BinaryFormatError(
-                "MORPHODITA-tagger models embed a full MorphoDiTa stream, which "
-                "this reader does not parse; train an equivalent model with "
-                "nametag_spark.morpho instead"
-            )
-        if tagger_id not in (TAGGER_TRIVIAL, TAGGER_EXTERNAL):
+            # the payload is an entire MorphoDiTa .tagger file embedded
+            # verbatim (morphodita_tagger.cpp:27-38); load_stream consumes
+            # exactly its bytes
+            from ..morpho.morphodita import MorphoditaTagger
+
+            tagger = MorphoditaTagger.load_stream(f)
+        elif tagger_id not in (TAGGER_TRIVIAL, TAGGER_EXTERNAL):
             raise BinaryFormatError(f"unknown tagger id {tagger_id}")
         # TRIVIAL and EXTERNAL taggers have no payload (trivial_tagger.cpp:15,
         # external_tagger.cpp load is empty too)
@@ -284,7 +288,7 @@ def load_binary_ner(path_or_stream):
         if not stages:
             raise BinaryFormatError("missing stages byte")
         networks = [_read_network(f) for _ in range(stages[0])]
-        return NerModel(entities, templates, networks)
+        return NerModel(entities, templates, networks, tagger)
     finally:
         if close:
             f.close()

@@ -62,10 +62,16 @@ class NerModel:
         tagger = None
         morpho_path = os.path.join(model_dir, "morpho.json")
         if os.path.exists(morpho_path):
-            from ..morpho.tagger import MorphoTagger
-
             with open(morpho_path, encoding="utf-8") as f:
-                tagger = MorphoTagger.from_state(json.load(f))
+                st = json.load(f)
+            if st.get("kind") == "morphodita":
+                from ..morpho.morphodita import MorphoditaTagger
+
+                tagger = MorphoditaTagger.from_state(st)
+            else:
+                from ..morpho.tagger import MorphoTagger
+
+                tagger = MorphoTagger.from_state(st)
         return cls(entities, templates, networks, tagger)
 
     # --------------------------------------------------- sentence construction
@@ -74,6 +80,19 @@ class NerModel:
         with a MorphoTagger, PDT-split lemmas + tags (morphodita_tagger.cpp
         contract) so F5-F8 templates see real values."""
         if self.tagger is not None:
+            if hasattr(self.tagger, "ner_tag_sentence"):
+                # MorphoDiTa tagger: full per-token morphology incl. the
+                # sorted-unique raw lemmas of ALL analyses
+                # (morphodita_tagger.cpp:40-80)
+                info = self.tagger.ner_tag_sentence(forms)
+                return Sentence(
+                    [w["form"] for w in info],
+                    lemma_comments=[w["lemma_comments"] for w in info],
+                    raw_lemmas=[w["raw_lemma"] for w in info],
+                    lemma_ids=[w["lemma_id"] for w in info],
+                    tags=[w["tag"] for w in info],
+                    raw_lemmas_all=[w["raw_lemmas_all"] for w in info],
+                )
             lemmas, tags = self.tagger.tag_sentence(forms)
             return Sentence.from_pdt(forms, lemmas, tags)
         return Sentence(list(forms))

@@ -1,0 +1,1225 @@
+"""Reader + runtime for MorphoDiTa ``.tagger`` streams embedded in ``.ner``
+models (the payload of NameTag's MORPHODITA tagger).
+
+Published NameTag models (czech-cnec2.0, english-conll — MANUAL:321-437)
+embed an entire MorphoDiTa tagger file verbatim
+(src/tagger/morphodita_tagger.cpp:27-38 create_and_encode copies the file).
+This module parses that stream and runs it: morphological analysis via the
+serialized root+suffix dictionary, perceptron feature-sequence scoring, and
+the MorphoDiTa Viterbi decode — with exact output parity against the
+compiled reference (tests/test_morphodita.py pins goldens produced by
+scripts/ref_tools/morpho_tools.cpp).
+
+Format re-expression (no code shared with the reference; studied from):
+  - tagger dispatch:      src/morphodita/tagger/tagger.cpp:26-57,
+                          tagger_ids.h (decoding_order / window_size)
+  - perceptron tagger:    src/morphodita/tagger/perceptron_tagger.h:56-92
+                          (morpho stream, use_guesser byte, feature stream)
+  - morpho dispatch:      src/morphodita/morpho/morpho.cpp:26-77 (morpho_id)
+  - generic morpho:       src/morphodita/morpho/generic_morpho.cpp:29-96
+                          (4 special tags, dictionary, optional stat guesser,
+                          casing variants + analyze_special)
+  - dictionary:           src/morphodita/morpho/morpho_dictionary.h:41-196
+                          (diffed lemma stream, root edit ops, class tables,
+                          suffix map with class->tag-range tables)
+  - persistent map:       src/morphodita/morpho/persistent_unordered_map.h
+                          (per-length buckets: u32 offsets + entry data)
+  - statistical guesser:  src/morphodita/morpho/morpho_statistical_guesser.cpp
+  - elementary features:  src/morphodita/tagger/generic_elementary_features.h,
+                          czech_elementary_features.h (values from per-length
+                          string maps; codepoint-sliced prefixes/suffixes)
+  - feature sequences:    src/morphodita/tagger/feature_sequences.h:80-110
+                          (sequence defs + one score map per sequence; keys
+                          are vli-encoded elementary values, vli.h)
+  - viterbi:              src/morphodita/tagger/viterbi.h:58-122 (node merge
+                          when the last decoding_order-1 tags agree,
+                          earlier-node-wins tie-break)
+
+Scale note: a loaded tagger is a plain picklable object of dicts/ints —
+broadcast once per executor and used inside mapInPandas batches, exactly
+like the repo's own trained models.
+"""
+
+from __future__ import annotations
+
+import struct
+import unicodedata
+
+from ..model.binary_reader import _Decoder, _read_blob, BinaryFormatError
+
+# tagger_ids.h
+_TAGGER_IDS = {
+    0: ("czech", 2, 2),   # CZECH2
+    1: ("czech", 3, 3),   # CZECH3
+    6: ("czech", 2, 3),   # CZECH2_3
+    3: ("generic", 2, 2),  # GENERIC2
+    4: ("generic", 3, 3),  # GENERIC3
+    5: ("generic", 4, 4),  # GENERIC4
+    7: ("generic", 2, 3),  # GENERIC2_3
+    8: ("conllu", 2, 2),
+    9: ("conllu", 2, 3),
+    10: ("conllu", 3, 3),
+}
+
+# morpho_ids.h
+MORPHO_CZECH, MORPHO_ENGLISH_V1, MORPHO_GENERIC, MORPHO_EXTERNAL = 0, 1, 2, 3
+MORPHO_ENGLISH_V2, MORPHO_ENGLISH_V3, MORPHO_SLOVAK_PDT, MORPHO_DERIV = 4, 5, 6, 7
+
+NO_GUESSER, GUESSER = 0, 1
+
+# elementary_features.h
+_EF_UNKNOWN, _EF_EMPTY = 0, 1
+_PER_FORM, _PER_TAG, _DYNAMIC = 0, 1, 2
+
+
+# --------------------------------------------------------------------------
+# persistent_unordered_map
+# --------------------------------------------------------------------------
+def _load_pmap_buckets(d: _Decoder):
+    """persistent_unordered_map::load -> [(hash offsets, data bytes)] per key
+    length. Offsets delimit same-hash chains; entries are laid sequentially
+    in data, so full materialization just walks data start-to-end."""
+    sizes = d.u1()
+    buckets = []
+    for _ in range(sizes):
+        n = d.u4()
+        hashes = d.raw(n * 4)
+        dlen = d.u4()
+        data = d.raw(dlen)
+        buckets.append((hashes, data))
+    return buckets
+
+
+def _pmap_items(buckets, entry_size):
+    """Iterate (key bytes, length, payload-decoder) in data order
+    (iter_all semantics). entry_size(dec) must consume one entry payload."""
+    for length, (_h, data) in enumerate(buckets):
+        d = _Decoder(data)
+        while not d.is_end():
+            key = d.raw(length)
+            start = d.pos
+            entry_size(d)
+            yield bytes(key), length, _Decoder(data[start : d.pos])
+
+
+def _pmap_value_map(buckets) -> dict:
+    """Maps with a fixed 4-byte value per entry (elementary feature values /
+    feature sequence scores) -> dict[bytes, int] (value left unsigned;
+    callers reinterpret)."""
+    out = {}
+    for length, (_h, data) in enumerate(buckets):
+        pos, n = 0, len(data)
+        while pos < n:
+            key = data[pos : pos + length]
+            val = struct.unpack_from("<I", data, pos + length)[0]
+            k = bytes(key)
+            if k not in out:  # at(): first entry in the chain wins
+                out[k] = val
+            pos += length + 4
+    return out
+
+
+# --------------------------------------------------------------------------
+# morpho dictionary (morpho_dictionary.h load + analyze)
+# --------------------------------------------------------------------------
+class MdDictionary:
+    __slots__ = ("roots", "roots_max_len", "tags", "suffixes", "suffix_max_len")
+
+    def __init__(self, roots, roots_max_len, tags, suffixes, suffix_max_len):
+        self.roots = roots              # bytes -> [(class, lemma_str)]
+        self.roots_max_len = roots_max_len
+        self.tags = tags                # [str]
+        self.suffixes = suffixes        # bytes -> (classes, indices, tags) or None (closure key)
+        self.suffix_max_len = suffix_max_len
+
+    @classmethod
+    def load(cls, d: _Decoder, format_addinfo) -> "MdDictionary":
+        lemmas_max_len = d.u1()
+        for _ in range(lemmas_max_len):
+            d.u4()
+        roots_max_len = d.u1()
+        for _ in range(roots_max_len):
+            d.u4()
+
+        roots: dict = {}
+        lemma = b""
+        for _ in range(d.u4()):
+            drop = d.u1()
+            lemma = lemma[: len(lemma) - drop] + bytes(d.raw(d.u1()))
+            info = bytes(d.raw(d.u1()))
+            lemma_str = lemma.decode("utf-8") + format_addinfo(info)
+            root = lemma
+            for _r in range(d.u1()):
+                ops = d.u1()
+                if ops & 1:  # REMOVE_START
+                    root = root[d.u1() :]
+                if ops & 2:  # REMOVE_END
+                    root = root[: len(root) - d.u1()]
+                if ops & 4:  # ADD_START
+                    root = bytes(d.raw(d.u1())) + root
+                if ops & 8:  # ADD_END
+                    root = root + bytes(d.raw(d.u1()))
+                clas = d.u2()
+                roots.setdefault(root, []).append((clas, lemma_str))
+
+        tags = []
+        for _ in range(d.u2()):
+            tags.append(bytes(d.raw(d.u1())).decode("utf-8"))
+
+        # suffix map: entry = classes_len u16, classes[cl], indices[cl],
+        # ntags u16 (doubles as indices[cl]), tags[ntags]
+        def skip(dec):
+            cl = dec.u2()
+            dec.raw(2 * cl * 2)
+            dec.raw(dec.u2() * 2)
+
+        buckets = _load_pmap_buckets(d)
+        suffixes: dict = {}
+        for key, _length, e in _pmap_items(buckets, skip):
+            cl = e.u2()
+            classes = struct.unpack_from("<%dH" % cl, e.data, e.pos)
+            e.raw(cl * 2)
+            indices = struct.unpack_from("<%dH" % cl, e.data, e.pos)
+            e.raw(cl * 2)
+            ntags = e.u2()
+            stags = struct.unpack_from("<%dH" % ntags, e.data, e.pos)
+            if key not in suffixes:
+                suffixes[key] = (classes, indices + (ntags,), stags) if cl else None
+        return cls(roots, roots_max_len, tags, suffixes, len(buckets))
+
+    def analyze(self, form: str, out: list) -> None:
+        """morpho_dictionary.h:156-196 — appends (lemma, tag) in the exact
+        reference order: longest consecutively-present suffix first, roots in
+        stream order, tags in suffix-class order."""
+        fb = form.encode("utf-8")
+        n = len(fb)
+        suff = []
+        for l in range(0, self.suffix_max_len):
+            if l > n:
+                break
+            entry = self.suffixes.get(fb[n - l :], _MISSING)
+            if entry is _MISSING:
+                break
+            suff.append(entry)
+        suff_len = len(suff) - 1
+        root_len = n - suff_len
+        tags = self.tags
+        while suff_len >= 0 and root_len < self.roots_max_len:
+            entry = suff[suff_len]
+            if entry is not None:
+                classes, indices, stags = entry
+                hits = self.roots.get(fb[:root_len])
+                if hits:
+                    for clas, lemma in hits:
+                        # unaligned_lower_bound over the sorted class table
+                        lo, hi = 0, len(classes)
+                        while lo < hi:
+                            mid = (lo + hi) // 2
+                            if classes[mid] < clas:
+                                lo = mid + 1
+                            else:
+                                hi = mid
+                        if lo < len(classes) and classes[lo] == clas:
+                            for ti in range(indices[lo], indices[lo + 1]):
+                                out.append((lemma, tags[stags[ti]]))
+            suff_len -= 1
+            root_len += 1
+
+
+_MISSING = object()
+
+
+# --------------------------------------------------------------------------
+# statistical guesser (morpho_statistical_guesser.cpp)
+# --------------------------------------------------------------------------
+class MdStatisticalGuesser:
+    __slots__ = ("tags", "default_tag", "rules")
+
+    def __init__(self, tags, default_tag, rules):
+        self.tags = tags
+        self.default_tag = default_tag
+        self.rules = rules  # bytes -> payload bytes (first byte = rule count)
+
+    @classmethod
+    def load(cls, d: _Decoder) -> "MdStatisticalGuesser":
+        tags = []
+        for _ in range(d.u2()):
+            tags.append(bytes(d.raw(d.u1())).decode("utf-8"))
+        default_tag = d.u2()
+        buckets = _load_pmap_buckets(d)
+        rules = {}
+        for key, _length, e in _pmap_items(buckets, lambda dec: dec.raw(dec.u2())):
+            if key not in rules:
+                rules[key] = bytes(e.data[e.pos + 2 :])  # strip u16 size
+        return cls(tags, default_tag, rules)
+
+    def analyze(self, form: str, out: list, used) -> None:
+        fb = form.encode("utf-8")
+        n = len(fb)
+        initial = len(out)
+        rules = self.rules
+
+        # longest suffix whose reversed form is a known rule-label prefix
+        label = b""
+        suffix_len = 0
+        while suffix_len < n:
+            label += fb[n - (suffix_len + 1) : n - suffix_len]
+            if label not in rules:
+                break
+            suffix_len += 1
+
+        for suffix_len in range(suffix_len, -1, -1):
+            label = bytes(reversed(fb[n - suffix_len :])) if suffix_len else b""
+            label += b" "
+            rule = None
+            rule_prefix_len = 0
+            for prefix_len in range(0, n - suffix_len + 1):
+                if prefix_len:
+                    label += fb[prefix_len - 1 : prefix_len]
+                found = rules.get(label)
+                if found is None:
+                    break
+                if found[:1] != b"\x00" and found[:1] != b"":
+                    rule = found
+                    rule_prefix_len = prefix_len
+            if rule is not None:
+                rule_label = (
+                    bytes(reversed(fb[n - suffix_len :])) + b" " + fb[:rule_prefix_len]
+                )
+                if len(rule_label) > 1 and rule_label not in (used or ()):
+                    if used is not None:
+                        used.append(rule_label)
+                    r = _Decoder(rule)
+                    for _ in range(r.u1()):
+                        pref_del = bytes(r.raw(r.u1()))
+                        pref_add = bytes(r.raw(r.u1()))
+                        suff_del = bytes(r.raw(r.u1()))
+                        suff_add = bytes(r.raw(r.u1()))
+                        ntags = r.u1()
+                        rtags = struct.unpack_from("<%dH" % ntags, r.data, r.pos)
+                        r.raw(ntags * 2)
+                        if (
+                            len(pref_del) + len(suff_del) > n
+                            or (pref_del and not fb.startswith(pref_del))
+                            or (suff_del and not fb.endswith(suff_del))
+                            or n + len(pref_add) - len(pref_del) + len(suff_add) - len(suff_del) == 0
+                        ):
+                            continue
+                        lemma = (
+                            pref_add + fb[len(pref_del) : n - len(suff_del)] + suff_add
+                        ).decode("utf-8")
+                        for t in rtags:
+                            out.append((lemma, self.tags[t]))
+                break
+
+        if len(out) == initial and (used is None or b"" not in used):
+            if used is not None:
+                used.append(b"")
+            out.append((form, self.tags[self.default_tag]))
+
+
+# --------------------------------------------------------------------------
+# unicode helpers (unilib parity via unicodedata)
+# --------------------------------------------------------------------------
+def _casing_variants(form: str):
+    """casing_variants.h — (form_uclc, form_lc), empty when == form."""
+    if not form:
+        return "", ""
+    cats = [unicodedata.category(c) for c in form]
+    first_lut = cats[0] in ("Lu", "Lt")
+    rest_has_lut = any(c in ("Lu", "Lt") for c in cats[1:])
+    if first_lut and not rest_has_lut:
+        return "", form[0].lower() + form[1:]
+    if not first_lut and rest_has_lut:
+        return "", "".join(c.lower() for c in form)
+    if first_lut and rest_has_lut:
+        rest = "".join(c.lower() for c in form[1:])
+        return form[0] + rest, form[0].lower() + rest
+    return "", ""
+
+
+def _analyze_special(form: str, number_tag, punctuation_tag, symbol_tag, out: list):
+    """generic_morpho.cpp:127-175 number/punct/symbol analyzer."""
+    if not form:
+        return
+    n = len(form)
+
+    # number: [+-]? N* ([.,] N*)? ([Ee] [+-]? N+)? — lookahead decoder like
+    # the reference's utf8::decode loop (cp = current codepoint, i = chars
+    # consumed including cp; decode past the end yields None)
+    state = {"i": 0}
+
+    def decode():
+        i = state["i"]
+        if i < n:
+            state["i"] = i + 1
+            return form[i]
+        return None
+
+    def is_n(cp):
+        return cp is not None and unicodedata.category(cp).startswith("N")
+
+    cp = decode()
+    any_digit = False
+    if cp in ("+", "-"):
+        cp = decode()
+    while is_n(cp):
+        any_digit = True
+        cp = decode()
+    if (cp == "." and state["i"] < n) or cp == ",":
+        cp = decode()
+    while is_n(cp):
+        any_digit = True
+        cp = decode()
+    if any_digit and cp in ("e", "E"):
+        cp = decode()
+        if cp in ("+", "-"):
+            cp = decode()
+        any_digit = False
+        while is_n(cp):
+            any_digit = True
+            cp = decode()
+    if any_digit and state["i"] >= n and (cp is None or cp == "."):
+        out.append((form, number_tag))
+        return
+    if punctuation_tag is None:  # number-only mode (czech reuses this matcher)
+        return
+
+    punct = all(unicodedata.category(c).startswith("P") for c in form)
+    symbol = all(unicodedata.category(c).startswith("S") for c in form)
+    if punct:
+        out.append((form, punctuation_tag))
+    elif symbol:
+        out.append((form, symbol_tag))
+
+
+# --------------------------------------------------------------------------
+# generic morpho (generic_morpho.cpp)
+# --------------------------------------------------------------------------
+class GenericMorpho:
+    kind = "generic"
+
+    def __init__(self, unknown_tag, number_tag, punctuation_tag, symbol_tag,
+                 dictionary: MdDictionary, statistical_guesser):
+        self.unknown_tag = unknown_tag
+        self.number_tag = number_tag
+        self.punctuation_tag = punctuation_tag
+        self.symbol_tag = symbol_tag
+        self.dictionary = dictionary
+        self.statistical_guesser = statistical_guesser
+
+    @classmethod
+    def load(cls, f) -> "GenericMorpho":
+        d = _read_blob(f)
+        unknown_tag = bytes(d.raw(d.u1())).decode("utf-8")
+        number_tag = bytes(d.raw(d.u1())).decode("utf-8")
+        punctuation_tag = bytes(d.raw(d.u1())).decode("utf-8")
+        symbol_tag = bytes(d.raw(d.u1())).decode("utf-8")
+        dictionary = MdDictionary.load(d, lambda info: "")
+        guesser = MdStatisticalGuesser.load(d) if d.u1() else None
+        if not d.is_end():
+            raise BinaryFormatError("trailing data in generic morpho blob")
+        return cls(unknown_tag, number_tag, punctuation_tag, symbol_tag,
+                   dictionary, guesser)
+
+    # generic lemma addinfo: raw_lemma == lemma_id == lemma
+    def raw_lemma_len(self, lemma: str) -> int:
+        return len(lemma)
+
+    def lemma_id_len(self, lemma: str) -> int:
+        return len(lemma)
+
+    def raw_form_len(self, form: str) -> int:
+        return len(form)
+
+    def analyze(self, form: str, guesser_mode: int) -> list:
+        """generic_morpho.cpp:60-96; returns non-empty (lemma, tag) list."""
+        out: list = []
+        if form:
+            form_uclc, form_lc = _casing_variants(form)
+            self.dictionary.analyze(form, out)
+            if form_uclc:
+                self.dictionary.analyze(form_uclc, out)
+            if form_lc:
+                self.dictionary.analyze(form_lc, out)
+            if out:
+                return out
+
+            _analyze_special(form, self.number_tag, self.punctuation_tag,
+                             self.symbol_tag, out)
+            if out:
+                return out
+
+            if guesser_mode == GUESSER and self.statistical_guesser is not None:
+                if not form_uclc and not form_lc:
+                    self.statistical_guesser.analyze(form, out, None)
+                else:
+                    used: list = []
+                    self.statistical_guesser.analyze(form, out, used)
+                    if form_uclc:
+                        self.statistical_guesser.analyze(form_uclc, out, used)
+                    if form_lc:
+                        self.statistical_guesser.analyze(form_lc, out, used)
+            if out:
+                return out
+        out.append((form, self.unknown_tag))
+        return out
+
+
+# --------------------------------------------------------------------------
+# czech morpho (czech_morpho.cpp, czech_lemma_addinfo.h, tag_filter.h,
+# morpho_prefix_guesser.h)
+# --------------------------------------------------------------------------
+def _czech_raw_lemma_len(lemma: str) -> int:
+    """czech_lemma_addinfo.h:36-43 — lemma ends at '`', '_' or '-[0-9]' on a
+    non-first position."""
+    n = len(lemma)
+    for i in range(1, n):
+        c = lemma[i]
+        if c == "`" or c == "_" or (c == "-" and i + 1 < n and lemma[i + 1].isdigit()
+                                    and lemma[i + 1].isascii()):
+            return i
+    return n
+
+
+def _czech_lemma_id_len(lemma: str) -> int:
+    """czech_lemma_addinfo.h:45-58 — like raw_lemma_len but the '-NUM' homonym
+    number belongs to the id."""
+    n = len(lemma)
+    for i in range(1, n):
+        c = lemma[i]
+        if c == "`" or c == "_":
+            return i
+        if c == "-" and i + 1 < n and lemma[i + 1].isdigit() and lemma[i + 1].isascii():
+            j = i + 2
+            while j < n and lemma[j].isdigit() and lemma[j].isascii():
+                j += 1
+            return j
+    return n
+
+
+def _czech_format_addinfo(info: bytes) -> str:
+    """czech_lemma_addinfo.h:60-75 — byte 0 is the homonym number (255 =
+    none), the rest is the comment text."""
+    if not info:
+        return ""
+    res = ""
+    if info[0] != 255:
+        res = "-%d" % info[0]
+    return res + info[1:].decode("utf-8")
+
+
+class _TagFilter:
+    """tag_filter.h wildcard: '?' any, '[abc]' set, '[^abc]' negated set."""
+
+    __slots__ = ("filters",)
+
+    def __init__(self, wildcard: str):
+        self.filters = []
+        tag_pos = 0
+        i = 0
+        n = len(wildcard)
+        while i < n:
+            c = wildcard[i]
+            if c == "?":
+                pass
+            elif c == "[":
+                i += 1
+                negate = False
+                if i < n and wildcard[i] == "^":
+                    negate = True
+                    i += 1
+                start = i
+                first = True
+                while i < n and (first or wildcard[i] != "]"):
+                    first = False
+                    i += 1
+                self.filters.append((tag_pos, negate, wildcard[start:i]))
+                if i >= n:
+                    break
+            else:
+                self.filters.append((tag_pos, False, c))
+            tag_pos += 1
+            i += 1
+
+    def matches(self, tag: str) -> bool:
+        if not self.filters:
+            return True
+        n = len(tag)
+        for pos, negate, chars in self.filters:
+            if pos >= n:
+                return True  # tag ends prematurely -> accept
+            if (tag[pos] in chars) == negate:
+                return False
+        return True
+
+
+class MdPrefixGuesser:
+    """morpho_prefix_guesser.h — initial/middle prefix masks over tag
+    filters, recursing into the dictionary on the stripped form."""
+
+    __slots__ = ("dictionary", "tag_filters", "prefixes_initial", "prefixes_middle",
+                 "init_max_len", "mid_max_len")
+
+    def __init__(self, dictionary, tag_filters, prefixes_initial, prefixes_middle,
+                 init_max_len, mid_max_len):
+        self.dictionary = dictionary
+        self.tag_filters = tag_filters
+        self.prefixes_initial = prefixes_initial
+        self.prefixes_middle = prefixes_middle
+        self.init_max_len = init_max_len
+        self.mid_max_len = mid_max_len
+
+    @classmethod
+    def load(cls, d: _Decoder, dictionary) -> "MdPrefixGuesser":
+        tag_filters = []
+        for _ in range(d.u1()):
+            tag_filters.append(_TagFilter(bytes(d.raw(d.u1())).decode("utf-8")))
+        b_init = _load_pmap_buckets(d)
+        b_mid = _load_pmap_buckets(d)
+        return cls(dictionary, tag_filters, _pmap_value_map(b_init),
+                   _pmap_value_map(b_mid), len(b_init), len(b_mid))
+
+    def analyze(self, form: str, out: list) -> None:
+        fb = form.encode("utf-8")
+        n = len(fb)
+        if not n:
+            return
+        full_mask = (1 << len(self.tag_filters)) - 1
+        for initial in range(0, n):
+            if initial:
+                if initial >= self.init_max_len:
+                    break
+                initial_mask = self.prefixes_initial.get(fb[:initial])
+                if initial_mask is None:
+                    break
+            else:
+                initial_mask = full_mask
+            if not initial_mask:
+                continue
+            middle_masks = [0] * initial + [initial_mask]
+            middle = initial
+            while middle < len(middle_masks):
+                if middle_masks[middle]:
+                    for i in range(middle + 1, n):
+                        if i - middle >= self.mid_max_len:
+                            break
+                        found = self.prefixes_middle.get(fb[middle:i])
+                        if found is None:
+                            break
+                        if found:
+                            while len(middle_masks) < i + 1:
+                                middle_masks.append(0)
+                            middle_masks[i] |= middle_masks[middle] & found
+                    if middle > initial and middle < n:
+                        # strip the middle prefix, keep the initial one
+                        stripped = (fb[:initial] + fb[middle:]).decode("utf-8")
+                        cand: list = []
+                        self.dictionary.analyze(stripped, cand)
+                        prefix = fb[initial:middle].decode("utf-8")
+                        for lemma, tag in cand:
+                            for fi, filt in enumerate(self.tag_filters):
+                                if (middle_masks[middle] >> fi) & 1 and filt.matches(tag):
+                                    out.append((prefix + lemma, tag))
+                                    break
+                middle += 1
+
+
+# czech_morpho.cpp:152-165 punctuation tables (indices are codepoints)
+_CZ_PUNCT_ADDITIONAL = frozenset(ord(c) for c in "$+<=>^`|~ˇ")
+_CZ_PUNCT_EXCEPTIONS = frozenset((0xA7,))  # paragraph sign
+
+
+class CzechMorpho:
+    kind = "czech"
+
+    def __init__(self, dictionary, prefix_guesser, statistical_guesser,
+                 unknown_tag, number_tag, punctuation_tag):
+        self.dictionary = dictionary
+        self.prefix_guesser = prefix_guesser
+        self.statistical_guesser = statistical_guesser
+        self.unknown_tag = unknown_tag
+        self.number_tag = number_tag
+        self.punctuation_tag = punctuation_tag
+
+    @classmethod
+    def load(cls, f) -> "CzechMorpho":
+        d = _read_blob(f)
+        tag_length = d.u1()
+        unknown_tag = "X@-------------"[:tag_length]
+        number_tag = "C=-------------"[:tag_length]
+        punctuation_tag = "Z:-------------"[:tag_length]
+        dictionary = MdDictionary.load(d, _czech_format_addinfo)
+        prefix_guesser = MdPrefixGuesser.load(d, dictionary) if d.u1() else None
+        statistical_guesser = MdStatisticalGuesser.load(d) if d.u1() else None
+        if not d.is_end():
+            raise BinaryFormatError("trailing data in czech morpho blob")
+        return cls(dictionary, prefix_guesser, statistical_guesser,
+                   unknown_tag, number_tag, punctuation_tag)
+
+    def raw_lemma_len(self, lemma: str) -> int:
+        return _czech_raw_lemma_len(lemma)
+
+    def lemma_id_len(self, lemma: str) -> int:
+        return _czech_lemma_id_len(lemma)
+
+    def raw_form_len(self, form: str) -> int:
+        return len(form)
+
+    def _analyze_special(self, form: str, out: list) -> None:
+        """czech_morpho.cpp:167-200 — number, else punctuation by FIRST char
+        (additional table ∪ category P minus exceptions)."""
+        if not form:
+            return
+        before = len(out)
+        _analyze_special(form, self.number_tag, None, None, out)
+        # _analyze_special appends only numbers when punct/symbol tags are None
+        if len(out) > before:
+            return
+        first = ord(form[0])
+        if first in _CZ_PUNCT_ADDITIONAL or (
+            unicodedata.category(form[0]).startswith("P") and first not in _CZ_PUNCT_EXCEPTIONS
+        ):
+            out.append((form, self.punctuation_tag))
+
+    def analyze(self, form: str, guesser_mode: int) -> list:
+        out: list = []
+        if form:
+            form_uclc, form_lc = _casing_variants(form)
+            self.dictionary.analyze(form, out)
+            if form_uclc:
+                self.dictionary.analyze(form_uclc, out)
+            if form_lc:
+                self.dictionary.analyze(form_lc, out)
+            if out:
+                return out
+
+            self._analyze_special(form, out)
+            if out:
+                return out
+
+            if guesser_mode == GUESSER and self.prefix_guesser is not None:
+                self.prefix_guesser.analyze(form_lc if form_lc else form, out)
+            prefix_guesses = bool(out)
+
+            if guesser_mode == GUESSER and self.statistical_guesser is not None:
+                if not form_uclc and not form_lc:
+                    self.statistical_guesser.analyze(form, out, None)
+                else:
+                    used: list = []
+                    self.statistical_guesser.analyze(form, out, used)
+                    if form_uclc:
+                        self.statistical_guesser.analyze(form_uclc, out, used)
+                    if form_lc:
+                        self.statistical_guesser.analyze(form_lc, out, used)
+
+            if prefix_guesses:
+                # sort + unique (czech_morpho.cpp:97-107)
+                seen = set()
+                uniq = []
+                for lt in sorted(out):
+                    if lt not in seen:
+                        seen.add(lt)
+                        uniq.append(lt)
+                out = uniq
+            if out:
+                return out
+        out.append((form, self.unknown_tag))
+        return out
+
+
+def load_morpho(f):
+    """morpho.cpp:26-77 dispatch."""
+    mid = f.read(1)
+    if not mid:
+        raise BinaryFormatError("missing morpho id")
+    mid = mid[0]
+    if mid == MORPHO_GENERIC:
+        return GenericMorpho.load(f)
+    if mid in (MORPHO_CZECH, MORPHO_SLOVAK_PDT):
+        return CzechMorpho.load(f)
+    if mid == MORPHO_EXTERNAL:
+        raise BinaryFormatError("EXTERNAL morpho payloads are not embedded in taggers")
+    raise BinaryFormatError(
+        f"morpho id {mid} (english) not supported yet by the Python reader"
+    )
+
+
+# --------------------------------------------------------------------------
+# elementary features
+# --------------------------------------------------------------------------
+def _vli_encode(value: int) -> bytes:
+    """vli.h uint32 encoding."""
+    if value < 0x80:
+        return bytes((value,))
+    if value < 0x4000:
+        return bytes(((value >> 7) | 0x80, value & 0x7F))
+    if value < 0x200000:
+        return bytes(((value >> 14) | 0x80, ((value >> 7) & 0x7F) | 0x80, value & 0x7F))
+    if value < 0x10000000:
+        return bytes(((value >> 21) | 0x80, ((value >> 14) & 0x7F) | 0x80,
+                      ((value >> 7) & 0x7F) | 0x80, value & 0x7F))
+    return bytes(((value >> 28) | 0x80, ((value >> 21) & 0x7F) | 0x80,
+                  ((value >> 14) & 0x7F) | 0x80, ((value >> 7) & 0x7F) | 0x80,
+                  value & 0x7F))
+
+
+class _ElementaryBase:
+    """Shared machinery: value maps keyed by UTF-8 bytes; per-form
+    codepoint-sliced prefixes/suffixes; verb-tracking dynamic features."""
+
+    def __init__(self, maps):
+        self.maps = maps  # list of dict[bytes, int]
+
+    @classmethod
+    def load(cls, f):
+        d = _read_blob(f)
+        nmaps = d.u1()
+        maps = [_pmap_value_map(_load_pmap_buckets(d)) for _ in range(nmaps)]
+        if not d.is_end():
+            raise BinaryFormatError("trailing data in elementary features blob")
+        return cls(maps)
+
+    def _value(self, map_idx, key_bytes):
+        return self.maps[map_idx].get(key_bytes, _EF_UNKNOWN)
+
+
+class GenericElementaryFeatures(_ElementaryBase):
+    """generic_elementary_features.h — 24 per-form, 7 per-tag, 4 dynamic."""
+
+    PER_FORM_TOTAL, PER_TAG_TOTAL, DYNAMIC_TOTAL = 25, 7, 4
+    N_PREFIX = N_SUFFIX = 9
+    (M_FORM, M_P1, M_P2, M_P3, M_P4, M_P5, M_P6, M_P7, M_P8, M_P9,
+     M_S1, M_S2, M_S3, M_S4, M_S5, M_S6, M_S7, M_S8, M_S9,
+     M_TAG, M_TAG1, M_TAG2, M_TAG3, M_TAG4, M_TAG5, M_LEMMA) = range(26)
+
+    def per_tag(self, analyses_i):
+        """per-tag feature vectors for one token's analyses."""
+        out = []
+        prev_lemma = None
+        prev_lemma_val = 0
+        for lemma, tag in analyses_i:
+            tb = tag.encode("utf-8")
+            vals = [0] * 7
+            vals[0] = self._value(self.M_TAG, tb)
+            vals[1] = self._value(self.M_TAG1, tb[0:1]) if len(tb) >= 1 else _EF_EMPTY
+            vals[2] = self._value(self.M_TAG2, tb[1:2]) if len(tb) >= 2 else _EF_EMPTY
+            vals[3] = self._value(self.M_TAG3, tb[2:3]) if len(tb) >= 3 else _EF_EMPTY
+            vals[4] = self._value(self.M_TAG4, tb[3:4]) if len(tb) >= 4 else _EF_EMPTY
+            vals[5] = self._value(self.M_TAG5, tb[4:5]) if len(tb) >= 5 else _EF_EMPTY
+            if lemma == prev_lemma:
+                vals[6] = prev_lemma_val
+            else:
+                vals[6] = self._value(self.M_LEMMA, lemma.encode("utf-8"))
+                prev_lemma, prev_lemma_val = lemma, vals[6]
+            out.append(vals)
+        return out
+
+    TAG_SLOT, LEMMA_SLOT = 0, 6
+
+    def ortho(self, form: str, vals, single_analysis: bool):
+        """Fills NUM..SUFFIX9 (slots 3..23) of the per-form vector."""
+        if single_analysis:
+            for k in range(3, 24):
+                vals[k] = _EF_UNKNOWN
+            return
+        if not form:
+            vals[3] = vals[4] = vals[5] = _EF_EMPTY + 1
+            for k in range(6, 24):
+                vals[k] = _EF_EMPTY
+            return
+        fb = form.encode("utf-8")
+        offs = []  # byte offset of each codepoint
+        pos = 0
+        num = cap = dash = False
+        for ch in form:
+            offs.append(pos)
+            pos += len(ch.encode("utf-8"))
+            c = unicodedata.category(ch)
+            num = num or c.startswith("N")
+            cap = cap or c in ("Lu", "Lt")
+            dash = dash or c == "Pd"
+        ncp = len(offs)
+        total = len(fb)
+        vals[3] = _EF_EMPTY + 1 + num
+        vals[4] = _EF_EMPTY + 1 + cap
+        vals[5] = _EF_EMPTY + 1 + dash
+        for k in range(1, self.N_PREFIX + 1):
+            end = offs[k] if k < ncp else total
+            vals[5 + k] = self._value(self.M_P1 + k - 1, fb[:end])
+        for k in range(1, self.N_SUFFIX + 1):
+            start = offs[ncp - k] if k <= ncp else 0
+            vals[5 + self.N_PREFIX + k] = self._value(self.M_S1 + k - 1, fb[start:])
+
+    def per_form(self, forms, analyses, per_tag):
+        """compute_features per-form pass (reverse order for FollowingVerb*)."""
+        n = len(forms)
+        out = [[0] * self.PER_FORM_TOTAL for _ in range(n)]
+        following_tag = following_lemma = _EF_EMPTY
+        for i in range(n - 1, -1, -1):
+            # verb candidate: smallest (tag, lemma), tag compared first
+            # (UTF-8 byte order == codepoint order, so Python str compare is
+            # equivalent to the reference's byte compare)
+            verb = -1
+            for j, (lemma, tag) in enumerate(analyses[i]):
+                if tag[:1] == "V":
+                    if verb < 0:
+                        verb = j
+                    else:
+                        vlemma, vtag = analyses[i][verb]
+                        if tag < vtag or (tag == vtag and lemma < vlemma):
+                            verb = j
+            vals = out[i]
+            vals[0] = self._value(self.M_FORM, forms[i].encode("utf-8"))
+            vals[1] = following_tag
+            vals[2] = following_lemma
+            if verb >= 0:
+                following_tag = per_tag[i][verb][self.TAG_SLOT]
+                following_lemma = per_tag[i][verb][self.LEMMA_SLOT]
+            self.ortho(forms[i], vals, len(analyses[i]) == 1)
+        return out
+
+    def dynamic(self, tag_lemma, per_tag_vals, prev_dynamic):
+        """compute_dynamic_features -> 4-tuple."""
+        if prev_dynamic is not None:
+            pvt, pvl = prev_dynamic[2], prev_dynamic[3]
+        else:
+            pvt = pvl = _EF_EMPTY
+        if tag_lemma[1][:1] == "V":
+            cvt, cvl = per_tag_vals[self.TAG_SLOT], per_tag_vals[self.LEMMA_SLOT]
+        else:
+            cvt, cvl = pvt, pvl
+        return (pvt, pvl, cvt, cvl)
+
+
+class CzechElementaryFeatures(GenericElementaryFeatures):
+    """czech_elementary_features.h — 14 per-form, 5 per-tag, 4 dynamic."""
+
+    PER_FORM_TOTAL, PER_TAG_TOTAL, DYNAMIC_TOTAL = 14, 5, 4
+    N_PREFIX = N_SUFFIX = 4
+    (M_FORM, M_LEMMA, M_P1, M_P2, M_P3, M_P4,
+     M_S1, M_S2, M_S3, M_S4, M_TAG, M_TAG3, M_TAG5, M_TAG25) = range(14)
+
+    TAG_SLOT, LEMMA_SLOT = 0, 4
+
+    def per_tag(self, analyses_i):
+        out = []
+        prev_lemma = None
+        prev_lemma_val = 0
+        for lemma, tag in analyses_i:
+            tb = tag.encode("utf-8")
+            vals = [0] * 5
+            vals[0] = self._value(self.M_TAG, tb)
+            vals[1] = self._value(self.M_TAG3, tb[2:3]) if len(tb) >= 3 else _EF_EMPTY
+            vals[2] = self._value(self.M_TAG5, tb[4:5]) if len(tb) >= 5 else _EF_EMPTY
+            vals[3] = (
+                self._value(self.M_TAG25, tb[1:2] + tb[4:5]) if len(tb) >= 5 else _EF_EMPTY
+            )
+            if lemma == prev_lemma:
+                vals[4] = prev_lemma_val
+            else:
+                vals[4] = self._value(self.M_LEMMA, lemma.encode("utf-8"))
+                prev_lemma, prev_lemma_val = lemma, vals[4]
+            out.append(vals)
+        return out
+
+    def ortho(self, form, vals, single_analysis):
+        if single_analysis:
+            for k in range(3, 12):
+                vals[k] = _EF_UNKNOWN
+            return
+        if not form:
+            vals[3] = vals[4] = vals[5] = _EF_EMPTY + 1
+            for k in range(6, 14):
+                vals[k] = _EF_EMPTY
+            return
+        fb = form.encode("utf-8")
+        offs = []
+        pos = 0
+        num = cap = dash = False
+        for ch in form:
+            offs.append(pos)
+            pos += len(ch.encode("utf-8"))
+            c = unicodedata.category(ch)
+            num = num or c.startswith("N")
+            cap = cap or c in ("Lu", "Lt")
+            dash = dash or c == "Pd"
+        ncp = len(offs)
+        total = len(fb)
+        vals[3] = _EF_EMPTY + 1 + num
+        vals[4] = _EF_EMPTY + 1 + cap
+        vals[5] = _EF_EMPTY + 1 + dash
+        for k in range(1, 5):
+            end = offs[k] if k < ncp else total
+            vals[5 + k] = self._value(self.M_P1 + k - 1, fb[:end])
+        for k in range(1, 5):
+            start = offs[ncp - k] if k <= ncp else 0
+            vals[9 + k] = self._value(self.M_S1 + k - 1, fb[start:])
+
+
+_ELEMENTARY = {"generic": GenericElementaryFeatures, "czech": CzechElementaryFeatures}
+
+
+# --------------------------------------------------------------------------
+# feature sequences (feature_sequences.h)
+# --------------------------------------------------------------------------
+class FeatureSequences:
+    def __init__(self, elementary, sequences, scores):
+        self.elementary = elementary
+        self.sequences = sequences  # [(dependant_range, [(type, elem_idx, seq_idx)])]
+        self.scores = scores        # [dict[bytes, int32]]
+
+    @classmethod
+    def load(cls, f, elementary_cls):
+        elementary = elementary_cls.load(f)
+        d = _read_blob(f)
+        sequences = []
+        for _ in range(d.u1()):
+            dependant_range = d.u4()
+            elements = []
+            for _e in range(d.u1()):
+                typ = d.u4()
+                elem_idx = d.u4()
+                seq_idx = d.u4()
+                if seq_idx >= 1 << 31:
+                    seq_idx -= 1 << 32
+                elements.append((typ, elem_idx, seq_idx))
+            sequences.append((dependant_range, elements))
+        scores = []
+        for _ in range(d.u1()):
+            m = _pmap_value_map(_load_pmap_buckets(d))
+            # scores are signed int32
+            scores.append({k: v - (1 << 32) if v >= (1 << 31) else v for k, v in m.items()})
+        if not d.is_end():
+            raise BinaryFormatError("trailing data in feature sequences blob")
+        return cls(elementary, sequences, scores)
+
+    def score(self, form_index, window_tags, dynamic, per_form, per_tag, n_forms):
+        """Fresh evaluation of feature_sequences.h:179-233 (the incremental
+        tags_unchanged cache is a pure optimization: unchanged windows yield
+        unchanged keys, so a full re-evaluation is semantically identical)."""
+        total = 0
+        for si, (dep_range, elements) in enumerate(self.sequences):
+            key = b""
+            dead = False
+            for typ, elem_idx, seq_idx in elements:
+                if typ == _PER_FORM:
+                    j = form_index + seq_idx
+                    value = (
+                        _EF_EMPTY if (j < 0 or j >= n_forms) else per_form[j][elem_idx]
+                    )
+                elif typ == _PER_TAG:
+                    if form_index + seq_idx < 0:
+                        value = _EF_EMPTY
+                    else:
+                        value = per_tag[form_index - (-seq_idx)][window_tags[-seq_idx]][elem_idx]
+                else:
+                    value = dynamic[elem_idx]
+                if value == _EF_UNKNOWN:
+                    dead = True
+                    break
+                key += _vli_encode(value)
+            if dead or not key:
+                continue
+            total += self.scores[si].get(key, 0)
+        return total
+
+
+# --------------------------------------------------------------------------
+# perceptron tagger + viterbi (perceptron_tagger.h, viterbi.h)
+# --------------------------------------------------------------------------
+class MorphoditaTagger:
+    """A loaded MorphoDiTa tagger: morpho + feature sequences + Viterbi.
+
+    Drop-in for model.NerModel's ``tagger`` slot; also exposes the richer
+    per-token fields the NameTag wrapper fills (morphodita_tagger.cpp:40-80).
+    """
+
+    kind = "morphodita"
+
+    def __init__(self, raw_bytes: bytes, tagger_family: str, decoding_order: int,
+                 window_size: int, morpho, use_guesser: bool,
+                 features: FeatureSequences):
+        self.raw_bytes = raw_bytes
+        self.tagger_family = tagger_family
+        self.decoding_order = decoding_order
+        self.window_size = window_size
+        self.morpho = morpho
+        self.use_guesser = use_guesser
+        self.features = features
+        self._analysis_cache: dict = {}
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def load_stream(cls, f) -> "MorphoditaTagger":
+        """Parse a tagger from an open binary stream, consuming EXACTLY the
+        tagger's bytes (the payload is not length-delimited inside a .ner
+        file — the morpho blob, guesser byte, and two feature blobs are each
+        self-delimiting). Stream must support tell/seek (re-reads the
+        consumed span as raw_bytes for pickling)."""
+        start = f.tell()
+        tid = f.read(1)
+        if not tid or tid[0] not in _TAGGER_IDS:
+            raise BinaryFormatError(f"unknown MorphoDiTa tagger id {tid!r}")
+        family, order, window = _TAGGER_IDS[tid[0]]
+        if family == "conllu":
+            raise BinaryFormatError("CONLLU taggers not supported yet")
+        morpho = load_morpho(f)
+        use_guesser = bool(f.read(1)[0])
+        features = FeatureSequences.load(f, _ELEMENTARY[family])
+        end = f.tell()
+        f.seek(start)
+        raw = f.read(end - start)
+        return cls(raw, family, order, window, morpho, use_guesser, features)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "MorphoditaTagger":
+        import io
+
+        f = io.BytesIO(blob)
+        tagger = cls.load_stream(f)
+        rest = f.read()
+        if rest:
+            raise BinaryFormatError(f"{len(rest)} trailing bytes after tagger stream")
+        return tagger
+
+    @classmethod
+    def load(cls, path: str) -> "MorphoditaTagger":
+        with open(path, "rb") as f:
+            return cls.load_stream(f)
+
+    # ------------------------------------------------------------ analysis
+    def _analyses(self, form: str, mode=None) -> list:
+        key = (form, mode)
+        a = self._analysis_cache.get(key)
+        if a is None:
+            m = self.morpho.analyze(
+                form, (GUESSER if self.use_guesser else NO_GUESSER) if mode is None else mode
+            )
+            a = self._analysis_cache[key] = m
+            if len(self._analysis_cache) > 500_000:
+                self._analysis_cache.clear()
+        return a
+
+    # -------------------------------------------------------------- decode
+    def _decode(self, forms, analyses) -> list:
+        """viterbi.h:58-122 — returns chosen analysis index per token, with
+        the reference's exact node-merge and tie-break behavior."""
+        n = len(forms)
+        if n == 0:
+            return []
+        order = self.decoding_order
+        window_size = self.window_size
+        feats = self.features
+        per_tag = [feats.elementary.per_tag(analyses[i]) for i in range(n)]
+        per_form = feats.elementary.per_form(forms, analyses, per_tag)
+        dyn = feats.elementary.dynamic
+
+        # nodes: (tag, prev, score, dynamic)
+        nodes: list = []
+        nodes_prev, nodes_now = -1, 0
+        window = [-1] * window_size
+        for i in range(n):
+            nodes_next = nodes_now
+            window = [-1] * window_size
+            single = len(analyses[i]) == 1 and nodes_prev + 1 == nodes_now
+            for tag in range(len(analyses[i])):
+                for prev in range(nodes_prev, nodes_now):
+                    same_tags = 1 if window[0] == tag else 0
+                    window[0] = tag
+                    p = prev
+                    k = 1
+                    while p >= 0 and k < window_size:
+                        if same_tags == k and window[k] == nodes[p][0]:
+                            same_tags += 1
+                        window[k] = nodes[p][0]
+                        p = nodes[p][1]
+                        k += 1
+                    prev_dyn = nodes[prev][3] if prev >= 0 else None
+                    dynamic = dyn(analyses[i][tag], per_tag[i][tag], prev_dyn)
+                    if single:
+                        score = 0
+                    else:
+                        score = feats.score(i, window, dynamic, per_form, per_tag, n)
+                    if prev >= 0:
+                        score += nodes[prev][2]
+                    if same_tags >= order - 1:
+                        if score <= nodes[nodes_next - 1][2]:
+                            continue
+                        nodes_next -= 1
+                    node = (tag, prev, score, dynamic)
+                    if nodes_next < len(nodes):
+                        nodes[nodes_next] = node
+                    else:
+                        nodes.append(node)
+                    nodes_next += 1
+            nodes_prev, nodes_now = nodes_now, nodes_next
+
+        best = nodes_prev
+        for idx in range(nodes_prev + 1, nodes_now):
+            if nodes[idx][2] > nodes[best][2]:
+                best = idx
+        out = [0] * n
+        for i in range(n - 1, -1, -1):
+            out[i] = nodes[best][0]
+            best = nodes[best][1]
+        return out
+
+    # ----------------------------------------------------------- public API
+    def tag(self, forms) -> list:
+        """perceptron_tagger.h:70-92 -> [(lemma, tag)] per token."""
+        raw_forms = [f[: self.morpho.raw_form_len(f)] for f in forms]
+        analyses = [self._analyses(f) for f in raw_forms]
+        idx = self._decode(raw_forms, analyses)
+        return [analyses[i][k] for i, k in enumerate(idx)]
+
+    def tag_sentence(self, forms):
+        """MorphoTagger-compatible: (lemmas, tags)."""
+        tagged = self.tag(forms)
+        return [l for (l, _t) in tagged], [t for (_l, t) in tagged]
+
+    def ner_tag_sentence(self, forms):
+        """morphodita_tagger.cpp:40-80 — per token dict of the ner_sentence
+        word fields (form truncated to raw_form_len, raw_lemma, lemma_id,
+        lemma_comments, tag, sorted-unique raw_lemmas_all)."""
+        tagged = self.tag(forms)
+        m = self.morpho
+        out = []
+        for form, (lemma, tag) in zip(forms, tagged):
+            raw_len = m.raw_lemma_len(lemma)
+            id_len = m.lemma_id_len(lemma)
+            raw_lemma = lemma[:raw_len]
+            all_raw = sorted(
+                {a_lemma[: m.raw_lemma_len(a_lemma)] for a_lemma, _t in self._analyses(form, GUESSER)}
+            )
+            out.append(
+                {
+                    "form": form[: m.raw_form_len(form)],
+                    "raw_lemma": raw_lemma,
+                    "lemma_id": lemma[:id_len],
+                    "lemma_comments": lemma[id_len:],
+                    "tag": tag,
+                    "raw_lemmas_all": all_raw,
+                }
+            )
+        return out
+
+    # ------------------------------------------------------------- pickling
+    def __getstate__(self):
+        return self.raw_bytes
+
+    def __setstate__(self, blob):
+        other = MorphoditaTagger.from_bytes(blob)
+        self.__dict__.update(other.__dict__)
+
+    # state()/from_state for NerModel save/load symmetry
+    def state(self) -> dict:
+        import base64
+
+        return {"kind": "morphodita", "raw": base64.b64encode(self.raw_bytes).decode("ascii")}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "MorphoditaTagger":
+        import base64
+
+        return cls.from_bytes(base64.b64decode(st["raw"]))

@@ -25,11 +25,13 @@
 #include <string>
 #include <vector>
 
+#include "morphodita/morpho/czech_morpho_encoder.h"
 #include "morphodita/morpho/generic_morpho_encoder.h"
 #include "morphodita/morpho/morpho.h"
 #include "morphodita/morpho/morpho_ids.h"
 #include "morphodita/tagger/tagger.h"
 #include "morphodita/tagger/tagger_ids.h"
+#include "morphodita/tagger/czech_elementary_features.h"
 #include "morphodita/tagger/generic_elementary_features.h"
 #include "morphodita/tagger/perceptron_tagger_trainer.h"
 #include "morphodita/tagger/tagger_trainer.h"
@@ -65,6 +67,52 @@ int main(int argc, char* argv[]) {
     }
     out.put(morpho_ids::GENERIC);
     generic_morpho_encoder::encode(cin, max_suffix_len, tags, guesser, out);
+    return 0;
+  }
+
+  if (cmd == "encode_dict_czech") {
+    // encode_dict_czech <max_suffix_len> <max_tag_length> <out.dict>
+    //                   [prefix_guesser.txt [stat_guesser.txt]] < raw_dict.tsv
+    if (argc < 5) return usage();
+    int max_suffix_len = stoi(argv[2]);
+    int max_tag_length = stoi(argv[3]);
+    ofstream out(argv[4], ofstream::binary);
+    if (!out) { cerr << "cannot open " << argv[4] << endl; return 1; }
+    ifstream prefix_guesser, stat_guesser;
+    if (argc > 5 && argv[5][0]) {
+      prefix_guesser.open(argv[5]);
+      if (!prefix_guesser) { cerr << "cannot open " << argv[5] << endl; return 1; }
+    }
+    if (argc > 6 && argv[6][0]) {
+      stat_guesser.open(argv[6]);
+      if (!stat_guesser) { cerr << "cannot open " << argv[6] << endl; return 1; }
+    }
+    out.put(morpho_ids::CZECH);
+    czech_morpho_encoder::encode(cin, max_suffix_len, prefix_guesser, stat_guesser,
+                                 max_tag_length, out);
+    return 0;
+  }
+
+  if (cmd == "train_tagger_czech") {
+    // train_tagger_czech <czech2|czech2_3|czech3> <dict> <use_guesser>
+    //                    <templates> <iters> <out.tagger> < train.tsv
+    if (argc < 8) return usage();
+    tagger_id id;
+    if (!tagger_ids::parse(argv[2], id)) { cerr << "bad tagger id" << endl; return 1; }
+    ifstream dict(argv[3], ifstream::binary);
+    if (!dict) { cerr << "cannot open " << argv[3] << endl; return 1; }
+    bool use_guesser = stoi(argv[4]) != 0;
+    ifstream templates(argv[5]);
+    if (!templates) { cerr << "cannot open " << argv[5] << endl; return 1; }
+    int iterations = stoi(argv[6]);
+    ofstream out(argv[7], ofstream::binary);
+    if (!out) { cerr << "cannot open " << argv[7] << endl; return 1; }
+    ifstream no_heldout;
+    out.put(id);
+    tagger_trainer<perceptron_tagger_trainer<train_feature_sequences<czech_elementary_features>>>::train(
+        tagger_ids::decoding_order(id), tagger_ids::window_size(id), iterations,
+        dict, use_guesser, templates, /*prune_features=*/false,
+        cin, no_heldout, /*early_stopping=*/false, out);
     return 0;
   }
 

@@ -1,0 +1,237 @@
+"""Parity tests for the MorphoDiTa .tagger reader/runtime
+(nametag_spark/morpho/morphodita.py) against goldens produced by the
+UNMODIFIED compiled reference (scripts/ref_tools/morpho_tools.cpp drives the
+reference's own encoder/trainer/runtime; see fixtures/morphodita/)."""
+
+import io
+import os
+import pickle
+
+import pytest
+
+from nametag_spark.model.binary_reader import load_binary_ner, BinaryFormatError
+from nametag_spark.morpho.morphodita import (
+    GUESSER,
+    NO_GUESSER,
+    MorphoditaTagger,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "..", "fixtures", "morphodita")
+
+
+def _blocks(path, split=True):
+    blocks, cur = [], []
+    for line in open(path, encoding="utf-8"):
+        line = line.rstrip("\n")
+        if not line:
+            if cur:
+                blocks.append(cur)
+            cur = []
+        else:
+            cur.append(line.split("\t") if split else line)
+    if cur:
+        blocks.append(cur)
+    return blocks
+
+
+@pytest.fixture(scope="module")
+def tagger():
+    return MorphoditaTagger.load(os.path.join(FIX, "tiny.tagger"))
+
+
+def test_load_metadata(tagger):
+    assert tagger.tagger_family == "generic"
+    assert tagger.decoding_order == 2
+    assert tagger.window_size == 2
+    assert tagger.use_guesser is True
+    assert tagger.morpho.unknown_tag == "UNK"
+    assert tagger.morpho.number_tag == "CD"
+    assert tagger.morpho.statistical_guesser is not None
+
+
+@pytest.mark.parametrize("mode,golden", [
+    (GUESSER, "analyze_golden_guesser.tsv"),
+    (NO_GUESSER, "analyze_golden_noguesser.tsv"),
+])
+def test_analyze_parity(tagger, mode, golden):
+    """morpho::analyze output — values AND order — matches the reference."""
+    forms = [l.strip() for l in open(os.path.join(FIX, "analyze_input.txt"), encoding="utf-8")]
+    want_blocks = _blocks(os.path.join(FIX, golden))
+    assert len(forms) == len(want_blocks)
+    for form, block in zip(forms, want_blocks):
+        mine = tagger.morpho.analyze(form, mode)
+        want = [(r[1], r[2]) for r in block]
+        assert mine == want, form
+
+
+def test_tag_parity(tagger):
+    """Full viterbi decode matches the reference tagger on every sentence
+    (dictionary disambiguation in context, guesser lemmas, specials)."""
+    sents = [[r[0] for r in b] for b in _blocks(os.path.join(FIX, "tag_input.txt"))]
+    golden = _blocks(os.path.join(FIX, "tag_golden.tsv"))
+    assert len(sents) == len(golden)
+    for forms, gold in zip(sents, golden):
+        assert tagger.tag(forms) == [(r[1], r[2]) for r in gold]
+
+
+def test_ner_model_parity():
+    """A .ner with an embedded MorphoDiTa tagger loads and decodes exactly
+    like the reference run_ner (fixtures/morphodita/ner_golden_vertical.txt,
+    reference vertical ids advance by one extra per sentence break)."""
+    model = load_binary_ner(os.path.join(FIX, "tiny_md.ner"))
+    assert type(model.tagger).__name__ == "MorphoditaTagger"
+    sents = [b for b in _blocks(os.path.join(FIX, "ner_input.txt"), split=False)]
+    golden = [
+        l.rstrip("\n").split("\t")
+        for l in open(os.path.join(FIX, "ner_golden_vertical.txt"), encoding="utf-8")
+        if l.strip()
+    ]
+    mine = []
+    tok = 1
+    for forms in sents:
+        for (start, length, typ) in model.recognize_sentence(forms):
+            ids = ",".join(str(tok + start + k) for k in range(length))
+            mine.append([ids, typ, " ".join(forms[start : start + length])])
+        tok += len(forms) + 1
+    assert mine == golden
+
+
+def test_pickle_roundtrip(tagger):
+    t2 = pickle.loads(pickle.dumps(tagger))
+    forms = ["the", "books", "ran", "quickly"]
+    assert t2.tag(forms) == tagger.tag(forms)
+
+
+def test_state_roundtrip(tagger):
+    t2 = MorphoditaTagger.from_state(tagger.state())
+    assert t2.tag(["I", "book", "flights"]) == tagger.tag(["I", "book", "flights"])
+
+
+def test_ner_model_save_load_roundtrip(tmp_path):
+    """NerModel.save/load preserves the embedded MorphoDiTa tagger."""
+    model = load_binary_ner(os.path.join(FIX, "tiny_md.ner"))
+    model.save(str(tmp_path / "m"))
+    from nametag_spark.model.model import NerModel
+
+    m2 = NerModel.load(str(tmp_path / "m"))
+    forms = ["Alice", "saw", "Prahy", "."]
+    assert m2.recognize_sentence(forms) == model.recognize_sentence(forms)
+    assert type(m2.tagger).__name__ == "MorphoditaTagger"
+
+
+def test_trailing_bytes_rejected(tagger):
+    with pytest.raises(BinaryFormatError):
+        MorphoditaTagger.from_bytes(tagger.raw_bytes + b"\x00")
+
+
+def test_raw_lemmas_all_sorted_unique(tagger):
+    info = tagger.ner_tag_sentence(["books"])
+    assert info[0]["raw_lemmas_all"] == ["book"]
+    assert info[0]["tag"] in ("NNS", "VBZ")
+    assert info[0]["lemma_comments"] == ""
+
+
+# ---------------------------------------------------------------- czech
+@pytest.fixture(scope="module")
+def cs_tagger():
+    return MorphoditaTagger.load(os.path.join(FIX, "tiny_cs.tagger"))
+
+
+def test_cs_load_metadata(cs_tagger):
+    assert cs_tagger.tagger_family == "czech"
+    m = cs_tagger.morpho
+    assert type(m).__name__ == "CzechMorpho"
+    assert m.unknown_tag == "X@---"  # truncated to max_tag_length=5
+    assert m.prefix_guesser is not None and m.statistical_guesser is not None
+
+
+@pytest.mark.parametrize("mode,golden", [
+    (GUESSER, "analyze_golden_cs_guesser.tsv"),
+    (NO_GUESSER, "analyze_golden_cs_noguesser.tsv"),
+])
+def test_cs_analyze_parity(cs_tagger, mode, golden):
+    """Czech morpho analyze parity: PDT lemma addinfo formatting (homonym
+    numbers, _;X comments), prefix guesser (ne-/nej-), statistical guesser,
+    czech punctuation tables, casing variants — values AND order."""
+    forms = [l.strip() for l in open(os.path.join(FIX, "analyze_input_cs.txt"), encoding="utf-8")]
+    want_blocks = _blocks(os.path.join(FIX, golden))
+    for form, block in zip(forms, want_blocks):
+        assert cs_tagger.morpho.analyze(form, mode) == [(r[1], r[2]) for r in block], form
+
+
+def test_cs_tag_parity(cs_tagger):
+    sents = [[r[0] for r in b] for b in _blocks(os.path.join(FIX, "tag_input_cs.txt"))]
+    golden = _blocks(os.path.join(FIX, "tag_golden_cs.tsv"))
+    for forms, gold in zip(sents, golden):
+        assert cs_tagger.tag(forms) == [(r[1], r[2]) for r in gold]
+
+
+def test_cs_lemma_addinfo(cs_tagger):
+    """czech_lemma_addinfo raw/id splits on decoded lemmas."""
+    info = cs_tagger.ner_tag_sentence(["stát", "je", "Novák"])
+    # viterbi picks a reading of stát; raw lemma strips both -N and _;X
+    assert info[0]["raw_lemma"] == "stát"
+    assert info[2]["raw_lemma"] == "Novák"
+    assert info[2]["lemma_comments"] == "_;S"
+    assert info[2]["lemma_id"] == "Novák"
+    # homonym number belongs to the lemma id but not the raw lemma
+    from nametag_spark.morpho.morphodita import _czech_lemma_id_len, _czech_raw_lemma_len
+
+    assert _czech_raw_lemma_len("stát-1_;K") == len("stát")
+    assert _czech_lemma_id_len("stát-1_;K") == len("stát-1")
+
+
+def _decode_all(model, path):
+    sents = [b for b in _blocks(path, split=False)]
+    out = []
+    for sid, forms in enumerate(sents, 1):
+        for (start, length, typ) in model.recognize_sentence(forms):
+            out.append((sid, start, length, typ))
+    return out
+
+
+def test_cs_ner_parity_hard_gazetteers_and_lemma_term():
+    """D2/D3/F8 end-to-end vs the reference: tiny_cs.ner carries hard_pre
+    (Novák->PER), hard_post (stát->LOC) and CzechLemmaTerm features; decode
+    must match run_ner exactly."""
+    model = load_binary_ner(os.path.join(FIX, "tiny_cs.ner"))
+    got = _decode_all(model, os.path.join(FIX, "ner_input_cs.txt"))
+    assert got == [
+        (1, 0, 1, "PER"), (1, 2, 1, "PER"), (1, 4, 1, "LOC"),
+        (2, 0, 1, "LOC"),
+        (3, 2, 1, "LOC"),
+        (4, 0, 1, "PER"),
+        (5, 0, 1, "PER"), (5, 2, 1, "PER"), (5, 3, 1, "LOC"),
+    ]
+
+
+def test_cs_hard_lists_change_decoding():
+    """Removing the hard_pre/hard_post lists from the loaded model changes
+    the decoded entities (proves D2/D3 are live constraints, not inert)."""
+    model = load_binary_ner(os.path.join(FIX, "tiny_cs.ner"))
+    with_hard = _decode_all(model, os.path.join(FIX, "ner_input_cs.txt"))
+
+    stripped = load_binary_ner(os.path.join(FIX, "tiny_cs.ner"))
+    for proc in stripped.templates.processors:
+        if type(proc).__name__ == "GazetteersEnhanced":
+            kept = [l for l in proc.lists if l["mode"] == proc.SOFT]
+            assert len(kept) < len(proc.lists)
+            proc.lists = kept
+            proc._build_trie()
+    without_hard = _decode_all(stripped, os.path.join(FIX, "ner_input_cs.txt"))
+    assert with_hard != without_hard
+    # specifically: the hard_post "stát" -> LOC override is gone
+    assert (2, 0, 1, "LOC") in with_hard
+    assert (2, 0, 1, "LOC") not in without_hard
+
+
+def test_morpho_specials(tagger):
+    m = tagger.morpho
+    assert m.analyze("3,14", GUESSER) == [("3,14", "CD")]
+    assert m.analyze("12.", GUESSER) == [("12.", "CD")]
+    assert m.analyze("...", GUESSER) == [("...", "PUNCT")]
+    assert m.analyze("+", GUESSER) == [("+", "SYM")]
+    # guesser rules
+    assert m.analyze("walking", GUESSER)[0] == ("walk", "VBG")
+    # non-ascii OOV goes through the guesser without crashing
+    assert m.analyze("čajing", GUESSER)
