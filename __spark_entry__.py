@@ -1008,6 +1008,80 @@ MORPHODITA_NER_GOLD = [
 ]
 
 
+# --- T5 emergency sentence split + S2 vertical reader fixtures ---------------
+_EMERGENCY_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon"]
+EMERGENCY_SPLIT_CASES = [
+    # (case, text): run-on documents with no sentence-final punctuation
+    ("plain_1200", " ".join(_EMERGENCY_VOCAB[i % 5] for i in range(1200))),
+    (
+        "commas_1200",
+        " ".join(
+            _EMERGENCY_VOCAB[i % 5] + ("," if i % 97 == 96 else "") for i in range(1200)
+        ),
+    ),
+]
+# tokenizer/rules.py T5 semantics (ragel tokenizer emergency split:
+# hard stop at 500 tokens, earlier at P*/Po punctuation past 450/400)
+EMERGENCY_SPLIT_GOLD = [
+    ("plain_1200", 0, 500), ("plain_1200", 1, 500), ("plain_1200", 2, 200),
+    ("commas_1200", 0, 490), ("commas_1200", 1, 490), ("commas_1200", 2, 232),
+]
+
+
+def q_emergency_split_fixture(spark, sf_dir):
+    """T5: a >=1200-token run-on turn must be emergency-split into bounded
+    sentences (the decoder's lattice is O(tokens * states^order) per
+    sentence — unbounded sentences would blow worker memory at 100 TB)."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    df = spark.createDataFrame(EMERGENCY_SPLIT_CASES, ["doc_case", "text"])
+
+    def fn(batches):
+        from nametag_spark.tokenizer.rules import tokenize_sentences
+
+        for pdf in batches:
+            rows = {"doc_case": [], "sent_idx": [], "n_tokens": []}
+            for case, text in zip(pdf["doc_case"], pdf["text"]):
+                for si, spans in enumerate(tokenize_sentences(text)):
+                    rows["doc_case"].append(case)
+                    rows["sent_idx"].append(si)
+                    rows["n_tokens"].append(len(spans))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "doc_case string, sent_idx int, n_tokens int")
+
+
+VERTICAL_READER_TEXT = (
+    "Alice\tB-PER\nJohnson\tI-PER\nworks\tO\n.\tO\n\n"
+    "Praha\tB-LOC\nje\tO\nnová\tO\n\n"
+    "\n"  # double blank line: no empty sentence may appear
+    "Bob\tB-PER\n"
+)
+VERTICAL_READER_GOLD = [
+    (0, 0, "Alice", "B-PER"), (0, 1, "Johnson", "I-PER"),
+    (0, 2, "works", "O"), (0, 3, ".", "O"),
+    (1, 0, "Praha", "B-LOC"), (1, 1, "je", "O"), (1, 2, "nová", "O"),
+    (3, 0, "Bob", "B-PER"),
+]
+
+
+def q_vertical_reader_fixture(spark, sf_dir):
+    """S2/S3: the distributed CoNLL/vertical reader (spark.read.text +
+    running blank-line count) on a fixed document — sentence ids, token
+    order, and utf-8 forms must survive the distributed read."""
+    import tempfile
+
+    _ensure_shipped(spark)
+    d = tempfile.mkdtemp(prefix="nametag_vertical_fixture_")
+    path = os.path.join(d, "doc.conll")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(VERTICAL_READER_TEXT)
+    from nametag_spark.data.conll import read_conll
+
+    return read_conll(spark, path)
+
+
 # czech fixtures: tiny_cs.tagger embeds a CZECH morpho (PDT lemmas with
 # homonym numbers + _;X comments, prefix guesser, statistical guesser) and a
 # CZECH2 tagger; tiny_cs.ner adds CzechLemmaTerm (F8) + GazetteersEnhanced
@@ -1485,6 +1559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morphodita_binary_mentions": q_morphodita_binary_mentions,
         "morphodita_cs_tag_fixture": q_morphodita_cs_tag_fixture,
         "morphodita_cs_ner_mentions": q_morphodita_cs_ner_mentions,
+        "emergency_split_fixture": q_emergency_split_fixture,
+        "vertical_reader_fixture": q_vertical_reader_fixture,
         "render_sinks": q_render_sinks,
         "gru_tokenize_fixture": q_gru_tokenize_fixture,
         "tokenize_fixture": q_tokenize_fixture,
@@ -1758,6 +1834,10 @@ def oracle_sql() -> dict[str, str]:
         + _values_sql(MORPHODITA_CS_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
         "morphodita_cs_ner_mentions": "SELECT * FROM "
         + _values_sql(MORPHODITA_CS_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
+        "emergency_split_fixture": "SELECT * FROM "
+        + _values_sql(EMERGENCY_SPLIT_GOLD, ["doc_case", "sent_idx", "n_tokens"]),
+        "vertical_reader_fixture": "SELECT * FROM "
+        + _values_sql(VERTICAL_READER_GOLD, ["sent_id", "tok_idx", "form", "label"]),
         "render_sinks": "SELECT * FROM "
         + _values_sql(SINKS_GOLD, ["fmt", "line_no", "line"]),
         "gru_tokenize_fixture": "SELECT * FROM "

@@ -50,8 +50,36 @@ def make_spark(cores: int):
     )
 
 
-def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf) -> dict:
-    """Headline suite; returns {name: seconds}."""
+def corpus_parquet(transcripts_pdf, sf: float, seed: int) -> str:
+    """Persist the synthetic corpus to parquet ONCE per (sf, seed) so timed
+    queries measure plan cost over a table scan — the honest 100-TB input
+    path — not driver-side data generation / createDataFrame transfer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/nametag_spark_bench/corpus_sf{sf}_seed{seed}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        # Spark's parquet reader rejects nanosecond timestamps
+        pq.write_table(
+            pa.Table.from_pandas(transcripts_pdf, preserve_index=False),
+            tmp,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf, sf: float) -> dict:
+    """Headline suite; returns {name: seconds}.
+
+    kg_triples_e2e is reported twice: `kg_triples_e2e_cold` is the first
+    execution (pays python-worker/JIT/broadcast spin-up across the ~12-stage
+    pipeline) and `kg_triples_e2e` is the second, steady-state execution —
+    the number that projects to a long-running cluster job, where spin-up
+    amortizes over hours."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry
@@ -61,10 +89,11 @@ def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf) -> dict:
     from nametag_spark.ops.dedup import minhash_dup_pairs, with_simhash
     from nametag_spark.ops.similarity import cosine_topk
 
-    transcripts = spark.createDataFrame(transcripts_pdf).repartition(spark.sparkContext.defaultParallelism)
+    corpus_path = corpus_parquet(transcripts_pdf, sf, 42)
+    transcripts = spark.read.parquet(corpus_path).repartition(spark.sparkContext.defaultParallelism)
     transcripts = transcripts.persist()
     n_turns = transcripts.count()
-    log(f"bench input: {n_turns} turns at {sf_dir}")
+    log(f"bench input: {n_turns} turns at {sf_dir} (corpus: {corpus_path})")
 
     # warm-up: spin up python workers / JIT before any timed query
     tokenize_df(transcripts.limit(256)).count()
@@ -94,6 +123,7 @@ def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf) -> dict:
         release_persisted()  # reclaim resolution caches before later queries
         return n
 
+    timed("kg_triples_e2e_cold", kg_e2e)
     timed("kg_triples_e2e", kg_e2e)
 
     timed(
@@ -189,7 +219,7 @@ def main() -> None:
 
     spark = make_spark(CPUS)
     t0 = time.time()
-    timings, n_turns = bench_queries(spark, SF_DIR, model_dir, transcripts_pdf)
+    timings, n_turns = bench_queries(spark, SF_DIR, model_dir, transcripts_pdf, sf)
     total = time.time() - t0
     spark.stop()
 

@@ -170,6 +170,62 @@ def synth_transcripts(
     return tdf, gdf
 
 
+def synth_transcripts_dist(
+    spark,
+    n_conversations: int,
+    seed: int = 42,
+    avg_turns: int = 6,
+):
+    """Distributed synthetic corpus (no gold): `spark.range` over
+    conversation ids -> per-conversation generation inside mapInPandas, so
+    the driver never holds the corpus (flat RSS at any scale — the
+    driver-side `synth_transcripts` peaked >3 GB at 1M turns).
+
+    Each conversation is seeded by (seed, conv_id), so the output is
+    deterministic and independent of partitioning — the 100-TB-shaped way
+    to produce the 10^12-turn transcript table the north rule targets.
+    Statistically identical to `synth_transcripts` (same templates/vocab),
+    not byte-identical (different rng stream layout).
+    """
+
+    def gen(batches):
+        base_ts = dt.datetime(2025, 1, 1, 0, 0, 0)
+        for pdf in batches:
+            rows = []
+            for c in pdf["id"]:
+                c = int(c)
+                rng = random.Random(f"{seed}:{c}")
+                conv_id = f"conv-{c:08d}"
+                n_turns = rng.randint(max(2, avg_turns - 3), avg_turns + 3)
+                for t in range(n_turns):
+                    role = ("user", "assistant", "tool")[t % 3]
+                    tool = rng.choice(TOOLS[:-1]) if role == "tool" else ""
+                    words = []
+                    for _s in range(rng.randint(1, 3)):
+                        toks, _m = _sentence_templates(rng)
+                        words.extend(toks)
+                    rows.append(
+                        (
+                            conv_id,
+                            t,
+                            role,
+                            " ".join(words),
+                            tool,
+                            base_ts + dt.timedelta(hours=c % 80_000, seconds=37 * t),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    n_parts = max(par, min(4096, n_conversations // 2000 + 1))
+    return (
+        spark.range(0, n_conversations, numPartitions=n_parts)
+        .mapInPandas(gen, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    )
+
+
 def gold_to_conll(transcripts: pd.DataFrame, gold: pd.DataFrame) -> str:
     """Render gold as CoNLL 2-column training data (form<TAB>label).
 

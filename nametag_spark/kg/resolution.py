@@ -111,10 +111,9 @@ def minhash_signatures(df: DataFrame, text_col: str, key_col: str, n_hashes: int
     (a small doc table arrives as one file = one partition; at scale this
     repartition is a no-op relative to natural input splits).
     """
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    from ..ops.text import spread_small_input
+
+    df = spread_small_input(df)
     sh = df.select(key_col, F.explode(shingles(text_col, k)).alias("shingle")).withColumn(
         "h", _hash28(F.col("shingle"))
     )

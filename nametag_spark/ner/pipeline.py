@@ -276,13 +276,13 @@ def recognize_df(
         extra = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.select(*passthrough).schema.fields)
         schema = MENTIONS_SCHEMA + ", " + extra
     src = df.select(*cols)
-    # defensive parallelism: a single-file/one-partition batch input would
-    # serialize the NER work onto one task (at scale inputs arrive with many
-    # splits, so this is a no-op there)
+    # defensive parallelism: a single-FILE batch input would serialize the
+    # NER work onto one task; file-count-based (no DataFrame->RDD probe) and
+    # a no-op for in-memory/many-split/streaming inputs
     if not df.isStreaming:
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < max(2, par // 2):
-            src = src.repartition(par)
+        from ..ops.text import spread_small_input
+
+        src = spread_small_input(src)
     return src.mapInPandas(fn, schema=schema)
 
 

@@ -98,32 +98,54 @@ class NametagService:
         forms = [[text[a : a + b] for (a, b) in s] for s in spans]
         return text, spans, forms
 
-    def recognize(self, rid: str, data: str, input_mode: str, output: str) -> str:
-        from ..sinks.render import render_conll, render_vertical, render_xml
+    BATCH_SENTENCES = 64
 
+    def _decoded_batches(self, rid: str, spans, forms):
+        """Lazily decode sentences in bounded batches -> yields
+        (spans_i, forms_i, entities_i) per sentence, in order. Fragments
+        downstream stream out while later batches are still decoding — the
+        reference service's per-sentence generator shape
+        (nametag_service.cpp:146-200)."""
         model = self.models[rid]
         rec = self._recognizer(rid)
-        text, spans, forms = self._sentences(data, input_mode)
-        sentences = [model.make_sentence(f) for f in forms]
-        entities = rec.recognize_batch(sentences)
-        if output == "conll":
-            return render_conll(forms, entities)
-        if output == "vertical":
-            return render_vertical(forms, entities)
-        return render_xml(text, spans, entities)
+        B = self.BATCH_SENTENCES
+        for i in range(0, len(forms), B):
+            batch = forms[i : i + B]
+            sentences = [model.make_sentence(f) for f in batch]
+            entities = rec.recognize_batch(sentences)
+            for j, ents in enumerate(entities):
+                yield spans[i + j], batch[j], ents
 
-    def tokenize(self, rid: str, data: str, output: str) -> str:
-        from ..sinks.render import render_vertical, render_xml
+    def recognize_fragments(self, rid: str, data: str, input_mode: str, output: str):
+        """-> iterator of result-string fragments (one per sentence)."""
+        from ..sinks.render import (
+            render_conll_fragments,
+            render_vertical_fragments,
+            render_xml_fragments,
+        )
+
+        text, spans, forms = self._sentences(data, input_mode)
+        decoded = self._decoded_batches(rid, spans, forms)
+        if output == "conll":
+            return render_conll_fragments((f, e) for (_s, f, e) in decoded)
+        if output == "vertical":
+            return render_vertical_fragments((f, e) for (_s, f, e) in decoded)
+        return render_xml_fragments(text, ((s, e) for (s, _f, e) in decoded))
+
+    def recognize(self, rid: str, data: str, input_mode: str, output: str) -> str:
+        return "".join(self.recognize_fragments(rid, data, input_mode, output))
+
+    def tokenize_fragments(self, rid: str, data: str, output: str):
+        from ..sinks.render import render_xml_fragments
 
         text, spans, forms = self._sentences(data, "untokenized")
         if output == "vertical":
             # one token per line, blank line between sentences
-            out = []
-            for sent in forms:
-                out.extend(sent)
-                out.append("")
-            return "\n".join(out) + ("\n" if out else "")
-        return render_xml(text, spans, [[] for _ in spans])
+            return ("\n".join(sent) + "\n\n" for sent in forms)
+        return render_xml_fragments(text, ((s, []) for s in spans))
+
+    def tokenize(self, rid: str, data: str, output: str) -> str:
+        return "".join(self.tokenize_fragments(rid, data, output))
 
     def envelope(self, rid: str, result: str) -> dict:
         return {
@@ -135,6 +157,7 @@ class NametagService:
 
 class _Handler(BaseHTTPRequestHandler):
     service: NametagService = None  # set by serve()
+    protocol_version = "HTTP/1.1"  # required for chunked transfer-encoding
 
     def log_message(self, *args):  # quiet
         pass
@@ -168,6 +191,35 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _respond_chunked(self, rid: str, fragments):
+        """Stream the JSON envelope with chunked transfer-encoding: the
+        header + '"result":"' prefix first, then one chunk per sentence
+        fragment (JSON string-escaped), then the closing '"}'. Mirrors the
+        reference's per-sentence response generator
+        (nametag_service.cpp:146-200) so multi-MB documents stream instead
+        of buffering."""
+
+        def chunk(b: bytes):
+            self.wfile.write(f"{len(b):X}\r\n".encode("ascii") + b + b"\r\n")
+
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        head = json.dumps(
+            {"model": rid, "acknowledgements": [ACKNOWLEDGEMENT]}, ensure_ascii=False
+        )
+        chunk((head[:-1] + ',"result":"').encode("utf-8"))
+        self.wfile.flush()
+        for frag in fragments:
+            if frag:
+                # json-escape, strip the surrounding quotes
+                chunk(json.dumps(frag, ensure_ascii=False)[1:-1].encode("utf-8"))
+                self.wfile.flush()
+        chunk(b'"}')
+        self.wfile.write(b"0\r\n\r\n")
+        self.wfile.flush()
+
     def _handle(self):
         svc = self.service
         path, params = self._params()
@@ -187,14 +239,14 @@ class _Handler(BaseHTTPRequestHandler):
                 output = params.get("output", "xml")
                 if output not in ("xml", "vertical", "conll"):
                     return self._respond(400, "Unknown output mode.\n", mime="text/plain")
-                result = svc.recognize(rid, data, input_mode, output)
-                return self._respond(200, svc.envelope(rid, result))
+                return self._respond_chunked(
+                    rid, svc.recognize_fragments(rid, data, input_mode, output)
+                )
             if path == "/tokenize":
                 output = params.get("output", "xml")
                 if output not in ("xml", "vertical"):
                     return self._respond(400, "Unknown output mode.\n", mime="text/plain")
-                result = svc.tokenize(rid, data, output)
-                return self._respond(200, svc.envelope(rid, result))
+                return self._respond_chunked(rid, svc.tokenize_fragments(rid, data, output))
             return self._respond(404, "Unknown endpoint.\n", mime="text/plain")
         except Exception as exc:  # mirror respond_error
             return self._respond(500, f"{exc}\n", mime="text/plain")

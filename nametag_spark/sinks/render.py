@@ -25,11 +25,13 @@ def _xml_encode(s: str, in_attr: bool = False) -> str:
     return s
 
 
-def render_conll(sent_forms, sent_entities) -> str:
-    """CoNLL sink (run_ner.cpp:63-97): form<TAB>B-T|I-T... stacked for
-    nested entities, 'O' otherwise; blank line after each sentence."""
-    out = []
-    for forms, entities in zip(sent_forms, sent_entities):
+def render_conll_fragments(pairs) -> Iterator[str]:
+    """Per-sentence CoNLL fragments from a LAZY iterable of
+    (forms, entities) — fragments stream while later sentences are still
+    being decoded (the reference service streams one JSON fragment per
+    sentence, nametag_service.cpp:146-200)."""
+    for forms, entities in pairs:
+        out = []
         entities = core.sort_entities(entities)
         stack = []
         e = 0
@@ -46,30 +48,43 @@ def render_conll(sent_forms, sent_entities) -> str:
             out.append(f"{form}\t{label}")
             stack = [ent for ent in stack if ent[0] + ent[1] != i + 1]
         out.append("")
-    return "\n".join(out) + ("\n" if out else "")
+        yield "\n".join(out) + "\n"
 
 
-def render_vertical(sent_forms, sent_entities) -> str:
-    """Vertical sink (run_ner.cpp:99-130): `ids<TAB>type<TAB>text`, token
-    ids global across sentences with a +1 gap per sentence."""
-    out = []
+def render_conll(sent_forms, sent_entities) -> str:
+    """CoNLL sink (run_ner.cpp:63-97): form<TAB>B-T|I-T... stacked for
+    nested entities, 'O' otherwise; blank line after each sentence."""
+    return "".join(render_conll_fragments(zip(sent_forms, sent_entities)))
+
+
+def render_vertical_fragments(pairs) -> Iterator[str]:
+    """Per-sentence vertical fragments (lazy pairs of (forms, entities));
+    token ids stay global across sentences with a +1 gap per sentence."""
     total_tokens = 0
-    for forms, entities in zip(sent_forms, sent_entities):
+    for forms, entities in pairs:
+        out = []
         entities = core.sort_entities(entities)
         for (start, length, etype) in entities:
             ids = ",".join(str(total_tokens + i + 1) for i in range(start, start + length))
             text = " ".join(forms[start : start + length])
             out.append(f"{ids}\t{etype}\t{text}")
         total_tokens += len(forms) + 1
-    return "\n".join(out) + ("\n" if out else "")
+        yield "\n".join(out) + ("\n" if out else "")
 
 
-def render_xml(text: str, sent_spans, sent_entities) -> str:
-    """XML sink (run_ner.cpp:132-172): <sentence>/<ne type>/<token> markup
-    preserving inter-token whitespace."""
-    out = []
+def render_vertical(sent_forms, sent_entities) -> str:
+    """Vertical sink (run_ner.cpp:99-130): `ids<TAB>type<TAB>text`, token
+    ids global across sentences with a +1 gap per sentence."""
+    return "".join(render_vertical_fragments(zip(sent_forms, sent_entities)))
+
+
+def render_xml_fragments(text: str, pairs) -> Iterator[str]:
+    """Per-sentence XML fragments (lazy pairs of (spans, entities));
+    inter-sentence whitespace is attached to the FOLLOWING sentence and the
+    document tail is a final fragment."""
     unprinted = 0
-    for spans, entities in zip(sent_spans, sent_entities):
+    for spans, entities in pairs:
+        out = []
         entities = core.sort_entities(entities)
         entity_ends = []
         e = 0
@@ -89,9 +104,15 @@ def render_xml(text: str, sent_spans, sent_entities) -> str:
             if i + 1 == len(spans):
                 out.append("</sentence>")
             unprinted = s + l
+        yield "".join(out)
     if unprinted < len(text):
-        out.append(_xml_encode(text[unprinted:]))
-    return "".join(out)
+        yield _xml_encode(text[unprinted:])
+
+
+def render_xml(text: str, sent_spans, sent_entities) -> str:
+    """XML sink (run_ner.cpp:132-172): <sentence>/<ne type>/<token> markup
+    preserving inter-token whitespace."""
+    return "".join(render_xml_fragments(text, zip(sent_spans, sent_entities)))
 
 
 def render_df(df: DataFrame, model_dir: str, fmt: str = "conll", text_col: str = "text") -> DataFrame:

@@ -95,3 +95,56 @@ def test_model_alias_resolution():
     svc = NametagService({"tiny-ref-140101": FIXTURE})
     assert "tiny-ref-140101" in svc.models
     assert svc.default == "tiny-ref-140101"
+
+
+def test_chunked_streaming_incremental(rest_url):
+    """The reference streams one JSON fragment per sentence
+    (nametag_service.cpp:146-200). Assert (a) the response uses chunked
+    transfer-encoding with multiple result chunks, (b) the first sentence's
+    fragment is on the wire BEFORE the server finishes the document, and
+    (c) the assembled stream equals the buffered result."""
+    import socket
+    import urllib.parse
+
+    n_sents = 40
+    # vertical input: sentences separated by blank lines
+    data = "Alice\nJohnson\nworks\n.\n\n" * n_sents
+    body = urllib.parse.urlencode(
+        {"data": data, "input": "vertical", "output": "vertical"}
+    ).encode()
+
+    host, port = rest_url.replace("http://", "").split(":")
+    s = socket.create_connection((host, int(port)), timeout=30)
+    s.sendall(
+        b"POST /recognize HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Type: application/x-www-form-urlencoded\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    raw = b""
+    saw_fragment_before_terminator = False
+    while b"0\r\n\r\n" not in raw:
+        got = s.recv(65536)
+        assert got, "connection closed before terminator"
+        raw += got
+        if b"PER\\tAlice Johnson" in raw and b"0\r\n\r\n" not in raw:
+            # a sentence fragment is on the wire while the stream is open
+            saw_fragment_before_terminator = True
+    s.close()
+    assert saw_fragment_before_terminator
+
+    headers, _, payload = raw.partition(b"\r\n\r\n")
+    assert b"Transfer-Encoding: chunked" in headers
+    # count chunks: each "<hex>\r\n" size line
+    chunks = []
+    rest = payload
+    while rest:
+        size_line, _, rest = rest.partition(b"\r\n")
+        size = int(size_line, 16)
+        if size == 0:
+            break
+        chunks.append(rest[:size])
+        rest = rest[size + 2 :]
+    assert len(chunks) >= n_sents  # one fragment per sentence + head + tail
+    assembled = json.loads(b"".join(chunks).decode("utf-8"))
+    buffered = _get(rest_url, "/recognize", data=data, input="vertical", output="vertical")
+    assert assembled == buffered
