@@ -1180,6 +1180,59 @@ def _q_morphodita_ner(spark, ner_file, sentences):
     return df.mapInPandas(fn, "sent_id long, tok_start int, tok_len int, type string")
 
 
+# english fixtures: tiny_en.tagger embeds an ENGLISH_V3 morpho (lemma
+# addinfo '^'/'+' forms, exceptions + negation-prefix + rule-machine
+# guesser — the Morphium re-expression fuzz-verified on 4,474 words);
+# tiny_en.ner is the full published-model shape for English.
+MORPHODITA_EN_TAG_SENTENCES = [
+    (1, ["the", "dogs", "walk", "in", "London"]),
+    (2, ["the", "children", "are", "better"]),
+    (3, ["unhappy", "people", "walked", "quicker"]),
+    (4, ["she", "fixes", "the", "boxes"]),
+    (5, ["John", "Smith", "visited", "Paris"]),
+    (6, ["it", "costs", "42", "dollars"]),
+]
+MORPHODITA_EN_TAG_GOLD = [
+    (1, 0, "the", "the", "DT"), (1, 1, "dogs", "dog", "NNS"),
+    (1, 2, "walk", "walk", "VB"), (1, 3, "in", "in", "IN"),
+    (1, 4, "London", "London", "NNP"),
+    (2, 0, "the", "the", "DT"), (2, 1, "children", "child", "NNS"),
+    (2, 2, "are", "be", "VBP"), (2, 3, "better", "good^well", "JJR"),
+    (3, 0, "unhappy", "unhappy", "VBP"), (3, 1, "people", "people", "NNS"),
+    (3, 2, "walked", "walk", "VBD"), (3, 3, "quicker", "quick", "JJR"),
+    (4, 0, "she", "she", "VBP"), (4, 1, "fixes", "fixes", "FW"),
+    (4, 2, "the", "the", "DT"), (4, 3, "boxes", "boxes", "FW"),
+    (5, 0, "John", "john", "VBP"), (5, 1, "Smith", "smith", "VBP"),
+    (5, 2, "visited", "visited", "VBP"), (5, 3, "Paris", "Paris", "NNP"),
+    (6, 0, "it", "it", "VBP"), (6, 1, "costs", "costs", "FW"),
+    (6, 2, "42", "42", "NNP"), (6, 3, "dollars", "dollars", "FW"),
+]
+MORPHODITA_EN_NER_SENTENCES = [
+    (1, ["Alice", "Smith", "walked", "in", "Prague"]),
+    (2, ["the", "children", "visited", "Paris", "and", "London"]),
+    (3, ["Bob", "Jones", "has", "unhappy", "dogs"]),
+]
+MORPHODITA_EN_NER_GOLD = [
+    (1, 0, 2, "PER"), (1, 4, 1, "LOC"),
+    (2, 3, 1, "LOC"), (2, 5, 1, "LOC"),
+    (3, 0, 2, "PER"),
+]
+
+
+def q_morphodita_en_tag_fixture(spark, sf_dir):
+    """ENGLISH_V3 MorphoDiTa morpho through the real serialized format:
+    dictionary with '^'-addinfo lemmas, exceptions map, negation prefixes,
+    and the Morphium rule machines (fuzz-verified re-expression) — decoded
+    distributed; oracle = the reference runtime's own output."""
+    return _q_morphodita_tag(spark, "tiny_en.tagger", MORPHODITA_EN_TAG_SENTENCES)
+
+
+def q_morphodita_en_ner_mentions(spark, sf_dir):
+    """The published-English-model shape: english-morpho MorphoDiTa tagger
+    embedded in a .ner, loaded and decoded with run_ner parity."""
+    return _q_morphodita_ner(spark, "tiny_en.ner", MORPHODITA_EN_NER_SENTENCES)
+
+
 def q_morphodita_cs_tag_fixture(spark, sf_dir):
     """G4-G6 via the real CZECH MorphoDiTa format: PDT lemmas (homonym
     numbers + _;X comments), prefix guesser, statistical guesser, czech
@@ -1561,6 +1614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morphodita_cs_ner_mentions": q_morphodita_cs_ner_mentions,
         "emergency_split_fixture": q_emergency_split_fixture,
         "vertical_reader_fixture": q_vertical_reader_fixture,
+        "morphodita_en_tag_fixture": q_morphodita_en_tag_fixture,
+        "morphodita_en_ner_mentions": q_morphodita_en_ner_mentions,
         "render_sinks": q_render_sinks,
         "gru_tokenize_fixture": q_gru_tokenize_fixture,
         "tokenize_fixture": q_tokenize_fixture,
@@ -1834,6 +1889,10 @@ def oracle_sql() -> dict[str, str]:
         + _values_sql(MORPHODITA_CS_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
         "morphodita_cs_ner_mentions": "SELECT * FROM "
         + _values_sql(MORPHODITA_CS_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
+        "morphodita_en_tag_fixture": "SELECT * FROM "
+        + _values_sql(MORPHODITA_EN_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
+        "morphodita_en_ner_mentions": "SELECT * FROM "
+        + _values_sql(MORPHODITA_EN_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
         "emergency_split_fixture": "SELECT * FROM "
         + _values_sql(EMERGENCY_SPLIT_GOLD, ["doc_case", "sent_idx", "n_tokens"]),
         "vertical_reader_fixture": "SELECT * FROM "

@@ -728,6 +728,189 @@ class CzechMorpho:
         return out
 
 
+# --------------------------------------------------------------------------
+# english morpho (english_morpho.cpp, english_lemma_addinfo.h)
+# --------------------------------------------------------------------------
+def _english_raw_lemma_len(lemma: str) -> int:
+    """english_lemma_addinfo.h:35-53 — lemma ends at a non-first '^'/'+'
+    (trailing '+', or '^' followed by [A-Za-z][A-Za-z-]*)."""
+    n = len(lemma)
+    for i in range(1, n):
+        c = lemma[i]
+        if i + 1 == n and (c == "^" or c == "+"):
+            return i
+        if i + 1 < n and c == "^":
+            ok = True
+            for j in range(i + 1, n):
+                cj = lemma[j]
+                if not (("A" <= cj <= "Z") or ("a" <= cj <= "z") or (j > i + 1 and cj == "-")):
+                    ok = False
+                    break
+            if ok:
+                return i
+    return n
+
+
+class EnglishMorpho:
+    kind = "english"
+
+    unknown_tag = "UNK"
+
+    def __init__(self, version, dictionary, guesser):
+        self.version = version
+        self.dictionary = dictionary
+        self.guesser = guesser
+
+    @classmethod
+    def load(cls, f, version: int) -> "EnglishMorpho":
+        from .english_guesser import EnglishGuesser
+
+        d = _read_blob(f)
+        dictionary = MdDictionary.load(
+            d, lambda info: info.decode("utf-8") if info else ""
+        )
+        guesser = EnglishGuesser.load(d)
+        if not d.is_end():
+            raise BinaryFormatError("trailing data in english morpho blob")
+        return cls(version, dictionary, guesser)
+
+    def raw_lemma_len(self, lemma: str) -> int:
+        return _english_raw_lemma_len(lemma)
+
+    def lemma_id_len(self, lemma: str) -> int:
+        return len(lemma)  # english lemmas carry no comments
+
+    def raw_form_len(self, form: str) -> int:
+        return len(form)
+
+    def _analyze_special(self, form: str, out: list) -> None:
+        """english_morpho.cpp:98-184 — 1-char exceptions, numbers (incl.
+        '70s' for version>=2 and list-item '5.'), quote/paren/symbol/punct
+        classes. NOTE the reference's comma-group loop contains a shipped
+        parenthesization quirk (`category(cp & ~N)` — the mask is applied
+        to the CODEPOINT), so thousand separators never parse as numbers;
+        replicated faithfully (fuzz-verified)."""
+        if not form:
+            return
+        if len(form) == 1:
+            c = form[0]
+            one = {
+                ".": ["."], "!": ["."], "?": ["."], ",": [","], "#": ["#"],
+                "$": ["$"], "[": ["SYM"], "]": ["SYM"],
+                "%": ["JJ", "NN"], "&": ["CC", "SYM"], "*": ["SYM", "NN"],
+                "@": ["SYM", "IN"], "'": ["''", "POS"],
+            }
+            tags = one.get(c)
+            if tags is not None:
+                for t in tags:
+                    out.append((form, t))
+                return
+
+        n = len(form)
+        state = {"i": 0}
+
+        def decode():
+            i = state["i"]
+            if i < n:
+                state["i"] = i + 1
+                return form[i]
+            return None
+
+        def is_n(cp):
+            return cp is not None and unicodedata.category(cp).startswith("N")
+
+        cp = decode()
+        any_digit = False
+        if cp in ("+", "-"):
+            cp = decode()
+        while is_n(cp):
+            any_digit = True
+            cp = decode()
+        # comma-group loop: dead code in the reference (see docstring quirk)
+        if cp == "." and state["i"] < n:
+            cp = decode()
+            while is_n(cp):
+                any_digit = True
+                cp = decode()
+        if self.version >= 2 and any_digit and cp == "s" and state["i"] >= n:
+            out.append((form, "CD"))
+            out.append((form[:-1], "NNS"))
+            return
+        if any_digit and cp in ("e", "E"):
+            cp = decode()
+            if cp in ("+", "-"):
+                cp = decode()
+            any_digit = False
+            while is_n(cp):
+                any_digit = True
+                cp = decode()
+        if any_digit and state["i"] >= n and (cp is None or cp == "."):
+            out.append((form, "CD"))
+            out.append((form, "NNP"))
+            if n == 1 + (cp == ".") and "1" <= form[0] <= "9":
+                out.append((form, "LS"))
+            return
+
+        open_q = close_q = open_p = close_p = any_p = symbol = True
+        for c in form:
+            if not (symbol or any_p):
+                break
+            cat = unicodedata.category(c)
+            if open_q:
+                open_q = c == "`" or cat == "Pi"
+            if close_q:
+                close_q = c in ("'", '"') or cat == "Pf"
+            if open_p:
+                open_p = cat == "Ps"
+            if close_p:
+                close_p = cat == "Pe"
+            if any_p:
+                any_p = cat.startswith("P")
+            if symbol:
+                symbol = c == "*" or cat.startswith("S")
+        else:
+            if open_q:
+                out.append((form, "``"))
+            elif close_q:
+                out.append((form, "''"))
+            elif open_p:
+                out.append((form, "("))
+            elif close_p:
+                out.append((form, ")"))
+            elif symbol:
+                out.append((form, "SYM"))
+            elif any_p:
+                out.append((form, ":"))
+
+    def analyze(self, form: str, guesser_mode: int) -> list:
+        """english_morpho.cpp:39-67."""
+        out: list = []
+        if form:
+            form_uclc, form_lc = _casing_variants(form)
+            self.dictionary.analyze(form, out)
+            if form_uclc:
+                self.dictionary.analyze(form_uclc, out)
+            if form_lc:
+                self.dictionary.analyze(form_lc, out)
+            if out:
+                if guesser_mode == GUESSER and self.guesser.analyze_proper_names(
+                    form, form_lc if form_lc else form, out
+                ):
+                    return out  # GUESSER result code (callers ignore)
+                return out
+
+            self._analyze_special(form, out)
+            if out:
+                return out
+
+            if guesser_mode == GUESSER:
+                self.guesser.analyze(form, form_lc if form_lc else form, out)
+            if out:
+                return out
+        out.append((form, self.unknown_tag))
+        return out
+
+
 def load_morpho(f):
     """morpho.cpp:26-77 dispatch."""
     mid = f.read(1)
@@ -738,11 +921,12 @@ def load_morpho(f):
         return GenericMorpho.load(f)
     if mid in (MORPHO_CZECH, MORPHO_SLOVAK_PDT):
         return CzechMorpho.load(f)
+    if mid in (MORPHO_ENGLISH_V1, MORPHO_ENGLISH_V2, MORPHO_ENGLISH_V3):
+        version = {MORPHO_ENGLISH_V1: 1, MORPHO_ENGLISH_V2: 2, MORPHO_ENGLISH_V3: 3}[mid]
+        return EnglishMorpho.load(f, version)
     if mid == MORPHO_EXTERNAL:
         raise BinaryFormatError("EXTERNAL morpho payloads are not embedded in taggers")
-    raise BinaryFormatError(
-        f"morpho id {mid} (english) not supported yet by the Python reader"
-    )
+    raise BinaryFormatError(f"unsupported morpho id {mid}")
 
 
 # --------------------------------------------------------------------------

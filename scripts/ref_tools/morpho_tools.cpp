@@ -26,6 +26,7 @@
 #include <vector>
 
 #include "morphodita/morpho/czech_morpho_encoder.h"
+#include "morphodita/morpho/english_morpho_encoder.h"
 #include "morphodita/morpho/generic_morpho_encoder.h"
 #include "morphodita/morpho/morpho.h"
 #include "morphodita/morpho/morpho_ids.h"
@@ -90,6 +91,25 @@ int main(int argc, char* argv[]) {
     out.put(morpho_ids::CZECH);
     czech_morpho_encoder::encode(cin, max_suffix_len, prefix_guesser, stat_guesser,
                                  max_tag_length, out);
+    return 0;
+  }
+
+  if (cmd == "encode_dict_english") {
+    // encode_dict_english <max_suffix_len> <out.dict> <guesser_file>
+    //                     [negations_file]            < raw_dict.tsv
+    if (argc < 5) return usage();
+    int max_suffix_len = stoi(argv[2]);
+    ofstream out(argv[3], ofstream::binary);
+    if (!out) { cerr << "cannot open " << argv[3] << endl; return 1; }
+    ifstream guesser(argv[4]);
+    if (!guesser) { cerr << "cannot open " << argv[4] << endl; return 1; }
+    ifstream negations;
+    if (argc > 5 && argv[5][0]) {
+      negations.open(argv[5]);
+      if (!negations) { cerr << "cannot open " << argv[5] << endl; return 1; }
+    }
+    out.put(morpho_ids::ENGLISH_V3);
+    english_morpho_encoder::encode(cin, max_suffix_len, guesser, negations, out);
     return 0;
   }
 

@@ -235,3 +235,65 @@ def test_morpho_specials(tagger):
     assert m.analyze("walking", GUESSER)[0] == ("walk", "VBG")
     # non-ascii OOV goes through the guesser without crashing
     assert m.analyze("čajing", GUESSER)
+
+
+# ---------------------------------------------------------------- english
+@pytest.fixture(scope="module")
+def en_tagger():
+    return MorphoditaTagger.load(os.path.join(FIX, "tiny_en.tagger"))
+
+
+def test_en_load_metadata(en_tagger):
+    m = en_tagger.morpho
+    assert type(m).__name__ == "EnglishMorpho"
+    assert m.version == 3
+    assert m.guesser.exceptions and m.guesser.negations
+
+
+@pytest.mark.parametrize("mode,golden", [
+    (GUESSER, "fuzz_en_golden_guesser.tsv"),
+    (NO_GUESSER, "fuzz_en_golden_noguesser.tsv"),
+])
+def test_en_analyze_fuzz_parity(en_tagger, mode, golden):
+    """4,474-word fuzz corpus (dictionary, exceptions, negation prefixes,
+    every rule machine, numbers/punct/symbols, unicode, letter soup):
+    morpho analyze must be value- AND order-exact vs the compiled
+    reference (37k analysis rows)."""
+    forms = [l.rstrip("\n") for l in open(os.path.join(FIX, "fuzz_en_words.txt"), encoding="utf-8")]
+    want_blocks = _blocks(os.path.join(FIX, golden))
+    assert len(forms) == len(want_blocks)
+    bad = []
+    for form, block in zip(forms, want_blocks):
+        mine = en_tagger.morpho.analyze(form, mode)
+        want = [(r[1], r[2]) for r in block]
+        if mine != want:
+            bad.append((form, mine, want))
+    assert not bad, bad[:5]
+
+
+def test_en_tag_parity(en_tagger):
+    sents = [[r[0] for r in b] for b in _blocks(os.path.join(FIX, "tag_input_en.txt"))]
+    golden = _blocks(os.path.join(FIX, "tag_golden_en.tsv"))
+    for forms, gold in zip(sents, golden):
+        assert en_tagger.tag(forms) == [(r[1], r[2]) for r in gold]
+
+
+def test_en_ner_parity():
+    model = load_binary_ner(os.path.join(FIX, "tiny_en.ner"))
+    got = _decode_all(model, os.path.join(FIX, "ner_input_en.txt"))
+    assert got == [
+        (1, 0, 2, "PER"), (1, 4, 1, "LOC"),
+        (2, 3, 1, "LOC"), (2, 5, 1, "LOC"),
+        (3, 0, 2, "PER"),
+    ]
+
+
+def test_en_lemma_addinfo():
+    from nametag_spark.morpho.morphodita import _english_raw_lemma_len
+
+    assert _english_raw_lemma_len("good^well") == 4
+    assert _english_raw_lemma_len("do+") == 2
+    assert _english_raw_lemma_len("x^") == 1
+    assert _english_raw_lemma_len("a^b-c") == 1
+    assert _english_raw_lemma_len("a^1") == 3  # digit after ^ -> not addinfo
+    assert _english_raw_lemma_len("^x") == 2  # first position never splits
