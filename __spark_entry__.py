@@ -1219,6 +1219,46 @@ MORPHODITA_EN_NER_GOLD = [
 ]
 
 
+# conllu fixture: CONLLU2 tagger family — tag strings are
+# '<sep>UPOS<sep>LPOS<sep>Name=Value|...' with per-field feature maps
+MORPHODITA_CU_TAG_SENTENCES = [
+    (1, ["ten", "pes", "vidí", "ženu"]),
+    (2, ["psi", "vidí", "ženu"]),
+    (3, ["ta", "malá", "žena", "běží"]),
+    (4, ["malý", "pes", "a", "psi", "běží"]),
+    (5, ["neznámé", "42", "."]),
+]
+MORPHODITA_CU_TAG_GOLD = [
+    (1, 0, "ten", "ten", "~DET~P~Case=Nom|Gender=Masc|Number=Sing"),
+    (1, 1, "pes", "pes", "~NOUN~N~Case=Nom|Gender=Masc|Number=Sing"),
+    (1, 2, "vidí", "vidět", "~VERB~V~Number=Sing|Person=3"),
+    (1, 3, "ženu", "žena", "~NOUN~N~Case=Acc|Gender=Fem|Number=Sing"),
+    (2, 0, "psi", "pes", "~NOUN~N~Case=Nom|Gender=Masc|Number=Plur"),
+    (2, 1, "vidí", "vidět", "~VERB~V~Number=Plur|Person=3"),
+    (2, 2, "ženu", "žena", "~NOUN~N~Case=Acc|Gender=Fem|Number=Sing"),
+    (3, 0, "ta", "ta", "~DET~P~Case=Nom|Gender=Fem|Number=Sing"),
+    (3, 1, "malá", "malý", "~ADJ~A~Case=Nom|Gender=Fem|Number=Sing"),
+    (3, 2, "žena", "žena", "~NOUN~N~Case=Nom|Gender=Fem|Number=Sing"),
+    (3, 3, "běží", "běžet", "~VERB~V~Number=Sing|Person=3"),
+    (4, 0, "malý", "malý", "~ADJ~A~Case=Nom|Gender=Masc|Number=Sing"),
+    (4, 1, "pes", "pes", "~NOUN~N~Case=Nom|Gender=Masc|Number=Sing"),
+    (4, 2, "a", "a", "~CCONJ~J~"),
+    (4, 3, "psi", "pes", "~NOUN~N~Case=Nom|Gender=Masc|Number=Plur"),
+    (4, 4, "běží", "běžet", "~VERB~V~Number=Sing|Person=3"),
+    (5, 0, "neznámé", "neznámé", "UNK"),
+    (5, 1, "42", "42", "NUM"),
+    (5, 2, ".", ".", "PUNC"),
+]
+
+
+def q_morphodita_cu_tag_fixture(spark, sf_dir):
+    """CONLLU tagger family (ids 8-10): UD-style tag-field feature maps
+    (UPos/Case/Gender/Number/Negative/Person) + FollowingVerbForm dynamic
+    features, decoded distributed with the reference's own output as the
+    oracle — completes the 10/10 tagger-id dispatch matrix."""
+    return _q_morphodita_tag(spark, "tiny_cu.tagger", MORPHODITA_CU_TAG_SENTENCES)
+
+
 def q_morphodita_en_tag_fixture(spark, sf_dir):
     """ENGLISH_V3 MorphoDiTa morpho through the real serialized format:
     dictionary with '^'-addinfo lemmas, exceptions map, negation prefixes,
@@ -1616,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertical_reader_fixture": q_vertical_reader_fixture,
         "morphodita_en_tag_fixture": q_morphodita_en_tag_fixture,
         "morphodita_en_ner_mentions": q_morphodita_en_ner_mentions,
+        "morphodita_cu_tag_fixture": q_morphodita_cu_tag_fixture,
         "render_sinks": q_render_sinks,
         "gru_tokenize_fixture": q_gru_tokenize_fixture,
         "tokenize_fixture": q_tokenize_fixture,
@@ -1889,6 +1930,8 @@ def oracle_sql() -> dict[str, str]:
         + _values_sql(MORPHODITA_CS_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
         "morphodita_cs_ner_mentions": "SELECT * FROM "
         + _values_sql(MORPHODITA_CS_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
+        "morphodita_cu_tag_fixture": "SELECT * FROM "
+        + _values_sql(MORPHODITA_CU_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
         "morphodita_en_tag_fixture": "SELECT * FROM "
         + _values_sql(MORPHODITA_EN_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
         "morphodita_en_ner_mentions": "SELECT * FROM "

@@ -1063,7 +1063,7 @@ class GenericElementaryFeatures(_ElementaryBase):
             self.ortho(forms[i], vals, len(analyses[i]) == 1)
         return out
 
-    def dynamic(self, tag_lemma, per_tag_vals, prev_dynamic):
+    def dynamic(self, tag_lemma, per_tag_vals, per_form_vals, prev_dynamic):
         """compute_dynamic_features -> 4-tuple."""
         if prev_dynamic is not None:
             pvt, pvl = prev_dynamic[2], prev_dynamic[3]
@@ -1141,7 +1141,120 @@ class CzechElementaryFeatures(GenericElementaryFeatures):
             vals[9 + k] = self._value(self.M_S1 + k - 1, fb[start:])
 
 
-_ELEMENTARY = {"generic": GenericElementaryFeatures, "czech": CzechElementaryFeatures}
+class ConlluElementaryFeatures(GenericElementaryFeatures):
+    """conllu_elementary_features.h — 24 per-form, 8 per-tag, 4 dynamic.
+
+    The tag string is '<sep>UPOS<sep>LPOS<sep>Name=Value|...' with
+    sep = tag[0]; named fields Case/Gender/Number/Negative/Person get their
+    own maps, verbs are detected at tag[1], and the verb-tracking dynamic
+    features carry the verb token's FORM (not lemma)."""
+
+    PER_FORM_TOTAL, PER_TAG_TOTAL, DYNAMIC_TOTAL = 25, 8, 4
+    N_PREFIX = N_SUFFIX = 9
+    (M_FORM, M_P1, M_P2, M_P3, M_P4, M_P5, M_P6, M_P7, M_P8, M_P9,
+     M_S1, M_S2, M_S3, M_S4, M_S5, M_S6, M_S7, M_S8, M_S9,
+     M_TAG, M_TAG_UPOS, M_TAG_CASE, M_TAG_GENDER, M_TAG_NUMBER,
+     M_TAG_NEGATIVE, M_TAG_PERSON, M_LEMMA) = range(27)
+
+    TAG_SLOT, LEMMA_SLOT = 0, 7
+
+    _FIELD_MAPS = {
+        "Case": (2, None), "Gender": (3, None), "Number": (4, None),
+        "Negative": (5, None), "Person": (6, None),
+    }
+
+    def per_tag(self, analyses_i):
+        out = []
+        prev_lemma = None
+        prev_lemma_val = 0
+        for lemma, tag in analyses_i:
+            tb = tag.encode("utf-8")
+            vals = [_EF_EMPTY] * 8
+            vals[0] = self._value(self.M_TAG, tb)
+            if lemma == prev_lemma:
+                vals[7] = prev_lemma_val
+            else:
+                vals[7] = self._value(self.M_LEMMA, lemma.encode("utf-8"))
+                prev_lemma, prev_lemma_val = lemma, vals[7]
+
+            if tb:
+                sep = tb[0:1]
+                idx = tb.find(sep, 1)
+                if idx < 0:
+                    idx = len(tb)
+                start = 1 if idx else 0
+                vals[1] = self._value(self.M_TAG_UPOS, tb[start:idx])
+                if idx < len(tb):
+                    idx += 1
+                if idx < len(tb):
+                    f = tb.find(sep, idx)
+                    idx = len(tb) + 1 if f < 0 else f
+                if idx < len(tb):
+                    idx += 1
+                while idx < len(tb):
+                    f = tb.find(b"|", idx)
+                    length = (len(tb) if f < 0 else f) - idx
+                    for eq in range(0, length - 1):
+                        if tb[idx + eq : idx + eq + 1] == b"=":
+                            name = tb[idx : idx + eq].decode("utf-8", "replace")
+                            hit = self._FIELD_MAPS.get(name) if eq in (4, 6, 8) else None
+                            if hit is not None:
+                                slot = hit[0]
+                                map_idx = {
+                                    2: self.M_TAG_CASE, 3: self.M_TAG_GENDER,
+                                    4: self.M_TAG_NUMBER, 5: self.M_TAG_NEGATIVE,
+                                    6: self.M_TAG_PERSON,
+                                }[slot]
+                                vals[slot] = self._value(
+                                    map_idx, tb[idx + eq + 1 : idx + length]
+                                )
+                            break
+                    idx += length + 1
+            out.append(vals)
+        return out
+
+    def per_form(self, forms, analyses, per_tag):
+        n = len(forms)
+        out = [[0] * self.PER_FORM_TOTAL for _ in range(n)]
+        following_tag = following_form = _EF_EMPTY
+        for i in range(n - 1, -1, -1):
+            verb = -1
+            for j, (lemma, tag) in enumerate(analyses[i]):
+                if len(tag) >= 2 and tag[1] == "V":
+                    if verb < 0:
+                        verb = j
+                    else:
+                        vlemma, vtag = analyses[i][verb]
+                        if tag < vtag or (tag == vtag and lemma < vlemma):
+                            verb = j
+            vals = out[i]
+            vals[0] = self._value(self.M_FORM, forms[i].encode("utf-8"))
+            vals[1] = following_tag
+            vals[2] = following_form
+            self.ortho(forms[i], vals, len(analyses[i]) == 1)
+            if verb >= 0:
+                following_tag = per_tag[i][verb][self.TAG_SLOT]
+                following_form = vals[0]
+        return out
+
+    def dynamic(self, tag_lemma, per_tag_vals, per_form_vals, prev_dynamic):
+        if prev_dynamic is not None:
+            pvt, pvf = prev_dynamic[2], prev_dynamic[3]
+        else:
+            pvt = pvf = _EF_EMPTY
+        tag = tag_lemma[1]
+        if len(tag) >= 2 and tag[1] == "V":
+            cvt, cvf = per_tag_vals[self.TAG_SLOT], per_form_vals[0]
+        else:
+            cvt, cvf = pvt, pvf
+        return (pvt, pvf, cvt, cvf)
+
+
+_ELEMENTARY = {
+    "generic": GenericElementaryFeatures,
+    "czech": CzechElementaryFeatures,
+    "conllu": ConlluElementaryFeatures,
+}
 
 
 # --------------------------------------------------------------------------
@@ -1246,8 +1359,6 @@ class MorphoditaTagger:
         if not tid or tid[0] not in _TAGGER_IDS:
             raise BinaryFormatError(f"unknown MorphoDiTa tagger id {tid!r}")
         family, order, window = _TAGGER_IDS[tid[0]]
-        if family == "conllu":
-            raise BinaryFormatError("CONLLU taggers not supported yet")
         morpho = load_morpho(f)
         use_guesser = bool(f.read(1)[0])
         features = FeatureSequences.load(f, _ELEMENTARY[family])
@@ -1320,7 +1431,7 @@ class MorphoditaTagger:
                         p = nodes[p][1]
                         k += 1
                     prev_dyn = nodes[prev][3] if prev >= 0 else None
-                    dynamic = dyn(analyses[i][tag], per_tag[i][tag], prev_dyn)
+                    dynamic = dyn(analyses[i][tag], per_tag[i][tag], per_form[i], prev_dyn)
                     if single:
                         score = 0
                     else:

@@ -167,16 +167,31 @@ class _Handler(BaseHTTPRequestHandler):
         params = {k: v[-1] for k, v in parse_qs(parsed.query).items()}
         if self.command == "POST":
             n = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(n).decode("utf-8") if n else ""
+            raw = self.rfile.read(n) if n else b""
             ctype = self.headers.get("Content-Type", "")
             # dispatch on Content-Type ONLY (like the reference service):
             # sniffing the body for '=' would destroy plain-text payloads
             # such as "E=mc2"
             if "application/x-www-form-urlencoded" in ctype:
-                for k, v in parse_qs(body).items():
+                for k, v in parse_qs(raw.decode("utf-8")).items():
                     params[k] = v[-1]
-            elif body:
-                params.setdefault("data", body)
+            elif "multipart/form-data" in ctype:
+                # the reference's microrestd POST processor accepts
+                # multipart/form-data (libmicrohttpd postprocessor); parse
+                # each part's content-disposition name
+                import email.parser
+                import email.policy
+
+                msg = email.parser.BytesParser(policy=email.policy.HTTP).parsebytes(
+                    b"Content-Type: " + ctype.encode("utf-8") + b"\r\n\r\n" + raw
+                )
+                for part in msg.iter_parts():
+                    name = part.get_param("name", header="content-disposition")
+                    if name:
+                        payload = part.get_payload(decode=True)
+                        params[str(name)] = (payload or b"").decode("utf-8")
+            elif raw:
+                params.setdefault("data", raw.decode("utf-8"))
         return parsed.path, params
 
     def _respond(self, code: int, payload, mime="application/json"):

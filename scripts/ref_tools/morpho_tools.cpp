@@ -32,6 +32,7 @@
 #include "morphodita/morpho/morpho_ids.h"
 #include "morphodita/tagger/tagger.h"
 #include "morphodita/tagger/tagger_ids.h"
+#include "morphodita/tagger/conllu_elementary_features.h"
 #include "morphodita/tagger/czech_elementary_features.h"
 #include "morphodita/tagger/generic_elementary_features.h"
 #include "morphodita/tagger/perceptron_tagger_trainer.h"
@@ -91,6 +92,29 @@ int main(int argc, char* argv[]) {
     out.put(morpho_ids::CZECH);
     czech_morpho_encoder::encode(cin, max_suffix_len, prefix_guesser, stat_guesser,
                                  max_tag_length, out);
+    return 0;
+  }
+
+  if (cmd == "train_tagger_conllu") {
+    // train_tagger_conllu <conllu2|conllu2_3|conllu3> <dict> <use_guesser>
+    //                     <templates> <iters> <out.tagger> < train.tsv
+    if (argc < 8) return usage();
+    tagger_id id;
+    if (!tagger_ids::parse(argv[2], id)) { cerr << "bad tagger id" << endl; return 1; }
+    ifstream dict(argv[3], ifstream::binary);
+    if (!dict) { cerr << "cannot open " << argv[3] << endl; return 1; }
+    bool use_guesser = stoi(argv[4]) != 0;
+    ifstream templates(argv[5]);
+    if (!templates) { cerr << "cannot open " << argv[5] << endl; return 1; }
+    int iterations = stoi(argv[6]);
+    ofstream out(argv[7], ofstream::binary);
+    if (!out) { cerr << "cannot open " << argv[7] << endl; return 1; }
+    ifstream no_heldout;
+    out.put(id);
+    tagger_trainer<perceptron_tagger_trainer<train_feature_sequences<conllu_elementary_features>>>::train(
+        tagger_ids::decoding_order(id), tagger_ids::window_size(id), iterations,
+        dict, use_guesser, templates, /*prune_features=*/false,
+        cin, no_heldout, /*early_stopping=*/false, out);
     return 0;
   }
 

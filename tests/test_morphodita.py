@@ -297,3 +297,26 @@ def test_en_lemma_addinfo():
     assert _english_raw_lemma_len("a^b-c") == 1
     assert _english_raw_lemma_len("a^1") == 3  # digit after ^ -> not addinfo
     assert _english_raw_lemma_len("^x") == 2  # first position never splits
+
+
+# ---------------------------------------------------------------- conllu
+def test_conllu_tag_parity():
+    """CONLLU2 tagger family: tag-string field parsing (UPos + named
+    Case/Gender/Number/Negative/Person fields), verb detection at tag[1],
+    FollowingVerbForm/PreviousVerbForm dynamic features — decode parity vs
+    the reference on the committed fixture."""
+    t = MorphoditaTagger.load(os.path.join(FIX, "tiny_cu.tagger"))
+    assert t.tagger_family == "conllu"
+    sents = [[r[0] for r in b] for b in _blocks(os.path.join(FIX, "tag_input_cu.txt"))]
+    golden = _blocks(os.path.join(FIX, "tag_golden_cu.tsv"))
+    assert len(sents) == len(golden)
+    for forms, gold in zip(sents, golden):
+        assert t.tag(forms) == [(r[1], r[2]) for r in gold]
+
+
+def test_conllu_analyze_parity():
+    t = MorphoditaTagger.load(os.path.join(FIX, "tiny_cu.tagger"))
+    golden = _blocks(os.path.join(FIX, "analyze_golden_cu.tsv"))
+    forms = ["pes", "psa", "vidí", "neznámé", "42", "malá"]
+    for form, block in zip(forms, golden):
+        assert t.morpho.analyze(form, GUESSER) == [(r[1], r[2]) for r in block], form

@@ -148,3 +148,19 @@ def test_chunked_streaming_incremental(rest_url):
     assembled = json.loads(b"".join(chunks).decode("utf-8"))
     buffered = _get(rest_url, "/recognize", data=data, input="vertical", output="vertical")
     assert assembled == buffered
+
+
+def test_multipart_post(rest_url):
+    """multipart/form-data POST (the reference's microrestd accepts it)."""
+    boundary = "xXbndXx"
+    def part(name, value):
+        return (f"--{boundary}\r\nContent-Disposition: form-data; name=\"{name}\"\r\n\r\n{value}\r\n")
+    body = (part("data", "Alice\nJohnson\n.\n") + part("input", "vertical")
+            + part("output", "vertical") + f"--{boundary}--\r\n").encode("utf-8")
+    req = urllib.request.Request(
+        f"{rest_url}/recognize", data=body, method="POST",
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    with urllib.request.urlopen(req) as r:
+        got = json.loads(r.read().decode("utf-8"))
+    assert got["result"].splitlines() == ["1,2\tPER\tAlice Johnson"]
