@@ -321,6 +321,13 @@ class MdStatisticalGuesser:
 # --------------------------------------------------------------------------
 # unicode helpers (unilib parity via unicodedata)
 # --------------------------------------------------------------------------
+def _simple_lower(c: str) -> str:
+    """unilib's SIMPLE 1:1 lowercase mapping (str.lower() does full folding:
+    e.g. U+0130 İ -> 'i' + combining dot; the simple mapping is just 'i')."""
+    lc = c.lower()
+    return lc if len(lc) == 1 else lc[0]
+
+
 def _casing_variants(form: str):
     """casing_variants.h — (form_uclc, form_lc), empty when == form."""
     if not form:
@@ -329,12 +336,12 @@ def _casing_variants(form: str):
     first_lut = cats[0] in ("Lu", "Lt")
     rest_has_lut = any(c in ("Lu", "Lt") for c in cats[1:])
     if first_lut and not rest_has_lut:
-        return "", form[0].lower() + form[1:]
+        return "", _simple_lower(form[0]) + form[1:]
     if not first_lut and rest_has_lut:
-        return "", "".join(c.lower() for c in form)
+        return "", "".join(_simple_lower(c) for c in form)
     if first_lut and rest_has_lut:
-        rest = "".join(c.lower() for c in form[1:])
-        return form[0] + rest, form[0].lower() + rest
+        rest = "".join(_simple_lower(c) for c in form[1:])
+        return form[0] + rest, _simple_lower(form[0]) + rest
     return "", ""
 
 

@@ -42,9 +42,20 @@ def spread_small_input(df: DataFrame, min_splits: int | None = None) -> DataFram
         files = df.inputFiles()
     except Exception:  # pragma: no cover - streaming sources
         files = []
-    if files and len(files) < min_splits:
-        return df.repartition(par)
-    return df
+    if not files or len(files) >= min_splits:
+        return df
+    # inputFiles() sees through transformations, so don't re-shuffle inputs
+    # the caller already repartitioned or cached (the logical plan is a
+    # driver-side object; no job is triggered)
+    try:
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return df
+        plan = df._jdf.queryExecution().logical().toString()
+        if "Repartition" in plan or "InMemoryRelation" in plan:
+            return df
+    except Exception:  # pragma: no cover - plan introspection best-effort
+        pass
+    return df.repartition(par)
 
 
 def tokens_col(col):

@@ -68,3 +68,28 @@ def test_ngram_jaccard_default_matches_explicit_cap(spark):
     explicit = {tuple(r) for r in ngram_jaccard_pairs(df, threshold=0.5, max_df_count=100).collect()}
     assert lazy_default == explicit
     assert lazy_default  # near-dup halves must pair up
+
+
+def test_spread_skips_repartitioned_and_cached(spark, tmp_path):
+    """inputFiles() sees through transformations — already-repartitioned or
+    cached inputs must NOT pay a second shuffle."""
+    from nametag_spark.ops.text import spread_small_input
+
+    p = str(tmp_path / "one2.parquet")
+    spark.createDataFrame([(i, "x") for i in range(50)], "id long, text string").coalesce(
+        1
+    ).write.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+
+    pre = spark.read.parquet(p).repartition(3)
+    assert spread_small_input(pre) is pre  # repartitioned upstream -> untouched
+
+    cached = spark.read.parquet(p).persist()
+    try:
+        assert spread_small_input(cached) is cached
+    finally:
+        cached.unpersist()
+
+    bare = spark.read.parquet(p)
+    assert spread_small_input(bare) is not bare  # bare 1-file scan -> spread
+    assert spread_small_input(bare).rdd.getNumPartitions() == par
