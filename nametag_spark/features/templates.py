@@ -763,9 +763,15 @@ class GazetteersEnhanced(FeatureProcessor):
                 for node in new_nodes:
                     for feature in self.trie[node]["features"]:
                         for k in range(i, j + 1):
-                            btype = (
-                                self.U if j == i else self.B if k == i else self.L if k == j else self.I
-                            )
+                            # REFERENCE QUIRK (feature_processor_instances.cpp
+                            # :503-506): the positional part uses the GLOBAL
+                            # bilou_type enum (B=0, I=1, L=2, U=4 — bilou_type.h),
+                            # not the class's G/U/B/L/I block order, so the
+                            # B-position block coincides with the always-on G
+                            # block and block 3 is never used. Shipped behavior;
+                            # replicated for decode parity with reference-trained
+                            # models (caught by the 800-sentence NER fuzz).
+                            btype = 4 if j == i else 0 if k == i else 2 if k == j else 1
                             _append_unless_exists(feats[k], feature + self.G * span)
                             _append_unless_exists(feats[k], feature + btype * span)
 

@@ -53,6 +53,13 @@ class NerModel:
 
     @classmethod
     def load(cls, model_dir: str) -> "NerModel":
+        # a plain file is a reference binary .ner model (ner.cpp:31-48
+        # dispatch); a directory is the native JSON+npz layout — so every
+        # entry point (recognize_df, sinks, REST, bench) accepts both
+        if os.path.isfile(model_dir):
+            from .binary_reader import load_binary_ner
+
+            return load_binary_ner(model_dir)
         with open(os.path.join(model_dir, "model.json"), encoding="utf-8") as f:
             meta = json.load(f)
         entities = EntityMap(meta["entities"])

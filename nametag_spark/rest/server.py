@@ -30,15 +30,9 @@ ACKNOWLEDGEMENT = "http://ufal.mff.cuni.cz/nametag/1#nametag_acknowledgements"
 
 def load_model(path: str):
     """Model directory (JSON+npz) or reference binary .ner file."""
-    import os
-
     from ..model.model import NerModel
 
-    if os.path.isdir(path):
-        return NerModel.load(path)
-    from ..model.binary_reader import load_binary_ner
-
-    return load_binary_ner(path)
+    return NerModel.load(path)
 
 
 class NametagService:

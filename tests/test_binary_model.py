@@ -165,3 +165,16 @@ def test_binary_writer_runs_in_reference_engine(tmp_path):
             ours.add((base + start, length, type_name))
         base += len(s) + 1
     assert ref_spans == ours, (ref_spans, ours)
+
+
+def test_nermodel_load_dispatches_on_file():
+    """NerModel.load accepts a binary .ner FILE as well as a model dir, so
+    every entry point (recognize_df, sinks, REST, bench) loads published
+    models directly (ner.cpp:31-48 dispatch)."""
+    from nametag_spark.model.model import NerModel
+
+    path = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                        "morphodita", "tiny_cs.ner")
+    m = NerModel.load(path)
+    ents = m.recognize_sentence(["Karel", "Novák", "viděl", "Prahu", "."])
+    assert any(t == "PER" for (_s, _l, t) in ents)

@@ -1,0 +1,40 @@
+"""NER decode-parity fuzz vs the compiled reference: 800 sentences per
+MorphoDiTa fixture model (generic/czech/english), reference goldens from
+scripts/gen_ner_fuzz.py. The engine's conll rendering of its own decode
+must be byte-identical to run_ner's output — entities, nesting, order."""
+
+import gzip
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nametag_spark.model.binary_reader import load_binary_ner
+from nametag_spark.sinks.render import render_conll
+from scripts.gen_ner_fuzz import sentences
+
+FIX = os.path.join(os.path.dirname(__file__), "..", "fixtures", "morphodita")
+
+
+@pytest.mark.parametrize("lang,model", [
+    ("md", "tiny_md.ner"),
+    ("cs", "tiny_cs.ner"),
+    ("en", "tiny_en.ner"),
+])
+def test_ner_fuzz_parity(lang, model):
+    m = load_binary_ner(os.path.join(FIX, model))
+    sents = sentences(lang)
+    entities = [m.recognize_sentence(forms) for forms in sents]
+    mine = render_conll(sents, entities)
+    with gzip.open(os.path.join(FIX, f"ner_fuzz_golden_{lang}.conll.gz"), "rt",
+                   encoding="utf-8") as f:
+        want = f.read()
+    if mine != want:
+        # localize the first differing sentence for a useful failure message
+        mine_b = mine.split("\n\n")
+        want_b = want.split("\n\n")
+        for i, (a, b) in enumerate(zip(mine_b, want_b)):
+            assert a == b, f"sentence {i}: {sents[i]}\nmine:\n{a}\nwant:\n{b}"
+    assert mine == want
