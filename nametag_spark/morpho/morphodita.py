@@ -405,6 +405,7 @@ def _analyze_special(form: str, number_tag, punctuation_tag, symbol_tag, out: li
 # --------------------------------------------------------------------------
 class GenericMorpho:
     kind = "generic"
+    derinet = None  # DerivatorDictionary when wrapped by morpho id 7
 
     def __init__(self, unknown_tag, number_tag, punctuation_tag, symbol_tag,
                  dictionary: MdDictionary, statistical_guesser):
@@ -639,6 +640,7 @@ _CZ_PUNCT_EXCEPTIONS = frozenset((0xA7,))  # paragraph sign
 
 class CzechMorpho:
     kind = "czech"
+    derinet = None  # DerivatorDictionary when wrapped by morpho id 7
 
     def __init__(self, dictionary, prefix_guesser, statistical_guesser,
                  unknown_tag, number_tag, punctuation_tag):
@@ -760,6 +762,7 @@ def _english_raw_lemma_len(lemma: str) -> int:
 
 class EnglishMorpho:
     kind = "english"
+    derinet = None  # DerivatorDictionary when wrapped by morpho id 7
 
     unknown_tag = "UNK"
 
@@ -918,6 +921,75 @@ class EnglishMorpho:
         return out
 
 
+class DerivatorDictionary:
+    """Derivation graph shipped with published czech-morfflex dictionaries
+    (morpho id 7 wraps the real morpho — morpho.cpp:63-72).
+
+    Format re-expression of src/morphodita/derivator/derivator_dictionary.cpp
+    :69-160 (one compressor blob; incremental front-coded lemma ids, each with
+    comment, children count and parent edit ops) into plain dicts — the
+    persistent-map/offset machinery is a C++ memory-layout concern.
+    ``parent``/``children`` mirror derivator.h:24-31: queries are truncated to
+    the lemma id, results carry the target's lemma comment appended
+    (derivator_dictionary.cpp:19-67)."""
+
+    def __init__(self, parent_map, children_map, comments):
+        self.parent_map = parent_map      # lemma_id -> parent lemma_id
+        self.children_map = children_map  # lemma_id -> [child lemma_id...] (sorted)
+        self.comments = comments          # lemma_id -> shortest lemma comment
+        self.dictionary = None            # set by load_morpho to the wrapped morpho
+
+    @classmethod
+    def load(cls, f) -> "DerivatorDictionary":
+        d = _read_blob(f)
+        for _ in range(d.u1()):  # per-length entry counts: sizing hints only
+            d.u4()
+        parent_map, children_map, comments = {}, {}, {}
+        lemma = bytearray()
+        for _ in range(d.u4()):
+            rem = d.u1()
+            if rem:
+                del lemma[-rem:]
+            lemma += d.raw(d.u1())
+            clen = d.u1()
+            comment = bytes(d.raw(clen)).decode("utf-8") if clen else ""
+            d.u2()  # children count (we build the lists directly)
+            ops = d.u1()
+            lid = bytes(lemma).decode("utf-8")
+            comments[lid] = comment
+            if ops:
+                REMOVE_START, REMOVE_END, ADD_START, ADD_END = 1, 2, 4, 8
+                remove_start = d.u1() if ops & REMOVE_START else 0
+                remove_end = d.u1() if ops & REMOVE_END else 0
+                par = bytearray()
+                if ops & ADD_START:
+                    par += d.raw(d.u1())
+                par += lemma[remove_start : len(lemma) - remove_end]
+                if ops & ADD_END:
+                    par += d.raw(d.u1())
+                parent = bytes(par).decode("utf-8")
+                parent_map[lid] = parent
+                # stream order is sorted-lemma order (encoder walks a std::map),
+                # matching the reference's child-slot fill order
+                children_map.setdefault(parent, []).append(lid)
+        if not d.is_end():
+            raise BinaryFormatError("trailing data in derivator blob")
+        return cls(parent_map, children_map, comments)
+
+    def _lemma_id(self, lemma: str) -> str:
+        return lemma[: self.dictionary.lemma_id_len(lemma)] if self.dictionary else lemma
+
+    def parent(self, lemma: str):
+        """Parent lemma (id + its comment) or None."""
+        p = self.parent_map.get(self._lemma_id(lemma))
+        return p + self.comments.get(p, "") if p is not None else None
+
+    def children(self, lemma: str) -> list:
+        """Child lemmas (id + comment each), in the reference's order."""
+        kids = self.children_map.get(self._lemma_id(lemma), [])
+        return [c + self.comments.get(c, "") for c in kids]
+
+
 def load_morpho(f):
     """morpho.cpp:26-77 dispatch."""
     mid = f.read(1)
@@ -931,6 +1003,14 @@ def load_morpho(f):
     if mid in (MORPHO_ENGLISH_V1, MORPHO_ENGLISH_V2, MORPHO_ENGLISH_V3):
         version = {MORPHO_ENGLISH_V1: 1, MORPHO_ENGLISH_V2: 2, MORPHO_ENGLISH_V3: 3}[mid]
         return EnglishMorpho.load(f, version)
+    if mid == MORPHO_DERIV:
+        # derivator blob, then the wrapped morpho; attach both ways like
+        # morpho.cpp:63-72 (derinet->dictionary / dictionary->derinet)
+        derinet = DerivatorDictionary.load(f)
+        inner = load_morpho(f)
+        derinet.dictionary = inner
+        inner.derinet = derinet
+        return inner
     if mid == MORPHO_EXTERNAL:
         raise BinaryFormatError("EXTERNAL morpho payloads are not embedded in taggers")
     raise BinaryFormatError(f"unsupported morpho id {mid}")

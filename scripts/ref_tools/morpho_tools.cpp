@@ -25,6 +25,8 @@
 #include <string>
 #include <vector>
 
+#include "morphodita/derivator/derivator.h"
+#include "morphodita/derivator/derivator_dictionary_encoder.h"
 #include "morphodita/morpho/czech_morpho_encoder.h"
 #include "morphodita/morpho/english_morpho_encoder.h"
 #include "morphodita/morpho/generic_morpho_encoder.h"
@@ -178,6 +180,44 @@ int main(int argc, char* argv[]) {
         tagger_ids::decoding_order(id), tagger_ids::window_size(id), iterations,
         dict, use_guesser, templates, /*prune_features=*/false,
         cin, no_heldout, /*early_stopping=*/false, out);
+    return 0;
+  }
+
+  if (cmd == "encode_derivator") {
+    // encode_derivator <in.dict> <out.dict> < derinet.tsv
+    //   (two tab-separated columns: lemma<TAB>parent, each optionally
+    //    "lemma form" — derivator_dictionary_encoder.cpp input contract)
+    if (argc < 4) return usage();
+    ifstream dict(argv[2], ifstream::binary);
+    if (!dict) { cerr << "cannot open " << argv[2] << endl; return 1; }
+    ofstream out(argv[3], ofstream::binary);
+    if (!out) { cerr << "cannot open " << argv[3] << endl; return 1; }
+    derivator_dictionary_encoder::encode(cin, dict, /*verbose=*/false, out);
+    return 0;
+  }
+
+  if (cmd == "derivator") {
+    // derivator <dict-with-derinet> < lemmas, one per line
+    // prints "<lemma>\tparent\t<parent-or-empty>" and
+    //        "<lemma>\tchildren[\t<child>...]" per query
+    if (argc < 3) return usage();
+    unique_ptr<morpho> m(morpho::load(argv[2]));
+    if (!m) { cerr << "cannot load morpho" << endl; return 1; }
+    const derivator* der = m->get_derivator();
+    if (!der) { cerr << "model has no derivator" << endl; return 1; }
+    string line;
+    derivated_lemma par;
+    vector<derivated_lemma> kids;
+    while (getline(cin, line)) {
+      string_piece lemma(line.c_str(), line.size());
+      cout << line << "\tparent\t";
+      if (der->parent(lemma, par)) cout << par.lemma;
+      cout << '\n' << line << "\tchildren";
+      kids.clear();
+      if (der->children(lemma, kids))
+        for (auto&& k : kids) cout << '\t' << k.lemma;
+      cout << '\n';
+    }
     return 0;
   }
 

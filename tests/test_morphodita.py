@@ -320,3 +320,42 @@ def test_conllu_analyze_parity():
     forms = ["pes", "psa", "vidí", "neznámé", "42", "malá"]
     for form, block in zip(forms, golden):
         assert t.morpho.analyze(form, GUESSER) == [(r[1], r[2]) for r in block], form
+
+
+# --------------------------------------------------------------------------
+# Derivator (morpho id 7 — DeriNet graph wrapping a czech dictionary)
+# --------------------------------------------------------------------------
+def test_derivator_parity():
+    """DerivatorDictionary parity: tiny_cs_deriv.dict is the czech tiny
+    dictionary wrapped by the reference's own derivator_dictionary_encoder
+    (fixtures/morphodita/derinet_cs.tsv); derivator_golden_cs.tsv is the
+    compiled reference's derivator::parent/children output on the queries in
+    derivator_input_cs.txt — lemma-id truncation, comment re-append, and the
+    reference's child ordering all covered."""
+    from nametag_spark.morpho.morphodita import load_morpho
+
+    with open(os.path.join(FIX, "tiny_cs_deriv.dict"), "rb") as f:
+        m = load_morpho(f)
+        assert not f.read(), "trailing bytes after derivator-wrapped morpho"
+    assert m.kind == "czech" and m.derinet is not None
+    assert m.derinet.dictionary is m
+
+    queries = [l.strip() for l in open(os.path.join(FIX, "derivator_input_cs.txt"), encoding="utf-8") if l.strip()]
+    golden = {}  # lemma -> {"parent": str, "children": [..]}
+    for line in open(os.path.join(FIX, "derivator_golden_cs.tsv"), encoding="utf-8"):
+        parts = line.rstrip("\n").split("\t")
+        ent = golden.setdefault(parts[0], {})
+        if parts[1] == "parent":
+            ent["parent"] = parts[2] if len(parts) > 2 else ""
+        else:
+            ent["children"] = parts[2:]
+    assert len(golden) == len(queries)
+    for q in queries:
+        assert (m.derinet.parent(q) or "") == golden[q]["parent"], q
+        assert m.derinet.children(q) == golden[q]["children"], q
+
+    # the wrapped morpho is unchanged: analysis equals the plain dictionary's
+    with open(os.path.join(FIX, "tiny_cs.dict"), "rb") as f:
+        plain = load_morpho(f)
+    for form in ("pila", "Novák", "stát", "nejneznámější", "3,14"):
+        assert m.analyze(form, GUESSER) == plain.analyze(form, GUESSER), form
