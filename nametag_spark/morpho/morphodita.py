@@ -1035,12 +1035,34 @@ def _vli_encode(value: int) -> bytes:
                   value & 0x7F))
 
 
+# encode-once cache (values are bounded by the model's value-map sizes)
+_VLI_CACHE: dict = {}
+
+
 class _ElementaryBase:
     """Shared machinery: value maps keyed by UTF-8 bytes; per-form
-    codepoint-sliced prefixes/suffixes; verb-tracking dynamic features."""
+    codepoint-sliced prefixes/suffixes; verb-tracking dynamic features.
+
+    Per-form caches (``_per_tag_cache``/``_form_static_cache``/
+    ``_verb_cache``) exploit that analyses are a deterministic function of
+    the form under the tagger's fixed guesser mode, so every context-free
+    feature value repeats with the form (Zipf: most tokens are repeats).
+    Bounded like the tagger's analysis cache; purely an optimization — the
+    uncached computation is the semantic definition."""
 
     def __init__(self, maps):
         self.maps = maps  # list of dict[bytes, int]
+        self._per_tag_cache: dict = {}
+        self._form_static_cache: dict = {}
+        self._verb_cache: dict = {}
+
+    def per_tag_cached(self, form, analyses_i):
+        v = self._per_tag_cache.get(form)
+        if v is None:
+            if len(self._per_tag_cache) > 200_000:
+                self._per_tag_cache.clear()
+            v = self._per_tag_cache[form] = self.per_tag(analyses_i)
+        return v
 
     @classmethod
     def load(cls, f):
@@ -1122,32 +1144,58 @@ class GenericElementaryFeatures(_ElementaryBase):
             start = offs[ncp - k] if k <= ncp else 0
             vals[5 + self.N_PREFIX + k] = self._value(self.M_S1 + k - 1, fb[start:])
 
-    def per_form(self, forms, analyses, per_tag):
-        """compute_features per-form pass (reverse order for FollowingVerb*)."""
-        n = len(forms)
-        out = [[0] * self.PER_FORM_TOTAL for _ in range(n)]
-        following_tag = following_lemma = _EF_EMPTY
-        for i in range(n - 1, -1, -1):
-            # verb candidate: smallest (tag, lemma), tag compared first
-            # (UTF-8 byte order == codepoint order, so Python str compare is
-            # equivalent to the reference's byte compare)
+    def _is_verb(self, tag: str) -> bool:
+        return tag[:1] == "V"
+
+    def _verb_index(self, form, analyses_i) -> int:
+        """Verb candidate: smallest (tag, lemma), tag compared first
+        (UTF-8 byte order == codepoint order, so Python str compare is
+        equivalent to the reference's byte compare). Cached per form —
+        analyses are deterministic per form under the decode mode."""
+        v = self._verb_cache.get(form)
+        if v is None:
             verb = -1
-            for j, (lemma, tag) in enumerate(analyses[i]):
-                if tag[:1] == "V":
+            for j, (lemma, tag) in enumerate(analyses_i):
+                if self._is_verb(tag):
                     if verb < 0:
                         verb = j
                     else:
-                        vlemma, vtag = analyses[i][verb]
+                        vlemma, vtag = analyses_i[verb]
                         if tag < vtag or (tag == vtag and lemma < vlemma):
                             verb = j
-            vals = out[i]
-            vals[0] = self._value(self.M_FORM, forms[i].encode("utf-8"))
+            if len(self._verb_cache) > 200_000:
+                self._verb_cache.clear()
+            v = self._verb_cache[form] = verb
+        return v
+
+    def _form_static(self, form, single):
+        """Context-free slots of the per-form vector (form value + ortho
+        NUM/CAP/DASH/prefix/suffix block), cached by (form, ambiguity)."""
+        key = (form, single)
+        v = self._form_static_cache.get(key)
+        if v is None:
+            vals = [0] * self.PER_FORM_TOTAL
+            vals[0] = self._value(self.M_FORM, form.encode("utf-8"))
+            self.ortho(form, vals, single)
+            if len(self._form_static_cache) > 200_000:
+                self._form_static_cache.clear()
+            v = self._form_static_cache[key] = vals
+        return v
+
+    def per_form(self, forms, analyses, per_tag):
+        """compute_features per-form pass (reverse order for FollowingVerb*)."""
+        n = len(forms)
+        out = [None] * n
+        following_tag = following_lemma = _EF_EMPTY
+        for i in range(n - 1, -1, -1):
+            verb = self._verb_index(forms[i], analyses[i])
+            vals = self._form_static(forms[i], len(analyses[i]) == 1).copy()
             vals[1] = following_tag
             vals[2] = following_lemma
+            out[i] = vals
             if verb >= 0:
                 following_tag = per_tag[i][verb][self.TAG_SLOT]
                 following_lemma = per_tag[i][verb][self.LEMMA_SLOT]
-            self.ortho(forms[i], vals, len(analyses[i]) == 1)
         return out
 
     def dynamic(self, tag_lemma, per_tag_vals, per_form_vals, prev_dynamic):
@@ -1300,25 +1348,19 @@ class ConlluElementaryFeatures(GenericElementaryFeatures):
             out.append(vals)
         return out
 
+    def _is_verb(self, tag: str) -> bool:
+        return len(tag) >= 2 and tag[1] == "V"
+
     def per_form(self, forms, analyses, per_tag):
         n = len(forms)
-        out = [[0] * self.PER_FORM_TOTAL for _ in range(n)]
+        out = [None] * n
         following_tag = following_form = _EF_EMPTY
         for i in range(n - 1, -1, -1):
-            verb = -1
-            for j, (lemma, tag) in enumerate(analyses[i]):
-                if len(tag) >= 2 and tag[1] == "V":
-                    if verb < 0:
-                        verb = j
-                    else:
-                        vlemma, vtag = analyses[i][verb]
-                        if tag < vtag or (tag == vtag and lemma < vlemma):
-                            verb = j
-            vals = out[i]
-            vals[0] = self._value(self.M_FORM, forms[i].encode("utf-8"))
+            verb = self._verb_index(forms[i], analyses[i])
+            vals = self._form_static(forms[i], len(analyses[i]) == 1).copy()
             vals[1] = following_tag
             vals[2] = following_form
-            self.ortho(forms[i], vals, len(analyses[i]) == 1)
+            out[i] = vals
             if verb >= 0:
                 following_tag = per_tag[i][verb][self.TAG_SLOT]
                 following_form = vals[0]
@@ -1352,6 +1394,30 @@ class FeatureSequences:
         self.elementary = elementary
         self.sequences = sequences  # [(dependant_range, [(type, elem_idx, seq_idx)])]
         self.scores = scores        # [dict[bytes, int32]]
+        # Partition sequences by what their score depends on, so the Viterbi
+        # loop can memoize group sums instead of re-keying every sequence per
+        # (tag, prev) node: 'static' sequences read only per-form values
+        # (constant for a given token i); a depth-d group additionally reads
+        # per-tag values of window[0..d]; 'dyn' sequences read the dynamic
+        # vector (recomputed per node, memoized on (window prefix, dynamic)).
+        self.static_group: list = []
+        self.depth_groups: list = []  # [(depth, [seq_idx, ...])] ascending
+        self.dyn_group: list = []
+        self.dyn_depth = 0
+        by_depth: dict = {}
+        for si, (_dep, elements) in enumerate(sequences):
+            types = [e[0] for e in elements]
+            if any(t not in (_PER_FORM, _PER_TAG) for t in types):
+                self.dyn_group.append(si)
+                tag_depths = [-e[2] for e in elements if e[0] == _PER_TAG]
+                self.dyn_depth = max([self.dyn_depth] + tag_depths)
+            elif _PER_TAG not in types:
+                self.static_group.append(si)
+            else:
+                d = max(-e[2] for e in elements if e[0] == _PER_TAG)
+                by_depth.setdefault(d, []).append(si)
+        self.depth_groups = sorted(by_depth.items())
+        self._elements = [els for (_dep, els) in sequences]
 
     @classmethod
     def load(cls, f, elementary_cls):
@@ -1378,15 +1444,19 @@ class FeatureSequences:
             raise BinaryFormatError("trailing data in feature sequences blob")
         return cls(elementary, sequences, scores)
 
-    def score(self, form_index, window_tags, dynamic, per_form, per_tag, n_forms):
-        """Fresh evaluation of feature_sequences.h:179-233 (the incremental
-        tags_unchanged cache is a pure optimization: unchanged windows yield
-        unchanged keys, so a full re-evaluation is semantically identical)."""
+    def score_group(self, seq_indices, form_index, window_tags, dynamic,
+                    per_form, per_tag, n_forms):
+        """Fresh evaluation of feature_sequences.h:179-233 over a subset of
+        sequences (the incremental tags_unchanged cache is a pure
+        optimization: unchanged windows yield unchanged keys, so a full
+        re-evaluation is semantically identical)."""
         total = 0
-        for si, (dep_range, elements) in enumerate(self.sequences):
+        vli = _VLI_CACHE
+        all_elements, all_scores = self._elements, self.scores
+        for si in seq_indices:
             key = b""
             dead = False
-            for typ, elem_idx, seq_idx in elements:
+            for typ, elem_idx, seq_idx in all_elements[si]:
                 if typ == _PER_FORM:
                     j = form_index + seq_idx
                     value = (
@@ -1402,11 +1472,19 @@ class FeatureSequences:
                 if value == _EF_UNKNOWN:
                     dead = True
                     break
-                key += _vli_encode(value)
+                enc = vli.get(value)
+                if enc is None:
+                    enc = vli[value] = _vli_encode(value)
+                key += enc
             if dead or not key:
                 continue
-            total += self.scores[si].get(key, 0)
+            total += all_scores[si].get(key, 0)
         return total
+
+    def score(self, form_index, window_tags, dynamic, per_form, per_tag, n_forms):
+        """Full evaluation over every sequence (reference semantics)."""
+        return self.score_group(range(len(self.sequences)), form_index,
+                                window_tags, dynamic, per_form, per_tag, n_forms)
 
 
 # --------------------------------------------------------------------------
@@ -1493,9 +1571,12 @@ class MorphoditaTagger:
         order = self.decoding_order
         window_size = self.window_size
         feats = self.features
-        per_tag = [feats.elementary.per_tag(analyses[i]) for i in range(n)]
-        per_form = feats.elementary.per_form(forms, analyses, per_tag)
-        dyn = feats.elementary.dynamic
+        elem = feats.elementary
+        per_tag = [elem.per_tag_cached(forms[i], analyses[i]) for i in range(n)]
+        per_form = elem.per_form(forms, analyses, per_tag)
+        dyn = elem.dynamic
+        depth_groups, dyn_group = feats.depth_groups, feats.dyn_group
+        dyn_depth1 = feats.dyn_depth + 1
 
         # nodes: (tag, prev, score, dynamic)
         nodes: list = []
@@ -1505,6 +1586,11 @@ class MorphoditaTagger:
             nodes_next = nodes_now
             window = [-1] * window_size
             single = len(analyses[i]) == 1 and nodes_prev + 1 == nodes_now
+            # group-score memos for this token: every (tag, prev) pair whose
+            # window prefix (and dynamic vector, for dyn sequences) repeats
+            # reuses the group sum — identical keys yield identical scores.
+            static_score = None
+            memo: dict = {}
             for tag in range(len(analyses[i])):
                 for prev in range(nodes_prev, nodes_now):
                     same_tags = 1 if window[0] == tag else 0
@@ -1522,7 +1608,24 @@ class MorphoditaTagger:
                     if single:
                         score = 0
                     else:
-                        score = feats.score(i, window, dynamic, per_form, per_tag, n)
+                        if static_score is None:
+                            static_score = feats.score_group(
+                                feats.static_group, i, window, dynamic, per_form, per_tag, n)
+                        score = static_score
+                        for d, idxs in depth_groups:
+                            key = (d, *window[: d + 1])
+                            part = memo.get(key)
+                            if part is None:
+                                part = memo[key] = feats.score_group(
+                                    idxs, i, window, dynamic, per_form, per_tag, n)
+                            score += part
+                        if dyn_group:
+                            key = (*window[:dyn_depth1], dynamic)
+                            part = memo.get(key)
+                            if part is None:
+                                part = memo[key] = feats.score_group(
+                                    dyn_group, i, window, dynamic, per_form, per_tag, n)
+                            score += part
                     if prev >= 0:
                         score += nodes[prev][2]
                     if same_tags >= order - 1:
