@@ -1306,6 +1306,65 @@ def q_morphodita_binary_mentions(spark, sf_dir):
     return _q_morphodita_ner(spark, "tiny_md.ner", MORPHODITA_NER_SENTENCES)
 
 
+def _derivator_fixture_rows():
+    """The compiled reference's derivator output (derivator_golden_cs.tsv,
+    produced by morpho_tools `derivator` on tiny_cs_deriv.dict) folded to one
+    row per query lemma: (lemma, parent, children) with children
+    comma-joined in the reference's order."""
+    rows = {}
+    path = os.path.join(_REPO_ROOT, "fixtures", "morphodita", "derivator_golden_cs.tsv")
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            ent = rows.setdefault(parts[0], ["", ""])
+            if parts[1] == "parent":
+                ent[0] = parts[2] if len(parts) > 2 else ""
+            else:
+                ent[1] = ",".join(parts[2:])
+    return [(lemma, p, c) for lemma, (p, c) in rows.items()]
+
+
+def q_morphodita_derivator(spark, sf_dir):
+    """Morpho id 7 (DeriNet derivation graph, shipped inside published
+    czech-morfflex dictionaries): tiny_cs_deriv.dict was wrapped by the
+    reference's own derivator_dictionary_encoder; this loads it with
+    morpho/morphodita.py and emits parent()/children() per query lemma,
+    distributed. Oracle = the compiled reference's derivator output
+    (derivator.h:24-31 semantics: lemma-id truncation, comment re-append,
+    reference child order)."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    with open(os.path.join(_REPO_ROOT, "fixtures", "morphodita", "tiny_cs_deriv.dict"), "rb") as fh:
+        blob = fh.read()
+    lemmas = [
+        l.strip()
+        for l in open(
+            os.path.join(_REPO_ROOT, "fixtures", "morphodita", "derivator_input_cs.txt"),
+            encoding="utf-8",
+        )
+        if l.strip()
+    ]
+    df = spark.createDataFrame([(x,) for x in lemmas], ["lemma"])
+
+    def fn(batches):
+        import io
+
+        from nametag_spark.morpho.morphodita import load_morpho
+
+        m = load_morpho(io.BytesIO(blob))
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "lemma": pdf["lemma"],
+                    "parent": [m.derinet.parent(x) or "" for x in pdf["lemma"]],
+                    "children": [",".join(m.derinet.children(x)) for x in pdf["lemma"]],
+                }
+            )
+
+    return df.mapInPandas(fn, "lemma string, parent string, children string")
+
+
 # hand-derived sink renderings (run_ner.cpp:63-172 formats) of one fixed
 # turn: "Alice Johnson visits Prague. Bob waits." with entities
 # PER(Alice Johnson), LOC(Prague), PER(Bob)
@@ -1650,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morpho_ner_fixture": q_morpho_ner_fixture,
         "morphodita_tag_fixture": q_morphodita_tag_fixture,
         "morphodita_binary_mentions": q_morphodita_binary_mentions,
+        "morphodita_derivator": q_morphodita_derivator,
         "morphodita_cs_tag_fixture": q_morphodita_cs_tag_fixture,
         "morphodita_cs_ner_mentions": q_morphodita_cs_ner_mentions,
         "emergency_split_fixture": q_emergency_split_fixture,
@@ -1926,6 +1986,8 @@ def oracle_sql() -> dict[str, str]:
         + _values_sql(MORPHODITA_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
         "morphodita_binary_mentions": "SELECT * FROM "
         + _values_sql(MORPHODITA_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
+        "morphodita_derivator": "SELECT * FROM "
+        + _values_sql(_derivator_fixture_rows(), ["lemma", "parent", "children"]),
         "morphodita_cs_tag_fixture": "SELECT * FROM "
         + _values_sql(MORPHODITA_CS_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
         "morphodita_cs_ner_mentions": "SELECT * FROM "
