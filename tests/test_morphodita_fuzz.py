@@ -38,3 +38,34 @@ def test_ner_fuzz_parity(lang, model):
         for i, (a, b) in enumerate(zip(mine_b, want_b)):
             assert a == b, f"sentence {i}: {sents[i]}\nmine:\n{a}\nwant:\n{b}"
     assert mine == want
+
+
+def test_derivator_fuzz_parity():
+    """400 random lemmas (sense ids, _;X comments, diacritics) in a
+    reference-encoded czech dict, 318 random derivation pairs forming a
+    multi-child forest: fuzz_cs_deriv.dict was wrapped by the reference's
+    derivator_dictionary_encoder and fuzz_deriv_golden.tsv is the compiled
+    reference's parent/children output on all 401 queries — covers every
+    parent edit-op combination (remove_start/remove_end/add_start/add_end)
+    and the reference's child ordering. Regenerate: the random generator is
+    seeded 20260816; encode with morpho_tools encode_dict_czech +
+    encode_derivator, golden via morpho_tools derivator."""
+    from nametag_spark.morpho.morphodita import load_morpho
+
+    with open(os.path.join(FIX, "fuzz_cs_deriv.dict"), "rb") as f:
+        m = load_morpho(f)
+        assert not f.read()
+    der = m.derinet
+    queries = [
+        l.strip()
+        for l in open(os.path.join(FIX, "fuzz_deriv_queries.txt"), encoding="utf-8")
+        if l.strip()
+    ]
+    golden = open(os.path.join(FIX, "fuzz_deriv_golden.tsv"), encoding="utf-8").read().splitlines()
+    assert len(golden) == 2 * len(queries)
+    gi = iter(golden)
+    for q in queries:
+        gp = next(gi).split("\t")
+        gc = next(gi).split("\t")
+        assert (der.parent(q) or "") == (gp[2] if len(gp) > 2 else ""), q
+        assert der.children(q) == gc[2:], q
