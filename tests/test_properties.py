@@ -142,3 +142,51 @@ def test_url_detector_invariants(text):
         assert i < end <= len(text)
         again = detect_url_email(text[:end], i)
         assert again == (kind, end)
+
+
+_MD_TAGGERS = None
+
+
+def _md_taggers():
+    global _MD_TAGGERS
+    if _MD_TAGGERS is None:
+        import os
+
+        from nametag_spark.morpho.morphodita import MorphoditaTagger
+
+        fix = os.path.join(os.path.dirname(__file__), "..", "fixtures", "morphodita")
+        _MD_TAGGERS = [
+            MorphoditaTagger.load(os.path.join(fix, n))
+            for n in ("tiny.tagger", "tiny_cs.tagger", "tiny_en.tagger", "tiny_cu.tagger")
+        ]
+    return _MD_TAGGERS
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs", "Sm", "Sc"),
+                whitelist_characters=".,-'0123456789čďěňřšťžáéíóúýůİß",
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        max_size=15,
+    )
+)
+def test_morphodita_tag_total_on_arbitrary_forms(forms):
+    """All four tagger families (generic/czech/english/conllu) must tag ANY
+    form list totally: one (lemma, tag) per input token, non-empty lemma
+    and tag (unknown forms fall through guessers to the unknown tag), and
+    ner_tag_sentence fills every field."""
+    for t in _md_taggers():
+        out = t.tag(forms)
+        assert len(out) == len(forms)
+        for lemma, tag in out:
+            assert isinstance(lemma, str) and isinstance(tag, str) and tag
+        info = t.ner_tag_sentence(forms)
+        assert len(info) == len(forms)
+        for w in info:
+            assert set(w) == {"form", "raw_lemma", "lemma_id", "lemma_comments", "tag", "raw_lemmas_all"}
