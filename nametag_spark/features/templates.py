@@ -58,6 +58,7 @@ class Sentence:
         "tags",
         "raw_lemmas_all",
         "external",
+        "_fast_token_keys",  # ner.fast memo (morphology fixed across stages)
     )
 
     def __init__(self, forms, lemma_comments=None, raw_lemmas=None, lemma_ids=None,
@@ -635,6 +636,7 @@ class GazetteersEnhanced(FeatureProcessor):
         self.entity_list = [entities.name(i) for i in range(len(entities))]
         self._load_lists(base_dir)
         self._build_trie()
+        self._source_cache = {}
 
     def _load_lists(self, base_dir):
         self.lists = []
@@ -694,7 +696,32 @@ class GazetteersEnhanced(FeatureProcessor):
             texts = tuple(sent.get_raw_lemmas_all(i))
         else:
             texts = (form,)
-        return self._recase_match_source(form, native=False, texts=texts)
+        # recasing is a pure function of (form, match texts) — cache it
+        # (tokens repeat heavily; bounded like the analysis caches)
+        key = (form, texts)
+        cache = getattr(self, "_source_cache", None)
+        if cache is None:
+            cache = self._source_cache = {}
+        v = cache.get(key)
+        if v is None:
+            if len(cache) > 200_000:
+                cache.clear()
+            v = cache[key] = tuple(self._recase_match_source(form, native=False, texts=texts))
+        return v
+
+    def _first_step(self, srcs):
+        """Trie step from the root for one token's match sources, cached —
+        the root step dominates the walk (most tokens match nothing and the
+        frontier dies immediately)."""
+        cache = getattr(self, "_first_step_cache", None)
+        if cache is None:
+            cache = self._first_step_cache = {}
+        v = cache.get(srcs)
+        if v is None:
+            if len(cache) > 200_000:
+                cache.clear()
+            v = cache[srcs] = self._frontier_step((0,), srcs)
+        return v
 
     def _build_trie(self):
         # node: {"children": {str: [node_ids]}, "features": [], "mode": SOFT, "entity": -1}
@@ -747,7 +774,10 @@ class GazetteersEnhanced(FeatureProcessor):
             nodes = [0]
             j = i
             while j < T and nodes:
-                new_nodes = self._frontier_step(nodes, sources[j])
+                new_nodes = (
+                    self._first_step(sources[j]) if j == i
+                    else self._frontier_step(nodes, sources[j])
+                )
 
                 hard_pre_possible = hard_pre_possible and not sent.local_filled[j]
                 if hard_pre_possible:
@@ -821,7 +851,10 @@ class GazetteersEnhanced(FeatureProcessor):
                 nodes = [0]
                 j = i
                 while j < free_until and nodes:
-                    new_nodes = self._frontier_step(nodes, sources[j])
+                    new_nodes = (
+                        self._first_step(sources[j]) if j == i
+                        else self._frontier_step(nodes, sources[j])
+                    )
                     for node in new_nodes:
                         if self.trie[node]["mode"] == self.HARD_POST and (
                             (j - i + 1) > hard_post_length

@@ -1510,6 +1510,8 @@ class MorphoditaTagger:
         self.use_guesser = use_guesser
         self.features = features
         self._analysis_cache: dict = {}
+        self._lemma_split_cache: dict = {}
+        self._raw_all_cache: dict = {}
 
     # ------------------------------------------------------------- loading
     @classmethod
@@ -1666,23 +1668,35 @@ class MorphoditaTagger:
     def ner_tag_sentence(self, forms):
         """morphodita_tagger.cpp:40-80 — per token dict of the ner_sentence
         word fields (form truncated to raw_form_len, raw_lemma, lemma_id,
-        lemma_comments, tag, sorted-unique raw_lemmas_all)."""
+        lemma_comments, tag, sorted-unique raw_lemmas_all). The per-form
+        raw_lemmas_all set and per-lemma splits are pure functions of their
+        string, so both are cached (bounded like the analysis cache)."""
         tagged = self.tag(forms)
         m = self.morpho
+        splits = self._lemma_split_cache
+        all_cache = self._raw_all_cache
         out = []
         for form, (lemma, tag) in zip(forms, tagged):
-            raw_len = m.raw_lemma_len(lemma)
-            id_len = m.lemma_id_len(lemma)
-            raw_lemma = lemma[:raw_len]
-            all_raw = sorted(
-                {a_lemma[: m.raw_lemma_len(a_lemma)] for a_lemma, _t in self._analyses(form, GUESSER)}
-            )
+            sp = splits.get(lemma)
+            if sp is None:
+                if len(splits) > 200_000:
+                    splits.clear()
+                raw_len = m.raw_lemma_len(lemma)
+                id_len = m.lemma_id_len(lemma)
+                sp = splits[lemma] = (lemma[:raw_len], lemma[:id_len], lemma[id_len:])
+            all_raw = all_cache.get(form)
+            if all_raw is None:
+                if len(all_cache) > 200_000:
+                    all_cache.clear()
+                all_raw = all_cache[form] = sorted(
+                    {a_lemma[: m.raw_lemma_len(a_lemma)] for a_lemma, _t in self._analyses(form, GUESSER)}
+                )
             out.append(
                 {
                     "form": form[: m.raw_form_len(form)],
-                    "raw_lemma": raw_lemma,
-                    "lemma_id": lemma[:id_len],
-                    "lemma_comments": lemma[id_len:],
+                    "raw_lemma": sp[0],
+                    "lemma_id": sp[1],
+                    "lemma_comments": sp[2],
                     "tag": tag,
                     "raw_lemmas_all": all_raw,
                 }

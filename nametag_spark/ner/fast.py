@@ -186,15 +186,20 @@ class FastFeaturizer:
         collapses the same way."""
         if not sent.external:
             return sent.forms
+        memo = getattr(sent, "_fast_token_keys", None)
+        if memo is not None:
+            return memo
         raws = sent.get_raw_lemmas()
         lids = sent.get_lemma_ids()
         tags = sent.get_tags()
         comments = sent.lemma_comments or [""] * sent.size
-        return [
+        keys = [
             f if (r == f and l == f and t == "" and not c)
             else (f, r, l, t, c or "")
             for f, r, l, t, c in zip(sent.forms, raws, lids, tags, comments)
         ]
+        sent._fast_token_keys = keys  # morphology is fixed across stages
+        return keys
 
     def _form_events(self, key):
         ev = self.form_cache.get(key)
