@@ -351,6 +351,12 @@ def main() -> None:
             "hardware_ceiling_scaled": round(hw_hi, 1),
             "hardware_ceiling_efficiency": round(hw_eff, 3),
             "efficiency_vs_hardware": round(min(efficiency / hw_eff, 2.0), 3) if hw_eff else None,
+            # the kg marginal normalized by what plain multiprocessing of the
+            # same kernel achieves on this host at the same two levels — the
+            # engine can't scale past the host's own 4->16-thread ceiling
+            "kg_marginal_eff_vs_hardware": (
+                round(min(kg_efficiency / hw_eff, 2.0), 3) if hw_eff else None
+            ),
         },
     }
     print(json.dumps(result))

@@ -9,6 +9,10 @@ recognize (reference: src/run_ner.cpp, output formats xml/vertical/conll +
 the mention/kg tables this engine adds):
   python -m nametag_spark.cli recognize <model_dir> <input_parquet> \
       <output_path> [--format mentions|conll|vertical|xml|triples]
+
+tokenize (reference: src/run_tokenizer.cpp:23-48 — tokenize-only driver):
+  python -m nametag_spark.cli tokenize <input_parquet> <output_path> \
+      [--format tokens|vertical|xml] [--lang en|cs|generic]
 """
 
 from __future__ import annotations
@@ -94,12 +98,88 @@ def main_recognize(argv) -> int:
     return 0
 
 
+def main_tokenize(argv) -> int:
+    if len(argv) < 2:
+        print(__doc__, file=sys.stderr)
+        return 1
+    input_path, output_path = argv[:2]
+    fmt, lang = "tokens", "en"
+    rest = argv[2:]
+    while rest:
+        a = rest.pop(0)
+        if a.startswith("--format"):
+            fmt = a.split("=", 1)[1] if "=" in a else rest.pop(0)
+        elif a.startswith("--lang"):
+            lang = a.split("=", 1)[1] if "=" in a else rest.pop(0)
+        else:
+            print(f"unknown argument {a!r}", file=sys.stderr)
+            return 1
+
+    from .session import get_spark
+
+    spark = get_spark(app_name="nametag_spark_tokenize")
+    df = spark.read.parquet(input_path)
+
+    if fmt == "tokens":
+        from pyspark.sql import functions as F
+
+        from .ner.pipeline import tokenize_df
+
+        # the token table keys on (conv_id, turn_idx); synthesize them for
+        # plain document inputs
+        if "conv_id" not in df.columns:
+            df = df.withColumn("conv_id", F.monotonically_increasing_id().cast("string"))
+        if "turn_idx" not in df.columns:
+            df = df.withColumn("turn_idx", F.lit(0))
+        tokenize_df(df, lang=lang).write.mode("overwrite").parquet(output_path)
+    elif fmt in ("vertical", "xml"):
+        # run_tokenizer.cpp:54-87 renders without entities: vertical = one
+        # form per line, blank line per sentence; xml = <sentence>/<token>
+        # markup preserving inter-token text (≡ render_xml with no entities)
+        from .tokenizer.rules import tokenize_sentences
+        from .sinks.render import render_xml
+
+        other = [c for c in df.columns if c != "text"]
+
+        def fn(batches):
+            for pdf in batches:
+                rendered = []
+                for text in pdf["text"]:
+                    if text is None:
+                        rendered.append("")
+                        continue
+                    spans = tokenize_sentences(text, lang)
+                    if fmt == "vertical":
+                        rendered.append(
+                            "".join(
+                                "".join(text[s : s + l] + "\n" for (s, l) in sent) + "\n"
+                                for sent in spans
+                            )
+                        )
+                    else:
+                        rendered.append(render_xml(text, spans, [[] for _ in spans]))
+                out = pdf[other].copy()
+                out["rendered"] = rendered
+                yield out
+
+        schema = ", ".join(f"{c} {t}" for c, t in df.dtypes if c != "text")
+        schema = (schema + ", " if schema else "") + "rendered string"
+        df.mapInPandas(fn, schema).write.mode("overwrite").parquet(output_path)
+    else:
+        print(f"unknown format {fmt!r}", file=sys.stderr)
+        return 1
+    print(f"written to {output_path}", file=sys.stderr)
+    return 0
+
+
 def main() -> int:
-    if len(sys.argv) < 2 or sys.argv[1] not in ("train", "recognize"):
+    if len(sys.argv) < 2 or sys.argv[1] not in ("train", "recognize", "tokenize"):
         print(__doc__, file=sys.stderr)
         return 1
     if sys.argv[1] == "train":
         return main_train(sys.argv[2:])
+    if sys.argv[1] == "tokenize":
+        return main_tokenize(sys.argv[2:])
     return main_recognize(sys.argv[2:])
 
 

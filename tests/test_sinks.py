@@ -88,3 +88,36 @@ def test_span_prf(spark):
     )
     m = span_prf(pred, gold)
     assert m["tp"] == 1 and m["precision"] == 0.5 and m["recall"] == 0.5
+
+
+def test_tokenize_cli_formats(spark, tmp_path):
+    """`cli tokenize` mirrors run_tokenizer.cpp:54-87: vertical = one form
+    per line + blank line per sentence; xml = <sentence>/<token> markup with
+    inter-token text preserved and no <ne> elements."""
+    import pandas as pd
+
+    from nametag_spark import cli
+
+    text = "Dr. Smith visits Prague. It's nice!"
+    src = str(tmp_path / "in")
+    spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]})).write.parquet(src)
+
+    out_v = str(tmp_path / "v")
+    assert cli.main_tokenize([src, out_v, "--format", "vertical"]) == 0
+    vertical = spark.read.parquet(out_v).collect()[0]["rendered"]
+    assert vertical == "Dr\n.\nSmith\nvisits\nPrague\n.\n\nIt\n's\nnice\n!\n\n"
+
+    out_x = str(tmp_path / "x")
+    assert cli.main_tokenize([src, out_x, "--format=xml"]) == 0
+    xml = spark.read.parquet(out_x).collect()[0]["rendered"]
+    assert xml == (
+        "<sentence><token>Dr</token><token>.</token> <token>Smith</token>"
+        " <token>visits</token> <token>Prague</token><token>.</token></sentence>"
+        " <sentence><token>It</token><token>'s</token> <token>nice</token>"
+        "<token>!</token></sentence>"
+    )
+
+    out_t = str(tmp_path / "t")
+    assert cli.main_tokenize([src, out_t]) == 0
+    toks = spark.read.parquet(out_t)
+    assert toks.count() > 0
