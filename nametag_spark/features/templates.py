@@ -59,6 +59,7 @@ class Sentence:
         "raw_lemmas_all",
         "external",
         "_fast_token_keys",  # ner.fast memo (morphology fixed across stages)
+        "_pins_memo",  # ner.fast pin-effect snapshot (stage-invariant)
     )
 
     def __init__(self, forms, lemma_comments=None, raw_lemmas=None, lemma_ids=None,

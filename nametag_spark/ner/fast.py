@@ -242,7 +242,35 @@ class FastFeaturizer:
 
     def apply_pins(self, sent):
         """Run pin-capable processors in template order (local_filled
-        interactions preserved). URLEmailDetector decisions are memoized."""
+        interactions preserved). URLEmailDetector decisions are memoized.
+
+        Pin effects are stage-invariant — each stage starts from freshly
+        zeroed local/local_filled and the processors read only per-token
+        morphology (fixed across stages) — so the first stage's effects
+        (soft-feature lists + pinned probability rows) are snapshot on the
+        sentence and replayed for later stages instead of re-walking the
+        gazetteer tries."""
+        memo = getattr(sent, "_pins_memo", None)
+        if memo is not None:
+            feats, filled_idx, rows, ents = memo
+            if feats is not None:
+                sent.features = [list(f) for f in feats]
+            if filled_idx:
+                sent.local[filled_idx] = rows
+                sent.local_ent[filled_idx] = ents
+                for i in filled_idx:
+                    sent.local_filled[i] = True
+            return
+        self._apply_pins_uncached(sent)
+        filled_idx = [i for i, f in enumerate(sent.local_filled) if f]
+        sent._pins_memo = (
+            [tuple(f) for f in sent.features] if sent.features is not None else None,
+            filled_idx,
+            sent.local[filled_idx].copy() if filled_idx else None,
+            sent.local_ent[filled_idx].copy() if filled_idx else None,
+        )
+
+    def _apply_pins_uncached(self, sent):
         for p in self.model.templates.processors:
             if isinstance(p, T.URLEmailDetector):
                 for i, form in enumerate(sent.forms):
@@ -542,8 +570,16 @@ class StagePartialScorer:
         if extra_pos:
             epos = np.array(extra_pos, dtype=np.int64)
             efid = np.array(extra_fid, dtype=np.int64)
-            np.add.at(counts, epos, 1)
-            np.add.at(out, epos, self._gather(efid))
+            counts += np.bincount(epos, minlength=total)
+            # the extra fids (outer-pattern values, prev-stage codes,
+            # gazetteer soft features) repeat massively: gather each DISTINCT
+            # row once, then scatter-add with buffered bincounts per output
+            # column (np.add.at is unbuffered and the full (n_extras, width)
+            # gather was the single hottest kernel in the batch scorer)
+            uf, inv = np.unique(efid, return_inverse=True)
+            G = self._gather(uf)
+            for c in range(G.shape[1]):
+                out[:, c] += np.bincount(epos, weights=G[inv, c], minlength=total)
 
         if self.nh:
             direct = out[:, :n_out]
