@@ -182,7 +182,7 @@ def ner_throughput(cores: int, model_dir: str, transcripts_pdf) -> float:
         spark.stop()
 
 
-def kg_scaling_point(cores: int, model_dir: str, paths: list) -> list:
+def kg_scaling_point(cores: int, model_dir: str, paths: list, trials: int = 2) -> list:
     """Full kg pipeline (recognize -> resolve -> triples) at `cores`, run on
     each corpus in `paths` (one warm-up on the smallest first). Returns
     [(n_turns, seconds)] per corpus.
@@ -224,7 +224,7 @@ def kg_scaling_point(cores: int, model_dir: str, paths: list) -> list:
         reset_caches()
         for df, n in dfs:
             best = None
-            for _ in range(2):  # noisy host: best of 2 HONEST runs
+            for _ in range(trials):  # noisy host: best of N HONEST runs
                 dt = _timed(lambda: run(df))
                 reset_caches()
                 best = dt if best is None or dt < best else best
@@ -295,8 +295,14 @@ def main() -> None:
     scale_conv = int(os.environ.get("SPARK_GRAFT_SCALE_CONV", "12000"))
     scale_pdf, _ = synth_transcripts(n_conversations=scale_conv, seed=7)
     log(f"scaling input: {len(scale_pdf)} turns")
-    tps_lo = ner_throughput(SCALE_BASE, model_dir, scale_pdf)
-    tps_hi = ner_throughput(SCALE_BASE * 4, model_dir, scale_pdf)
+    # the host's available throughput drifts minute-to-minute (noisy
+    # neighbors); ALTERNATE the two levels and keep each level's best so a
+    # slow window hitting only one level cannot fake (or hide) scaling
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    tps_lo = tps_hi = 0.0
+    for _ in range(reps):
+        tps_lo = max(tps_lo, ner_throughput(SCALE_BASE, model_dir, scale_pdf))
+        tps_hi = max(tps_hi, ner_throughput(SCALE_BASE * 4, model_dir, scale_pdf))
     efficiency = (tps_hi / tps_lo) / 4.0
 
     # full-pipeline (recognize->resolve->triples) at the same two levels,
@@ -309,8 +315,15 @@ def main() -> None:
     for i, conv in enumerate(kg_sizes):
         kg_pdf, _ = synth_transcripts(n_conversations=conv, seed=11 + i)
         kg_paths.append(corpus_parquet(kg_pdf, sf, 11 + i))
-    kg_lo = kg_scaling_point(SCALE_BASE, model_dir, kg_paths)
-    kg_hi = kg_scaling_point(SCALE_BASE * 4, model_dir, kg_paths)
+    # alternate levels, keep per-corpus best (same drift rationale as above);
+    # outer repeats replace the inner best-of so wall time stays flat
+    kg_trials = 2 if reps <= 1 else 1
+    kg_lo = kg_hi = None
+    for _ in range(reps):
+        lo = kg_scaling_point(SCALE_BASE, model_dir, kg_paths, trials=kg_trials)
+        hi = kg_scaling_point(SCALE_BASE * 4, model_dir, kg_paths, trials=kg_trials)
+        kg_lo = lo if kg_lo is None else [(n, min(t1, t2)) for (n, t1), (_n2, t2) in zip(kg_lo, lo)]
+        kg_hi = hi if kg_hi is None else [(n, min(t1, t2)) for (n, t1), (_n2, t2) in zip(kg_hi, hi)]
 
     def marginal(points):
         (n1, t1), (n2, t2) = points[0], points[-1]
