@@ -308,8 +308,10 @@ def main() -> None:
     # full-pipeline (recognize->resolve->triples) at the same two levels,
     # at TWO corpus sizes each so the fixed surface-graph cost separates
     # from the marginal per-turn cost (see kg_scaling_point docstring)
+    # wide size spread: the marginal slope divides by (n2 - n1), so a longer
+    # lever arm damps the +-30% per-run noise this host shows at toy scale
     kg_sizes = [
-        int(x) for x in os.environ.get("SPARK_GRAFT_KG_SCALE_CONV", "4000,20000").split(",")
+        int(x) for x in os.environ.get("SPARK_GRAFT_KG_SCALE_CONV", "4000,40000").split(",")
     ]
     kg_paths = []
     for i, conv in enumerate(kg_sizes):

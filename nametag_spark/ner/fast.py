@@ -306,125 +306,6 @@ class FastFeaturizer:
             self.prev_fid_cache[key] = fid
         return fid
 
-    def featurize_batch(self, sentences):
-        """All sentences of an Arrow batch at once.
-
-        -> (flat int64 feature ids sorted by global token, ptr int64[N+1])
-        where N = total tokens. Call apply_pins() per sentence first (it may
-        append gazetteer features into sent.features)."""
-        import pandas as pd
-
-        lengths = np.array([s.size for s in sentences], dtype=np.int64)
-        total_tokens = int(lengths.sum())
-        sent_start = np.zeros(len(sentences) + 1, dtype=np.int64)
-        np.cumsum(lengths, out=sent_start[1:])
-
-        pos_parts = [np.arange(total_tokens, dtype=np.int64)]  # omnipresent 0
-        fid_parts = [np.zeros(total_tokens, dtype=np.int64)]
-
-        # gazetteer/complex appends + previous-stage events (python-scale small)
-        extra_pos = []
-        extra_fid = []
-        ps_proc = self.stateful[0] if self.stateful else None
-
-        forms_all = []
-        base = 0
-        for si, s in enumerate(sentences):
-            Tn = s.size
-            forms_all.extend(self._token_keys(s))
-            # complex-path appends (already window-expanded by the processor)
-            feats = s.features
-            if feats is not None:
-                for i in range(Tn):
-                    lst = feats[i]
-                    if lst:
-                        gp = base + i
-                        for v in lst:
-                            extra_pos.append(gp)
-                            extra_fid.append(v)
-            # outer-word pattern (cached by sentence length)
-            opos, oval = self._outer_pattern(Tn)
-            if len(opos):
-                pos_parts.append(opos + base)
-                fid_parts.append(oval)
-            base += Tn
-
-        # --- pure per-form events: factorize forms, look each distinct form
-        # up once, then expand with gather/repeat (no per-token python)
-        keys_arr = np.empty(len(forms_all), dtype=object)
-        keys_arr[:] = forms_all  # 1-D even when keys are same-length tuples
-        codes, uniques = pd.factorize(keys_arr)
-        u_fids = []
-        u_ws = []
-        u_len = np.empty(len(uniques), dtype=np.int64)
-        for k, form in enumerate(uniques):
-            fids, ws, n = self._form_events(form)
-            u_fids.append(fids)
-            u_ws.append(ws)
-            u_len[k] = n
-        if len(uniques):
-            U_fid = np.concatenate(u_fids) if u_fids else np.empty(0, dtype=np.int64)
-            U_w = np.concatenate(u_ws) if u_ws else np.empty(0, dtype=np.int64)
-            u_off = np.zeros(len(uniques) + 1, dtype=np.int64)
-            np.cumsum(u_len, out=u_off[1:])
-
-            tok_lens = u_len[codes]
-            n_events = int(tok_lens.sum())
-            if n_events:
-                # event index into U_fid/U_w: start-of-form + within-form offset
-                ev_start = np.repeat(u_off[codes], tok_lens)
-                seg_end = np.cumsum(tok_lens)
-                within = np.arange(n_events, dtype=np.int64) - np.repeat(
-                    seg_end - tok_lens, tok_lens
-                )
-                ev_idx = ev_start + within
-                Fi = U_fid[ev_idx]
-                W = U_w[ev_idx]
-                P = np.repeat(np.arange(total_tokens, dtype=np.int64), tok_lens)
-                tok_sent = np.repeat(np.arange(len(sentences), dtype=np.int64), lengths)
-                LO = np.repeat(sent_start[:-1][tok_sent], tok_lens)
-                HI = np.repeat(sent_start[1:][tok_sent], tok_lens)
-                for w in np.unique(W):
-                    m = W == w
-                    pw, fw, lo, hi = P[m], Fi[m], LO[m], HI[m]
-                    wi = int(w)
-                    for off in range(-wi, wi + 1):
-                        p2 = pw + off
-                        valid = (p2 >= lo) & (p2 < hi)
-                        if valid.any():
-                            pos_parts.append(p2[valid])
-                            fid_parts.append(fw[valid] + off)
-
-        # --- PreviousStage (asymmetric +1..+window; fid cached per state)
-        if ps_proc is not None:
-            w = ps_proc.window
-            base = 0
-            for s in sentences:
-                Tn = s.size
-                if s.prev_bilou and s.prev_bilou[0] != T.BILOU_UNKNOWN:
-                    pb, pe = s.prev_bilou, s.prev_ent
-                    for i in range(Tn):
-                        fid = self._prev_fid(ps_proc, pb[i], pe[i])
-                        if fid is not None:
-                            hi = i + w + 1 if i + w + 1 < Tn else Tn
-                            for p2 in range(i + 1, hi):
-                                extra_pos.append(base + p2)
-                                extra_fid.append(fid + p2 - i)
-                base += Tn
-
-        if extra_pos:
-            pos_parts.append(np.array(extra_pos, dtype=np.int64))
-            fid_parts.append(np.array(extra_fid, dtype=np.int64))
-
-        all_pos = np.concatenate(pos_parts)
-        all_fid = np.concatenate(fid_parts)
-        order = np.argsort(all_pos, kind="stable")
-        counts = np.bincount(all_pos, minlength=total_tokens)
-        ptr = np.zeros(total_tokens + 1, dtype=np.int64)
-        np.cumsum(counts, out=ptr[1:])
-        return all_fid[order], ptr
-
-
 class StagePartialScorer:
     """Per-form partial-sum scoring: the memory-bandwidth-optimal plan.
 
