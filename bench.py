@@ -51,13 +51,15 @@ def make_spark(cores: int):
 
 
 def corpus_parquet(transcripts_pdf, sf: float, seed: int) -> str:
-    """Persist the synthetic corpus to parquet ONCE per (sf, seed) so timed
-    queries measure plan cost over a table scan — the honest 100-TB input
-    path — not driver-side data generation / createDataFrame transfer."""
+    """Persist the synthetic corpus to parquet ONCE per (sf, seed, n_rows)
+    so timed queries measure plan cost over a table scan — the honest
+    100-TB input path — not driver-side data generation / createDataFrame
+    transfer. n_rows is part of the key: the same seed at a different
+    corpus size must not reuse a stale file."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = f"/tmp/nametag_spark_bench/corpus_sf{sf}_seed{seed}.parquet"
+    path = f"/tmp/nametag_spark_bench/corpus_sf{sf}_seed{seed}_n{len(transcripts_pdf)}.parquet"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
