@@ -340,7 +340,10 @@ def connected_components(
         e = small.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         ).distinct()
-        e = e.localCheckpoint()  # truncate the iterative plan
+        # lazy checkpoint: the checksum action below materializes it, so each
+        # star round costs ONE job (plan truncation + convergence check
+        # together) instead of two
+        e = e.localCheckpoint(eager=False)
         if e0 is not None:
             e0.unpersist()  # checkpoint materialized; the input cache is dead weight
             e0 = None
