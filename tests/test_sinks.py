@@ -121,3 +121,33 @@ def test_tokenize_cli_formats(spark, tmp_path):
     assert cli.main_tokenize([src, out_t]) == 0
     toks = spark.read.parquet(out_t)
     assert toks.count() > 0
+
+
+def test_run_tokenizer_cli_reference_parity():
+    """The tokenize CLI's vertical/xml renderings are byte-identical to the
+    compiled reference run_tokenizer (--output=vertical|xml) on a czech
+    paragraph pair covering abbreviations (např.), decimal numbers (3,5),
+    URL/email single tokens, and hyphenated splits. Goldens captured from
+    /tmp/refbuild/run_tokenizer with fixtures/morphodita/tiny_cs.ner (its
+    embedded czech tokenizer)."""
+    import os
+
+    from nametag_spark.sinks.render import render_xml
+    from nametag_spark.tokenizer.rules import tokenize_sentences
+
+    fix = os.path.join(os.path.dirname(__file__), "..", "fixtures", "morphodita")
+    text = open(os.path.join(fix, "run_tokenizer_input.txt"), encoding="utf-8").read()
+    want_v = open(os.path.join(fix, "run_tokenizer_golden_vertical.txt"), encoding="utf-8").read()
+    want_x = open(os.path.join(fix, "run_tokenizer_golden_xml.txt"), encoding="utf-8").read()
+
+    paras = text.split("\n\n")
+    got_v = []
+    got_x = []
+    for p in paras:
+        spans = tokenize_sentences(p, "cs")
+        got_v.append(
+            "".join("".join(p[s : s + l] + "\n" for (s, l) in sent) + "\n" for sent in spans)
+        )
+        got_x.append(render_xml(p, spans, [[] for _ in spans]))
+    assert "".join(got_v) == want_v
+    assert "\n\n".join(x.rstrip("\n") for x in got_x) + "\n" == want_x
