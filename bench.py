@@ -166,15 +166,16 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
-def ner_throughput(cores: int, model_dir: str, transcripts_pdf) -> float:
-    """turns/sec of the NER pipeline at a given parallelism (fresh session)."""
+def ner_throughput(cores: int, model_dir: str, corpus_path: str) -> float:
+    """turns/sec of the NER pipeline at a given parallelism (fresh session).
+    Input is a parquet scan — the same honest path the kg points use."""
     from nametag_spark.ner.pipeline import recognize_df
 
     spark = make_spark(cores)
     try:
-        df = spark.createDataFrame(transcripts_pdf).repartition(cores * 2).persist()
+        df = spark.read.parquet(corpus_path).repartition(cores * 2).persist()
         n = df.count()
-        # warm-up (JIT, python worker spin-up), then best of 2 measured runs
+        # warm-up (JIT, python worker spin-up), then best of 3 measured runs
         # (the sandbox host has noisy neighbors)
         recognize_df(df, model_dir).count()
         dt = min(_timed(lambda: recognize_df(df, model_dir).count()) for _ in range(3))
@@ -296,6 +297,7 @@ def main() -> None:
     # compute- rather than fixed-overhead-dominated.
     scale_conv = int(os.environ.get("SPARK_GRAFT_SCALE_CONV", "12000"))
     scale_pdf, _ = synth_transcripts(n_conversations=scale_conv, seed=7)
+    scale_path = corpus_parquet(scale_pdf, sf, 7)
     log(f"scaling input: {len(scale_pdf)} turns")
     # the host's available throughput drifts minute-to-minute (noisy
     # neighbors); ALTERNATE the two levels and keep each level's best so a
@@ -303,8 +305,8 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     tps_lo = tps_hi = 0.0
     for _ in range(reps):
-        tps_lo = max(tps_lo, ner_throughput(SCALE_BASE, model_dir, scale_pdf))
-        tps_hi = max(tps_hi, ner_throughput(SCALE_BASE * 4, model_dir, scale_pdf))
+        tps_lo = max(tps_lo, ner_throughput(SCALE_BASE, model_dir, scale_path))
+        tps_hi = max(tps_hi, ner_throughput(SCALE_BASE * 4, model_dir, scale_path))
     efficiency = (tps_hi / tps_lo) / 4.0
 
     # full-pipeline (recognize->resolve->triples) at the same two levels,
