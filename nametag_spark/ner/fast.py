@@ -441,6 +441,10 @@ class StagePartialScorer:
         hi = sent_start[1:][tok_sent]
         p = np.arange(total, dtype=np.int64)
         for off in range(-m, m + 1):
+            if off == 0:  # every token sources itself: no mask needed
+                out += S_all[codes, m]
+                counts += C_all[codes, m]
+                continue
             j = p - off  # source token position
             valid = (j >= lo) & (j < hi)
             if valid.any():
