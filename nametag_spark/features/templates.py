@@ -60,6 +60,8 @@ class Sentence:
         "external",
         "_fast_token_keys",  # ner.fast memo (morphology fixed across stages)
         "_pins_memo",  # ner.fast pin-effect snapshot (stage-invariant)
+        "_soft_events",  # ner.fast gazetteer soft features as (pos, fid) arrays
+        "_gaz_sources",  # per-processor recased match sources (stage-invariant)
     )
 
     def __init__(self, forms, lemma_comments=None, raw_lemmas=None, lemma_ids=None,
@@ -726,6 +728,7 @@ class GazetteersEnhanced(FeatureProcessor):
 
     def _build_trie(self):
         # node: {"children": {str: [node_ids]}, "features": [], "mode": SOFT, "entity": -1}
+        self._has_hard_post = any(lst["mode"] == self.HARD_POST for lst in self.lists)
         self.trie = [{"children": {}, "features": [], "mode": self.SOFT, "entity": -1}]
         prefixes = {}
         for lst in self.lists:
@@ -762,13 +765,60 @@ class GazetteersEnhanced(FeatureProcessor):
                         _append_unless_exists(new_nodes, nxt)
         return new_nodes
 
+    def _sentence_sources(self, sent):
+        """Recased match sources + root trie steps for every token, cached
+        on the sentence — pure functions of per-token morphology, shared
+        between process_sentence (pins/soft features) and process_entities
+        (hard_post), which previously recomputed them."""
+        memo = getattr(sent, "_gaz_sources", None)
+        if memo is None:
+            memo = sent._gaz_sources = {}
+        v = memo.get(id(self))
+        if v is not None:
+            return v
+        cache = getattr(self, "_tok_cache", None)
+        if cache is None:
+            cache = self._tok_cache = {}
+        mode = self.match
+        forms = sent.forms
+        n = sent.size
+        raws = sent.get_raw_lemmas() if mode == "rawlemma" else None
+        sources = [None] * n
+        firsts = [None] * n
+        for i in range(n):
+            form = forms[i]
+            if mode == "form":
+                key = form
+                texts = None  # _recase_match_source defaults to (form,)
+            elif mode == "rawlemma":
+                t = raws[i]
+                key = form if t == form else (form, t)
+                texts = (t,)
+            else:  # rawlemmas
+                texts = tuple(sent.get_raw_lemmas_all(i))
+                key = (form, texts)
+            e = cache.get(key)
+            if e is None:
+                if len(cache) > 200_000:
+                    cache.clear()
+                srcs = tuple(self._recase_match_source(form, native=False, texts=texts))
+                e = cache[key] = (srcs, self._frontier_step((0,), srcs))
+            sources[i] = e[0]
+            firsts[i] = e[1]
+        v = memo[id(self)] = (sources, firsts)
+        return v
+
     def process_sentence(self, sent, total=None):
         T = sent.size
-        feats = [[] for _ in range(T)]
-        sources = [self._match_sources(sent, i) for i in range(T)]
+        feats = None
+        sources, firsts = self._sentence_sources(sent)
         span = 2 * self.window + 1
 
         for i in range(T):
+            if not firsts[i]:
+                # root step dead: no match can START here (the dominant
+                # case) — the while loop below would exit after one probe
+                continue
             hard_pre_length = 0
             hard_pre_node = None
             hard_pre_possible = True
@@ -776,7 +826,7 @@ class GazetteersEnhanced(FeatureProcessor):
             j = i
             while j < T and nodes:
                 new_nodes = (
-                    self._first_step(sources[j]) if j == i
+                    firsts[i] if j == i
                     else self._frontier_step(nodes, sources[j])
                 )
 
@@ -793,6 +843,8 @@ class GazetteersEnhanced(FeatureProcessor):
 
                 for node in new_nodes:
                     for feature in self.trie[node]["features"]:
+                        if feats is None:
+                            feats = [[] for _ in range(T)]
                         for k in range(i, j + 1):
                             # REFERENCE QUIRK (feature_processor_instances.cpp
                             # :503-506): the positional part uses the GLOBAL
@@ -826,16 +878,19 @@ class GazetteersEnhanced(FeatureProcessor):
                     sent.local_ent[j, btype] = self.trie[hard_pre_node]["entity"]
                     sent.local_filled[j] = True
 
-        for i in range(T):
-            for feature in feats[i]:
-                self.apply_in_window(sent, i, feature)
+        if feats is not None:
+            for i in range(T):
+                for feature in feats[i]:
+                    self.apply_in_window(sent, i, feature)
 
     def process_entities(self, sent, entities, entity_map):
         """hard_post: fill unlabeled gaps (feature_processor_instances.cpp:530-579).
 
         entities: list of [start, length, type_name], sorted by start.
         """
-        sources = [self._match_sources(sent, i) for i in range(sent.size)]
+        if not getattr(self, "_has_hard_post", True):
+            return
+        sources, firsts = self._sentence_sources(sent)
         buffer = []
         entity_until = 0
         e = 0
@@ -853,7 +908,7 @@ class GazetteersEnhanced(FeatureProcessor):
                 j = i
                 while j < free_until and nodes:
                     new_nodes = (
-                        self._first_step(sources[j]) if j == i
+                        firsts[i] if j == i
                         else self._frontier_step(nodes, sources[j])
                     )
                     for node in new_nodes:

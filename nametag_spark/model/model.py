@@ -87,10 +87,22 @@ class NerModel:
         with a MorphoTagger, PDT-split lemmas + tags (morphodita_tagger.cpp
         contract) so F5-F8 templates see real values."""
         if self.tagger is not None:
-            if hasattr(self.tagger, "ner_tag_sentence"):
+            if hasattr(self.tagger, "ner_tag_columns"):
                 # MorphoDiTa tagger: full per-token morphology incl. the
                 # sorted-unique raw lemmas of ALL analyses
-                # (morphodita_tagger.cpp:40-80)
+                # (morphodita_tagger.cpp:40-80), column-oriented
+                fs, comments, raws, lids, tags, raw_all, keys = self.tagger.ner_tag_columns(forms)
+                sent = Sentence(
+                    fs,
+                    lemma_comments=comments,
+                    raw_lemmas=raws,
+                    lemma_ids=lids,
+                    tags=tags,
+                    raw_lemmas_all=raw_all,
+                )
+                sent._fast_token_keys = keys
+                return sent
+            if hasattr(self.tagger, "ner_tag_sentence"):
                 info = self.tagger.ner_tag_sentence(forms)
                 return Sentence(
                     [w["form"] for w in info],

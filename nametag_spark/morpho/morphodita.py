@@ -1039,6 +1039,22 @@ def _vli_encode(value: int) -> bytes:
 _VLI_CACHE: dict = {}
 
 
+def _vli_decode_key(b: bytes):
+    """Inverse of _vli_encode over a concatenation: the serialized score
+    keys are sequences of vli-encoded uint32s (self-delimiting), decoded
+    once at load so the hot scoring loop can key on int tuples instead of
+    re-encoding values to bytes per lookup."""
+    out = []
+    v = 0
+    for byte in b:
+        if byte & 0x80:
+            v = (v << 7) | (byte & 0x7F)
+        else:
+            out.append((v << 7) | byte)
+            v = 0
+    return tuple(out)
+
+
 class _ElementaryBase:
     """Shared machinery: value maps keyed by UTF-8 bytes; per-form
     codepoint-sliced prefixes/suffixes; verb-tracking dynamic features.
@@ -1207,6 +1223,11 @@ class GenericElementaryFeatures(_ElementaryBase):
         if tag_lemma[1][:1] == "V":
             cvt, cvl = per_tag_vals[self.TAG_SLOT], per_tag_vals[self.LEMMA_SLOT]
         else:
+            # non-verb propagates (pvt, pvl, pvt, pvl); when the previous
+            # tuple already has that shape the VALUE is identical — reuse
+            # the object so downstream memo keys hit without allocation
+            if prev_dynamic is not None and prev_dynamic[0] == pvt and prev_dynamic[1] == pvl:
+                return prev_dynamic
             cvt, cvl = pvt, pvl
         return (pvt, pvl, cvt, cvl)
 
@@ -1375,6 +1396,8 @@ class ConlluElementaryFeatures(GenericElementaryFeatures):
         if len(tag) >= 2 and tag[1] == "V":
             cvt, cvf = per_tag_vals[self.TAG_SLOT], per_form_vals[0]
         else:
+            if prev_dynamic is not None and prev_dynamic[0] == pvt and prev_dynamic[1] == pvf:
+                return prev_dynamic
             cvt, cvf = pvt, pvf
         return (pvt, pvf, cvt, cvf)
 
@@ -1393,7 +1416,7 @@ class FeatureSequences:
     def __init__(self, elementary, sequences, scores):
         self.elementary = elementary
         self.sequences = sequences  # [(dependant_range, [(type, elem_idx, seq_idx)])]
-        self.scores = scores        # [dict[bytes, int32]]
+        self.scores = scores        # [dict[int-tuple, int32]] (see load)
         # Partition sequences by what their score depends on, so the Viterbi
         # loop can memoize group sums instead of re-keying every sequence per
         # (tag, prev) node: 'static' sequences read only per-form values
@@ -1438,8 +1461,13 @@ class FeatureSequences:
         scores = []
         for _ in range(d.u1()):
             m = _pmap_value_map(_load_pmap_buckets(d))
-            # scores are signed int32
-            scores.append({k: v - (1 << 32) if v >= (1 << 31) else v for k, v in m.items()})
+            # scores are signed int32; keys are vli-uint32 concatenations,
+            # decoded to int tuples once here (bijective) so scoring never
+            # re-encodes values to bytes
+            scores.append({
+                _vli_decode_key(k): v - (1 << 32) if v >= (1 << 31) else v
+                for k, v in m.items()
+            })
         if not d.is_end():
             raise BinaryFormatError("trailing data in feature sequences blob")
         return cls(elementary, sequences, scores)
@@ -1451,10 +1479,9 @@ class FeatureSequences:
         optimization: unchanged windows yield unchanged keys, so a full
         re-evaluation is semantically identical)."""
         total = 0
-        vli = _VLI_CACHE
         all_elements, all_scores = self._elements, self.scores
         for si in seq_indices:
-            key = b""
+            vals = []
             dead = False
             for typ, elem_idx, seq_idx in all_elements[si]:
                 if typ == _PER_FORM:
@@ -1472,13 +1499,10 @@ class FeatureSequences:
                 if value == _EF_UNKNOWN:
                     dead = True
                     break
-                enc = vli.get(value)
-                if enc is None:
-                    enc = vli[value] = _vli_encode(value)
-                key += enc
-            if dead or not key:
+                vals.append(value)
+            if dead or not vals:
                 continue
-            total += all_scores[si].get(key, 0)
+            total += all_scores[si].get(tuple(vals), 0)
         return total
 
     def score(self, form_index, window_tags, dynamic, per_form, per_tag, n_forms):
@@ -1512,6 +1536,8 @@ class MorphoditaTagger:
         self._analysis_cache: dict = {}
         self._lemma_split_cache: dict = {}
         self._raw_all_cache: dict = {}
+        self._raw_form_cache: dict = {}
+        self._sentence_cache: dict = {}
 
     # ------------------------------------------------------------- loading
     @classmethod
@@ -1585,6 +1611,23 @@ class MorphoditaTagger:
         nodes_prev, nodes_now = -1, 0
         window = [-1] * window_size
         for i in range(n):
+            an_i = analyses[i]
+            if len(an_i) == 1 and nodes_prev + 1 == nodes_now:
+                # unambiguous token after an unambiguous level: exactly one
+                # (tag, prev) pair, no merge possible on a level's first pair
+                # (window starts all -1, so same_tags stays 0 < order-1), and
+                # the reference skips scoring (`single`) — the general loop
+                # below reduces to this constant-time append
+                prev = nodes_prev
+                prev_dyn = nodes[prev][3] if prev >= 0 else None
+                dynamic = dyn(an_i[0], per_tag[i][0], per_form[i], prev_dyn)
+                node = (0, prev, nodes[prev][2] if prev >= 0 else 0, dynamic)
+                if nodes_now < len(nodes):
+                    nodes[nodes_now] = node
+                else:
+                    nodes.append(node)
+                nodes_prev, nodes_now = nodes_now, nodes_now + 1
+                continue
             nodes_next = nodes_now
             window = [-1] * window_size
             single = len(analyses[i]) == 1 and nodes_prev + 1 == nodes_now
@@ -1665,18 +1708,36 @@ class MorphoditaTagger:
         tagged = self.tag(forms)
         return [l for (l, _t) in tagged], [t for (_l, t) in tagged]
 
-    def ner_tag_sentence(self, forms):
-        """morphodita_tagger.cpp:40-80 — per token dict of the ner_sentence
-        word fields (form truncated to raw_form_len, raw_lemma, lemma_id,
-        lemma_comments, tag, sorted-unique raw_lemmas_all). The per-form
-        raw_lemmas_all set and per-lemma splits are pure functions of their
-        string, so both are cached (bounded like the analysis cache)."""
-        tagged = self.tag(forms)
+    def ner_tag_columns(self, forms):
+        """morphodita_tagger.cpp:40-80 in COLUMN orientation: returns
+        (forms, lemma_comments, raw_lemmas, lemma_ids, tags, raw_lemmas_all)
+        lists — the Sentence constructor's exact inputs, with no per-token
+        dicts. Whole-sentence results are memoized on the forms tuple
+        (bounded): transcript corpora repeat short turns heavily, and the
+        decode is a pure function of the forms. The per-form raw_lemmas_all
+        set and per-lemma splits are cached like the analysis cache."""
+        key = tuple(forms)
+        cache = self._sentence_cache
+        v = cache.get(key)
+        if v is not None:
+            return v
         m = self.morpho
+        rc = self._raw_form_cache
+        raw_forms = []
+        for f in forms:
+            r = rc.get(f)
+            if r is None:
+                if len(rc) > 200_000:
+                    rc.clear()
+                r = rc[f] = f[: m.raw_form_len(f)]
+            raw_forms.append(r)
+        analyses = [self._analyses(f) for f in raw_forms]
+        idx = self._decode(raw_forms, analyses)
         splits = self._lemma_split_cache
         all_cache = self._raw_all_cache
-        out = []
-        for form, (lemma, tag) in zip(forms, tagged):
+        comments, raws, lids, tags, raw_all = [], [], [], [], []
+        for form, an, k in zip(forms, analyses, idx):
+            lemma, tag = an[k]
             sp = splits.get(lemma)
             if sp is None:
                 if len(splits) > 200_000:
@@ -1691,17 +1752,37 @@ class MorphoditaTagger:
                 all_raw = all_cache[form] = sorted(
                     {a_lemma[: m.raw_lemma_len(a_lemma)] for a_lemma, _t in self._analyses(form, GUESSER)}
                 )
-            out.append(
-                {
-                    "form": form[: m.raw_form_len(form)],
-                    "raw_lemma": sp[0],
-                    "lemma_id": sp[1],
-                    "lemma_comments": sp[2],
-                    "tag": tag,
-                    "raw_lemmas_all": all_raw,
-                }
-            )
-        return out
+            raws.append(sp[0])
+            lids.append(sp[1])
+            comments.append(sp[2])
+            tags.append(tag)
+            raw_all.append(all_raw)
+        # ner.fast token memo keys (fast.py _token_keys contract), built here
+        # so they ride the sentence cache instead of being rebuilt per batch
+        keys = [
+            f if (r == f and l == f and t == "" and not c) else (f, r, l, t, c or "")
+            for f, r, l, t, c in zip(raw_forms, raws, lids, tags, comments)
+        ]
+        v = (raw_forms, comments, raws, lids, tags, raw_all, keys)
+        if len(cache) > 100_000:
+            cache.clear()
+        cache[key] = v
+        return v
+
+    def ner_tag_sentence(self, forms):
+        """Row-oriented view of ner_tag_columns (compat API)."""
+        fs, comments, raws, lids, tags, raw_all, _keys = self.ner_tag_columns(forms)
+        return [
+            {
+                "form": f,
+                "raw_lemma": r,
+                "lemma_id": l,
+                "lemma_comments": c,
+                "tag": t,
+                "raw_lemmas_all": a,
+            }
+            for f, c, r, l, t, a in zip(fs, comments, raws, lids, tags, raw_all)
+        ]
 
     # ------------------------------------------------------------- pickling
     def __getstate__(self):

@@ -247,27 +247,43 @@ class FastFeaturizer:
         Pin effects are stage-invariant — each stage starts from freshly
         zeroed local/local_filled and the processors read only per-token
         morphology (fixed across stages) — so the first stage's effects
-        (soft-feature lists + pinned probability rows) are snapshot on the
+        (soft-feature events + pinned probability rows) are snapshot on the
         sentence and replayed for later stages instead of re-walking the
-        gazetteer tries."""
+        gazetteer tries. Soft features are snapshot as (pos, fid) arrays
+        (``sent._soft_events``) so the scorer never walks per-token lists."""
         memo = getattr(sent, "_pins_memo", None)
         if memo is not None:
-            feats, filled_idx, rows, ents = memo
-            if feats is not None:
-                sent.features = [list(f) for f in feats]
-            if filled_idx:
+            soft, filled_idx, rows, ents = memo
+            sent._soft_events = soft
+            if filled_idx is not None and len(filled_idx):
                 sent.local[filled_idx] = rows
                 sent.local_ent[filled_idx] = ents
-                for i in filled_idx:
-                    sent.local_filled[i] = True
+                lf = sent.local_filled
+                if isinstance(lf, list):
+                    for i in filled_idx:
+                        lf[i] = True
+                else:
+                    lf[filled_idx] = True
             return
         self._apply_pins_uncached(sent)
-        filled_idx = [i for i, f in enumerate(sent.local_filled) if f]
+        feats = sent.features
+        if feats is not None:
+            pos = []
+            fid = []
+            for i, lst in enumerate(feats):
+                if lst:
+                    pos.extend([i] * len(lst))
+                    fid.extend(lst)
+            soft = (np.array(pos, dtype=np.int64), np.array(fid, dtype=np.int64)) if pos else None
+        else:
+            soft = None
+        sent._soft_events = soft
+        filled_idx = np.flatnonzero(np.asarray(sent.local_filled, dtype=bool))
         sent._pins_memo = (
-            [tuple(f) for f in sent.features] if sent.features is not None else None,
+            soft,
             filled_idx,
-            sent.local[filled_idx].copy() if filled_idx else None,
-            sent.local_ent[filled_idx].copy() if filled_idx else None,
+            sent.local[filled_idx].copy() if len(filled_idx) else None,
+            sent.local_ent[filled_idx].copy() if len(filled_idx) else None,
         )
 
     def _apply_pins_uncached(self, sent):
@@ -370,64 +386,113 @@ class StagePartialScorer:
             self.cache[form] = ent
         return ent
 
-    def score(self, sentences):
+    def _ps_table(self, proc):
+        """Dense PreviousStage fid table: [bilou 0..4, ent -1..n_ent-1] ->
+        base fid or -1. Built once per (scorer, processor)."""
+        tab = getattr(self, "_ps_tab", None)
+        if tab is None:
+            n_ent = len(self.fz.model.entities)
+            tab = np.full((5, n_ent + 2), -1, dtype=np.int64)
+            for b in range(5):
+                for e in range(-1, n_ent + 1):
+                    fid = self.fz._prev_fid(proc, b, e)
+                    if fid is not None:
+                        tab[b, e + 1] = fid
+            self._ps_tab = tab
+        return tab
+
+    def score(self, sentences, batch=None, prev_b=None, prev_e=None):
         """-> softmax probabilities (total_tokens, n_out) for all sentences.
 
         Expects apply_pins() to have run (gazetteer soft features live in
-        sent.features) — pinned rows are still scored (cheap) and the caller
-        overwrites only unpinned rows, same as the slow path."""
+        sent._soft_events) — pinned rows are still scored (cheap) and the
+        caller overwrites only unpinned rows, same as the slow path.
+
+        batch: optional (codes, uniques, sent_start, lo, hi) precomputed by
+        the caller and shared across stages (token keys and sentence bounds
+        are stage-invariant). prev_b/prev_e: flat previous-stage decode
+        arrays (every token known); None on the first stage."""
         import pandas as pd
 
         net = self.net
-        nf = net.w_adj.shape[0]
         n_out = net.n_out
         m = self.maxw
 
         lengths = np.array([s.size for s in sentences], dtype=np.int64)
         total = int(lengths.sum())
-        sent_start = np.zeros(len(sentences) + 1, dtype=np.int64)
-        np.cumsum(lengths, out=sent_start[1:])
 
         out = np.tile(self.w0, (total, 1))  # omnipresent contribution
         counts = np.ones(total, dtype=np.int64)
 
-        forms_all = []
-        extra_pos = []
-        extra_fid = []
+        epos_arrs = []
+        efid_arrs = []
         ps_proc = self.fz.stateful[0] if self.fz.stateful else None
+
+        if batch is None:
+            sent_start = np.zeros(len(sentences) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=sent_start[1:])
+            forms_all = []
+            for s in sentences:
+                forms_all.extend(self.fz._token_keys(s))
+            keys_arr = np.empty(len(forms_all), dtype=object)
+            keys_arr[:] = forms_all  # 1-D even when keys are same-length tuples
+            codes, uniques = pd.factorize(keys_arr)
+            tok_sent = np.repeat(np.arange(len(sentences), dtype=np.int64), lengths)
+            lo = sent_start[:-1][tok_sent]
+            hi = sent_start[1:][tok_sent]
+        else:
+            codes, uniques, sent_start, lo, hi = batch
+
         base = 0
         for s in sentences:
             Tn = s.size
-            forms_all.extend(self.fz._token_keys(s))
-            feats = s.features
-            if feats is not None:
-                for i in range(Tn):
-                    lst = feats[i]
+            soft = getattr(s, "_soft_events", None)
+            if soft is None and s.features is not None:
+                # slow-path caller without apply_pins snapshot: walk lists
+                pos = []
+                fid = []
+                for i, lst in enumerate(s.features):
                     if lst:
-                        gp = base + i
-                        for v in lst:
-                            extra_pos.append(gp)
-                            extra_fid.append(v)
+                        pos.extend([i] * len(lst))
+                        fid.extend(lst)
+                soft = (np.array(pos, dtype=np.int64), np.array(fid, dtype=np.int64)) if pos else None
+            if soft is not None:
+                epos_arrs.append(soft[0] + base)
+                efid_arrs.append(soft[1])
             opos, oval = self.fz._outer_pattern(Tn)
             if len(opos):
-                extra_pos.extend((opos + base).tolist())
-                extra_fid.extend(oval.tolist())
-            if ps_proc is not None and Tn and s.prev_bilou[0] != T.BILOU_UNKNOWN:
+                epos_arrs.append(opos + base)
+                efid_arrs.append(oval)
+            if prev_b is None and ps_proc is not None and Tn and s.prev_bilou[0] != T.BILOU_UNKNOWN:
+                # compat path: per-sentence prev lists (not used by the
+                # flat-array pipeline, which passes prev_b/prev_e)
                 w = ps_proc.window
                 pb, pe = s.prev_bilou, s.prev_ent
+                pos = []
+                fid = []
                 for i in range(Tn):
-                    fid = self.fz._prev_fid(ps_proc, pb[i], pe[i])
-                    if fid is not None:
-                        hi = i + w + 1 if i + w + 1 < Tn else Tn
-                        for p2 in range(i + 1, hi):
-                            extra_pos.append(base + p2)
-                            extra_fid.append(fid + p2 - i)
+                    f = self.fz._prev_fid(ps_proc, pb[i], pe[i])
+                    if f is not None:
+                        hi2 = i + w + 1 if i + w + 1 < Tn else Tn
+                        for p2 in range(i + 1, hi2):
+                            pos.append(base + p2)
+                            fid.append(f + p2 - i)
+                if pos:
+                    epos_arrs.append(np.array(pos, dtype=np.int64))
+                    efid_arrs.append(np.array(fid, dtype=np.int64))
             base += Tn
 
+        if prev_b is not None and ps_proc is not None and total:
+            tab = self._ps_table(ps_proc)
+            fids = tab[prev_b, prev_e + 1]
+            p_all = np.arange(total, dtype=np.int64)
+            for d in range(1, ps_proc.window + 1):
+                sel = (fids >= 0) & (p_all + d < hi)
+                if sel.any():
+                    epos_arrs.append(p_all[sel] + d)
+                    efid_arrs.append(fids[sel] + d)
+
         # form partial sums, one per distinct form in the batch
-        keys_arr = np.empty(len(forms_all), dtype=object)
-        keys_arr[:] = forms_all  # 1-D even when keys are same-length tuples
-        codes, uniques = pd.factorize(keys_arr)
         U = len(uniques)
         S_all = np.empty((U, 2 * m + 1, n_out + self.nh), dtype=np.float64)
         C_all = np.empty((U, 2 * m + 1), dtype=np.int64)
@@ -436,9 +501,6 @@ class StagePartialScorer:
             S_all[k] = S
             C_all[k] = C
 
-        tok_sent = np.repeat(np.arange(len(sentences), dtype=np.int64), lengths)
-        lo = sent_start[:-1][tok_sent]
-        hi = sent_start[1:][tok_sent]
         p = np.arange(total, dtype=np.int64)
         for off in range(-m, m + 1):
             if off == 0:  # every token sources itself: no mask needed
@@ -452,9 +514,9 @@ class StagePartialScorer:
                 out[valid] += S_all[src, off + m]
                 counts[valid] += C_all[src, off + m]
 
-        if extra_pos:
-            epos = np.array(extra_pos, dtype=np.int64)
-            efid = np.array(extra_fid, dtype=np.int64)
+        if epos_arrs:
+            epos = np.concatenate(epos_arrs)
+            efid = np.concatenate(efid_arrs)
             counts += np.bincount(epos, minlength=total)
             # the extra fids (outer-pattern values, prev-stage codes,
             # gazetteer soft features) repeat massively: gather each DISTINCT

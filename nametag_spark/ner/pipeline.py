@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from ..tokenizer.rules import tokenize_sentences
 from . import core
 
+T_ENTITY_UNKNOWN = core.ENTITY_UNKNOWN
+
 TOKENS_SCHEMA = (
     "conv_id string, turn_idx int, sent_idx int, tok_idx int, "
     "form string, start int, length int"
@@ -80,27 +82,42 @@ class _BatchRecognizer:
             else:
                 self.scorers = [StagePartialScorer(self.fast, net) for net in model.networks]
 
-    def _stage_fast(self, live, scorer):
+    def _stage_fast(self, live, scorer, batch, prev_b, prev_e):
+        """One stage over the whole batch with FLAT arrays: every sentence's
+        local/local_ent/local_filled are numpy VIEWS into batch-wide arrays,
+        so pins write through and there is no per-sentence copy-back.
+        Returns (local, local_ent) flat (total, 5) arrays."""
+        _codes, _uniques, sent_start, _lo, _hi = batch
+        total = int(sent_start[-1])
+        local = np.zeros((total, 5), dtype=np.float64)
+        local_ent = np.full((total, 5), T_ENTITY_UNKNOWN, dtype=np.int64)
+        filled = np.zeros(total, dtype=bool)
         has_complex = bool(self.fast.pin_procs)
-        for s in live:
-            s.clear_probabilities_local_filled()
-            # gazetteer soft-feature appends land here (empty when the model
-            # has no pin/trie processors — skip the allocation entirely)
-            s.features = [[] for _ in range(s.size)] if has_complex else None
+        for k, s in enumerate(live):
+            a = sent_start[k]
+            b = sent_start[k + 1]
+            s.local = local[a:b]
+            s.local_ent = local_ent[a:b]
+            s.local_filled = filled[a:b]
+            # gazetteer soft-feature appends land here on the FIRST stage
+            # only (later stages replay the _pins_memo snapshot)
+            s.features = (
+                [[] for _ in range(s.size)]
+                if has_complex and getattr(s, "_pins_memo", None) is None
+                else None
+            )
             self.fast.apply_pins(s)
-        probs = scorer.score(live)
+        probs = scorer.score(live, batch=batch, prev_b=prev_b, prev_e=prev_e)
         local_all, ent_all = core.fill_bilou_probabilities(probs)
-        row = 0
-        for s in live:
-            T = s.size
-            filled = np.asarray(s.local_filled, dtype=bool)
+        if filled.any():
             keep = ~filled
-            if keep.any():
-                s.local[keep] = local_all[row : row + T][keep]
-                s.local_ent[keep] = ent_all[row : row + T][keep]
-            for i in range(T):
-                s.local_filled[i] = True
-            row += T
+            local[keep] = local_all[keep]
+            local_ent[keep] = ent_all[keep]
+        else:
+            local = local_all
+            local_ent = ent_all
+        filled[:] = True
+        return local, local_ent
 
     def _stage_slow(self, live, net):
         pending = []
@@ -161,23 +178,42 @@ class _BatchRecognizer:
         # caches on the full (form, raw_lemma, lemma_id, tag, comments)
         # tuple, so per-token morphology is represented exactly
         use_fast = self.use_fast
-        for stage, net in enumerate(model.networks):
-            if use_fast:
-                self._stage_fast(live, self.scorers[stage])
-                if live:
-                    lengths = np.array([s.size for s in live], dtype=np.int64)
-                    local_cat = np.concatenate([s.local for s in live])
-                    ent_cat = np.concatenate([s.local_ent for s in live])
-                    best_cat, bent_cat = core.viterbi_decode_batch(local_cat, ent_cat, lengths)
-                    off = 0
-                    for s in live:
-                        best = best_cat[off : off + s.size]
-                        best_ent = bent_cat[off : off + s.size]
-                        s.prev_bilou = best.tolist()
-                        s.prev_ent = best_ent.tolist()
-                        last_best[id(s)] = (best, best_ent)
-                        off += s.size
-            else:
+        if use_fast and live:
+            import pandas as pd
+
+            # stage-invariant batch geometry + factorized token keys,
+            # computed ONCE and shared by every stage's scorer
+            lengths = np.array([s.size for s in live], dtype=np.int64)
+            sent_start = np.zeros(len(live) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=sent_start[1:])
+            tot = int(sent_start[-1])
+            forms_all = []
+            for s in live:
+                forms_all.extend(self.fast._token_keys(s))
+            keys_arr = np.empty(len(forms_all), dtype=object)
+            keys_arr[:] = forms_all
+            codes, uniques = pd.factorize(keys_arr)
+            tok_sent = np.repeat(np.arange(len(live), dtype=np.int64), lengths)
+            lo = sent_start[:-1][tok_sent]
+            hi = sent_start[1:][tok_sent]
+            batch = (codes, uniques, sent_start, lo, hi)
+
+            best_cat = bent_cat = None
+            for stage, net in enumerate(model.networks):
+                local, local_ent = self._stage_fast(
+                    live, self.scorers[stage], batch, best_cat, bent_cat
+                )
+                best_cat, bent_cat = core.viterbi_decode_batch(local, local_ent, lengths)
+            for k, s in enumerate(live):
+                a, b = sent_start[k], sent_start[k + 1]
+                best = best_cat[a:b]
+                best_ent = bent_cat[a:b]
+                # numpy views: list-like for any downstream reader
+                s.prev_bilou = best
+                s.prev_ent = best_ent
+                last_best[id(s)] = (best, best_ent)
+        elif not use_fast:
+            for stage, net in enumerate(model.networks):
                 self._stage_slow(live, net)
                 for s in live:
                     best, best_ent = core.viterbi_decode(s.local, s.local_ent)
