@@ -719,17 +719,28 @@ def q_url_email_extract(spark, sf_dir):
 
 
 def q_tokenize_fixture(spark, sf_dir):
-    """Runs the real tokenizer on the fixture; the oracle is the
-    hand-derived golden token table (true golden test, not a self-compare)."""
+    """Runs the real tokenizer on the english AND czech fixtures (one row
+    per grammar); the oracle is the hand-derived golden token tables (true
+    golden test, not a self-compare). The czech half covers the
+    czech_tokenizer.rl grammar differences."""
     from nametag_spark.ner.pipeline import tokenize_df
 
     _ensure_shipped(spark)
-    df = spark.createDataFrame(
-        [(str(r), 0, t) for (r, t) in TOKENIZE_FIXTURE], ["conv_id", "turn_idx", "text"]
-    )
-    return tokenize_df(df).select(
-        F.col("conv_id").cast("int").alias("row_id"), "sent_idx", "tok_idx", "form"
-    )
+    parts = []
+    for grammar, fixture in (("en", TOKENIZE_FIXTURE), ("cs", CS_TOKENIZE_FIXTURE)):
+        df = spark.createDataFrame(
+            [(str(r), 0, t) for (r, t) in fixture], ["conv_id", "turn_idx", "text"]
+        )
+        parts.append(
+            tokenize_df(df, lang=grammar).select(
+                F.lit(grammar).alias("grammar"),
+                F.col("conv_id").cast("int").alias("row_id"),
+                "sent_idx",
+                "tok_idx",
+                "form",
+            )
+        )
+    return parts[0].unionByName(parts[1])
 
 
 def q_morpho_analyze(spark, sf_dir):
@@ -1180,6 +1191,75 @@ def _q_morphodita_ner(spark, ner_file, sentences):
     return df.mapInPandas(fn, "sent_id long, tok_start int, tok_len int, type string")
 
 
+def _model_tokenizer_rows():
+    """(text_id, sent_idx, tok_idx, form, label) rows of the compiled
+    reference run_ner on fixtures/morphodita/model_tokenizer_input_cs.txt
+    with NO external tokenization — the reference selects the czech
+    tokenizer from the model's ner_id (bilou_ner.cpp:126-137)."""
+    rows = []
+    path = os.path.join(_REPO_ROOT, "fixtures", "morphodita", "model_tokenizer_golden_cs.tsv")
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            tid, sent, tok, form, label = line.rstrip("\n").split("\t")
+            rows.append((int(tid), int(sent), int(tok), form, label))
+    return rows
+
+
+def q_model_driven_tokenize(spark, sf_dir):
+    """Model-driven tokenizer selection (ner::new_tokenizer parity,
+    src/ner/bilou_ner.cpp:126-137): recognize RAW czech text with
+    tiny_cs.ner passing NO lang — the engine must pick the czech grammar
+    from the model's embedded ner_id and reproduce the reference run_ner's
+    token/BIO stream (the fixture texts discriminate: the english grammar
+    splits 's/n't/cannot clitics and breaks after 'p.')."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    with open(os.path.join(_REPO_ROOT, "fixtures", "morphodita", "tiny_cs.ner"), "rb") as fh:
+        blob = fh.read()
+    texts = [
+        l.rstrip("\n")
+        for l in open(
+            os.path.join(_REPO_ROOT, "fixtures", "morphodita", "model_tokenizer_input_cs.txt"),
+            encoding="utf-8",
+        )
+        if l.strip()
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["text_id", "text"])
+
+    def fn(batches):
+        import io
+
+        from nametag_spark.model.binary_reader import load_binary_ner
+        from nametag_spark.ner.pipeline import _BatchRecognizer
+        from nametag_spark.sinks.render import render_conll
+        from nametag_spark.tokenizer.rules import tokenize_sentences
+
+        model = load_binary_ner(io.BytesIO(blob))
+        rec = _BatchRecognizer(model)
+        lang = model.default_tokenizer_lang  # NOT passed in: model decides
+        for pdf in batches:
+            rows = {"text_id": [], "sent_idx": [], "tok_idx": [], "form": [], "label": []}
+            for tid, text in zip(pdf["text_id"], pdf["text"]):
+                spans = tokenize_sentences(text, lang)
+                forms = [[text[a : a + b] for (a, b) in s] for s in spans]
+                ents = rec.recognize_batch([model.make_sentence(f) for f in forms])
+                conll = render_conll(forms, ents)
+                for s_idx, block in enumerate(b for b in conll.split("\n\n") if b.strip()):
+                    for t_idx, line in enumerate(block.rstrip("\n").split("\n")):
+                        form, label = line.split("\t")
+                        rows["text_id"].append(tid)
+                        rows["sent_idx"].append(s_idx)
+                        rows["tok_idx"].append(t_idx)
+                        rows["form"].append(form)
+                        rows["label"].append(label)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        fn, "text_id long, sent_idx int, tok_idx int, form string, label string"
+    )
+
+
 # english fixtures: tiny_en.tagger embeds an ENGLISH_V3 morpho (lemma
 # addinfo '^'/'+' forms, exceptions + negation-prefix + rule-machine
 # guesser — the Morphium re-expression fuzz-verified on 4,474 words);
@@ -1251,59 +1331,69 @@ MORPHODITA_CU_TAG_GOLD = [
 ]
 
 
-def q_morphodita_cu_tag_fixture(spark, sf_dir):
-    """CONLLU tagger family (ids 8-10): UD-style tag-field feature maps
-    (UPos/Case/Gender/Number/Negative/Person) + FollowingVerbForm dynamic
-    features, decoded distributed with the reference's own output as the
-    oracle — completes the 10/10 tagger-id dispatch matrix."""
-    return _q_morphodita_tag(spark, "tiny_cu.tagger", MORPHODITA_CU_TAG_SENTENCES)
+MORPHODITA_TAG_FAMILIES = [
+    # (family, tagger file, sentences, gold) — one oracle row covers the
+    # full tagger-id dispatch matrix; per-family goldens are the reference
+    # runtime's own (lemma, tag) output (consolidated to stay inside the
+    # driver's 50-query correctness window; kernels unchanged):
+    #   generic: serialized pmap dictionary + statistical guesser (G4)
+    #   czech:   PDT lemmas, prefix+statistical guessers, czech features (G4-G6)
+    #   english: ENGLISH_V3 '^'-addinfo dict, exceptions, Morphium guesser
+    #   conllu:  UD tag-field feature maps + FollowingVerbForm dynamics
+    ("generic", "tiny.tagger", "MORPHODITA_TAG_SENTENCES", "MORPHODITA_TAG_GOLD"),
+    ("czech", "tiny_cs.tagger", "MORPHODITA_CS_TAG_SENTENCES", "MORPHODITA_CS_TAG_GOLD"),
+    ("english", "tiny_en.tagger", "MORPHODITA_EN_TAG_SENTENCES", "MORPHODITA_EN_TAG_GOLD"),
+    ("conllu", "tiny_cu.tagger", "MORPHODITA_CU_TAG_SENTENCES", "MORPHODITA_CU_TAG_GOLD"),
+]
 
-
-def q_morphodita_en_tag_fixture(spark, sf_dir):
-    """ENGLISH_V3 MorphoDiTa morpho through the real serialized format:
-    dictionary with '^'-addinfo lemmas, exceptions map, negation prefixes,
-    and the Morphium rule machines (fuzz-verified re-expression) — decoded
-    distributed; oracle = the reference runtime's own output."""
-    return _q_morphodita_tag(spark, "tiny_en.tagger", MORPHODITA_EN_TAG_SENTENCES)
-
-
-def q_morphodita_en_ner_mentions(spark, sf_dir):
-    """The published-English-model shape: english-morpho MorphoDiTa tagger
-    embedded in a .ner, loaded and decoded with run_ner parity."""
-    return _q_morphodita_ner(spark, "tiny_en.ner", MORPHODITA_EN_NER_SENTENCES)
-
-
-def q_morphodita_cs_tag_fixture(spark, sf_dir):
-    """G4-G6 via the real CZECH MorphoDiTa format: PDT lemmas (homonym
-    numbers + _;X comments), prefix guesser, statistical guesser, czech
-    elementary features — decoded distributed with the reference's own
-    (lemma, tag) output as the oracle."""
-    return _q_morphodita_tag(spark, "tiny_cs.tagger", MORPHODITA_CS_TAG_SENTENCES)
-
-
-def q_morphodita_cs_ner_mentions(spark, sf_dir):
-    """D2/D3/F8 driver oracle: tiny_cs.ner carries GazetteersEnhanced
-    hard_pre (Novák -> PER pinned pre-decode) + hard_post (raw lemma stát ->
-    LOC override post-decode) + CzechLemmaTerm (PDT _;X comment features) —
-    decode parity vs the reference run_ner."""
-    return _q_morphodita_ner(spark, "tiny_cs.ner", MORPHODITA_CS_NER_SENTENCES)
+MORPHODITA_NER_FAMILIES = [
+    # (family, .ner file, sentences, gold) — .ner files with embedded
+    # MorphoDiTa tagger payloads (the format every PUBLISHED NameTag model
+    # uses), decode parity vs the reference run_ner. tiny_cs additionally
+    # pins D2 (hard_pre Novák->PER), D3 (hard_post stát->LOC) and F8
+    # (CzechLemmaTerm _;X comment features).
+    ("generic", "tiny_md.ner", "MORPHODITA_NER_SENTENCES", "MORPHODITA_NER_GOLD"),
+    ("czech", "tiny_cs.ner", "MORPHODITA_CS_NER_SENTENCES", "MORPHODITA_CS_NER_GOLD"),
+    ("english", "tiny_en.ner", "MORPHODITA_EN_NER_SENTENCES", "MORPHODITA_EN_NER_GOLD"),
+]
 
 
 def q_morphodita_tag_fixture(spark, sf_dir):
-    """G4 via the REAL MorphoDiTa format: the reference-built .tagger
-    (serialized persistent-map dictionary + statistical guesser + perceptron
-    feature sequences) is parsed by morpho/morphodita.py and decoded
+    """G4-G6 via the REAL MorphoDiTa serialized formats, all four morpho
+    families in one union (generic / czech / english / conllu): each
+    reference-built .tagger is parsed by morpho/morphodita.py and decoded
     distributed; the oracle is the reference runtime's own (lemma, tag)
-    output on the same sentences."""
-    return _q_morphodita_tag(spark, "tiny.tagger", MORPHODITA_TAG_SENTENCES)
+    output on the same sentences, labeled by family."""
+    g = globals()
+    dfs = [
+        _q_morphodita_tag(spark, fname, g[sents]).select(
+            F.lit(fam).alias("family"), "sent_id", "tok_idx", "form", "lemma", "tag"
+        )
+        for fam, fname, sents, _gold in MORPHODITA_TAG_FAMILIES
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
-def q_morphodita_binary_mentions(spark, sf_dir):
-    """S4 completion: a .ner whose tagger payload is an embedded MorphoDiTa
-    stream (the format every PUBLISHED NameTag model uses) loads through
-    binary_reader and decodes distributed, matching the reference run_ner's
-    own output."""
-    return _q_morphodita_ner(spark, "tiny_md.ner", MORPHODITA_NER_SENTENCES)
+def q_morphodita_ner_mentions(spark, sf_dir):
+    """S4 completion across all published-model shapes: .ner files whose
+    tagger payload is an embedded MorphoDiTa stream (generic / czech /
+    english morphos) load through binary_reader and decode distributed,
+    matching the reference run_ner's own output. The czech model also
+    exercises D2/D3/F8 (gazetteer hard_pre/hard_post + CzechLemmaTerm)."""
+    g = globals()
+    dfs = [
+        _q_morphodita_ner(spark, fname, g[sents]).select(
+            F.lit(fam).alias("family"), "sent_id", "tok_start", "tok_len", "type"
+        )
+        for fam, fname, sents, _gold in MORPHODITA_NER_FAMILIES
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def _derivator_fixture_rows():
@@ -1488,20 +1578,6 @@ def q_url_fsm_fixture(spark, sf_dir):
             )
 
     return df.mapInPandas(fn, "case_id long, kind string, match_len long")
-
-
-def q_tokenize_cs_fixture(spark, sf_dir):
-    """Czech tokenizer grammar (czech_tokenizer.rl) against a hand-derived
-    golden token table."""
-    from nametag_spark.ner.pipeline import tokenize_df
-
-    _ensure_shipped(spark)
-    df = spark.createDataFrame(
-        [(str(r), 0, t) for (r, t) in CS_TOKENIZE_FIXTURE], ["conv_id", "turn_idx", "text"]
-    )
-    return tokenize_df(df, lang="cs").select(
-        F.col("conv_id").cast("int").alias("row_id"), "sent_idx", "tok_idx", "form"
-    )
 
 
 def q_rp_lsh_topk(spark, sf_dir):
@@ -1708,19 +1784,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_model_mentions": q_binary_model_mentions,
         "morpho_ner_fixture": q_morpho_ner_fixture,
         "morphodita_tag_fixture": q_morphodita_tag_fixture,
-        "morphodita_binary_mentions": q_morphodita_binary_mentions,
+        "morphodita_ner_mentions": q_morphodita_ner_mentions,
+        "model_driven_tokenize": q_model_driven_tokenize,
         "morphodita_derivator": q_morphodita_derivator,
-        "morphodita_cs_tag_fixture": q_morphodita_cs_tag_fixture,
-        "morphodita_cs_ner_mentions": q_morphodita_cs_ner_mentions,
         "emergency_split_fixture": q_emergency_split_fixture,
         "vertical_reader_fixture": q_vertical_reader_fixture,
-        "morphodita_en_tag_fixture": q_morphodita_en_tag_fixture,
-        "morphodita_en_ner_mentions": q_morphodita_en_ner_mentions,
-        "morphodita_cu_tag_fixture": q_morphodita_cu_tag_fixture,
         "render_sinks": q_render_sinks,
         "gru_tokenize_fixture": q_gru_tokenize_fixture,
         "tokenize_fixture": q_tokenize_fixture,
-        "tokenize_cs_fixture": q_tokenize_cs_fixture,
         "pii_flags": q_pii_flags,
         "bio_to_bilou": q_bio_to_bilou,
         "rp_lsh_topk": q_rp_lsh_topk,
@@ -1983,21 +2054,30 @@ def oracle_sql() -> dict[str, str]:
         "morpho_ner_fixture": "SELECT * FROM "
         + _values_sql(MORPHO_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
         "morphodita_tag_fixture": "SELECT * FROM "
-        + _values_sql(MORPHODITA_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
-        "morphodita_binary_mentions": "SELECT * FROM "
-        + _values_sql(MORPHODITA_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
+        + _values_sql(
+            [
+                (fam,) + row
+                for fam, _f, _s, gold in MORPHODITA_TAG_FAMILIES
+                for row in globals()[gold]
+            ],
+            ["family", "sent_id", "tok_idx", "form", "lemma", "tag"],
+        ),
+        "morphodita_ner_mentions": "SELECT * FROM "
+        + _values_sql(
+            [
+                (fam,) + tuple(row)
+                for fam, _f, _s, gold in MORPHODITA_NER_FAMILIES
+                for row in globals()[gold]
+            ],
+            ["family", "sent_id", "tok_start", "tok_len", "type"],
+        ),
+        "model_driven_tokenize": "SELECT * FROM "
+        + _values_sql(
+            _model_tokenizer_rows(),
+            ["text_id", "sent_idx", "tok_idx", "form", "label"],
+        ),
         "morphodita_derivator": "SELECT * FROM "
         + _values_sql(_derivator_fixture_rows(), ["lemma", "parent", "children"]),
-        "morphodita_cs_tag_fixture": "SELECT * FROM "
-        + _values_sql(MORPHODITA_CS_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
-        "morphodita_cs_ner_mentions": "SELECT * FROM "
-        + _values_sql(MORPHODITA_CS_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
-        "morphodita_cu_tag_fixture": "SELECT * FROM "
-        + _values_sql(MORPHODITA_CU_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
-        "morphodita_en_tag_fixture": "SELECT * FROM "
-        + _values_sql(MORPHODITA_EN_TAG_GOLD, ["sent_id", "tok_idx", "form", "lemma", "tag"]),
-        "morphodita_en_ner_mentions": "SELECT * FROM "
-        + _values_sql(MORPHODITA_EN_NER_GOLD, ["sent_id", "tok_start", "tok_len", "type"]),
         "emergency_split_fixture": "SELECT * FROM "
         + _values_sql(EMERGENCY_SPLIT_GOLD, ["doc_case", "sent_idx", "n_tokens"]),
         "vertical_reader_fixture": "SELECT * FROM "
@@ -2018,23 +2098,15 @@ def oracle_sql() -> dict[str, str]:
             [(i, k, ln) for (i, _s, k, ln) in URL_FSM_FIXTURE],
             ["case_id", "kind", "match_len"],
         ),
-        "tokenize_cs_fixture": "SELECT * FROM "
-        + _values_sql(
-            [
-                (row_id, sent_idx, tok_idx, form)
-                for (row_id, sent_idx, toks) in CS_TOKENIZE_GOLD
-                for tok_idx, form in enumerate(toks)
-            ],
-            ["row_id", "sent_idx", "tok_idx", "form"],
-        ),
         "tokenize_fixture": "SELECT * FROM "
         + _values_sql(
             [
-                (row_id, sent_idx, tok_idx, form)
-                for (row_id, sent_idx, toks) in TOKENIZE_GOLD
+                (grammar, row_id, sent_idx, tok_idx, form)
+                for grammar, gold in (("en", TOKENIZE_GOLD), ("cs", CS_TOKENIZE_GOLD))
+                for (row_id, sent_idx, toks) in gold
                 for tok_idx, form in enumerate(toks)
             ],
-            ["row_id", "sent_idx", "tok_idx", "form"],
+            ["grammar", "row_id", "sent_idx", "tok_idx", "form"],
         ),
         "pii_flags": f"""
             SELECT row_id,

@@ -30,6 +30,9 @@ def main_train(argv) -> int:
     if tagger != "trivial":
         print("only the trivial tagger is supported (SURVEY.md §2.3 G2)", file=sys.stderr)
         return 1
+    if ner_id not in ("czech", "english", "generic"):
+        print(f"unknown ner_id {ner_id!r} (czech|english|generic)", file=sys.stderr)
+        return 1
 
     from .train.trainer import train_ner
 
@@ -60,6 +63,10 @@ def main_train(argv) -> int:
         base_dir=os.path.dirname(os.path.abspath(features_file)),
         verbose=True,
     )
+    # the CLI's <ner_id> selects the model's tokenizer like the reference
+    # (train_ner.cpp parses it via ner_ids::parse; bilou_ner::new_tokenizer
+    # dispatches on it)
+    model.ner_lang = ner_id
     model.save(model_dir)
     print(f"model saved to {model_dir}", file=sys.stderr)
     return 0
@@ -71,8 +78,14 @@ def main_recognize(argv) -> int:
         return 1
     model_dir, input_path, output_path = argv[:3]
     fmt = "mentions"
-    if len(argv) > 3 and argv[3].startswith("--format"):
-        fmt = argv[3].split("=", 1)[1] if "=" in argv[3] else argv[4]
+    if len(argv) > 3 and (argv[3] == "--format" or argv[3].startswith("--format=")):
+        if "=" in argv[3]:
+            fmt = argv[3].split("=", 1)[1]
+        elif len(argv) > 4:
+            fmt = argv[4]
+        else:
+            print("--format requires a value", file=sys.stderr)
+            return 1
 
     from .session import get_spark
 
@@ -107,10 +120,22 @@ def main_tokenize(argv) -> int:
     rest = argv[2:]
     while rest:
         a = rest.pop(0)
-        if a.startswith("--format"):
-            fmt = a.split("=", 1)[1] if "=" in a else rest.pop(0)
-        elif a.startswith("--lang"):
-            lang = a.split("=", 1)[1] if "=" in a else rest.pop(0)
+        if a == "--format" or a.startswith("--format="):
+            if "=" in a:
+                fmt = a.split("=", 1)[1]
+            elif rest:
+                fmt = rest.pop(0)
+            else:
+                print("--format requires a value", file=sys.stderr)
+                return 1
+        elif a == "--lang" or a.startswith("--lang="):
+            if "=" in a:
+                lang = a.split("=", 1)[1]
+            elif rest:
+                lang = rest.pop(0)
+            else:
+                print("--lang requires a value", file=sys.stderr)
+                return 1
         else:
             print(f"unknown argument {a!r}", file=sys.stderr)
             return 1

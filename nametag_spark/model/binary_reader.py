@@ -288,7 +288,8 @@ def load_binary_ner(path_or_stream):
         if not stages:
             raise BinaryFormatError("missing stages byte")
         networks = [_read_network(f) for _ in range(stages[0])]
-        return NerModel(entities, templates, networks, tagger)
+        return NerModel(entities, templates, networks, tagger,
+                        ner_lang=NER_IDS[ner_id[0]])
     finally:
         if close:
             f.close()

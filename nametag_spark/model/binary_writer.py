@@ -186,8 +186,12 @@ def _write_network(net) -> bytes:
     return e.blob()
 
 
-def save_binary_ner(model, path: str, ner_id: str = "english") -> None:
-    """Write a NerModel as a reference-loadable .ner file."""
+def save_binary_ner(model, path: str, ner_id: str = None) -> None:
+    """Write a NerModel as a reference-loadable .ner file. ner_id defaults
+    to the model's own ner_lang (round-trips the dispatch byte), falling
+    back to "english"."""
+    if ner_id is None:
+        ner_id = getattr(model, "ner_lang", None) or "english"
     if model.tagger is not None:
         raise ValueError(
             "cannot encode a MorphoTagger into the reference format "

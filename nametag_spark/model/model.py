@@ -19,17 +19,33 @@ from ..ner import core
 
 
 class NerModel:
-    def __init__(self, entities: EntityMap, templates: FeatureTemplates, networks, tagger=None):
+    def __init__(self, entities: EntityMap, templates: FeatureTemplates, networks, tagger=None,
+                 ner_lang=None):
         self.entities = entities
         self.templates = templates
         self.networks = networks  # list[core.Network], one per stage
         # optional MorphoTagger (G4-G6): when present, sentences are built
         # with real (lemma, tag) morphology instead of the trivial tagger
         self.tagger = tagger
+        # the reference ner_id ("czech"/"english"/"generic",
+        # src/ner/ner_ids.h:19) — drives default tokenizer selection like
+        # ner::new_tokenizer (src/ner/bilou_ner.cpp:126-137)
+        self.ner_lang = ner_lang
 
     @property
     def stages(self) -> int:
         return len(self.networks)
+
+    @property
+    def default_tokenizer_lang(self) -> str:
+        """The tokenizer grammar the loaded model implies, mirroring
+        bilou_ner::new_tokenizer (src/ner/bilou_ner.cpp:126-137): CZECH_NER
+        -> czech tokenizer, ENGLISH_NER -> english, GENERIC_NER -> generic.
+        Directory models trained here default to english (the historic
+        default) unless saved with an explicit ner_lang."""
+        return {"czech": "cs", "english": "en", "generic": "generic"}.get(
+            self.ner_lang or "", "en"
+        )
 
     # ------------------------------------------------------------------ io
     def save(self, model_dir: str) -> None:
@@ -40,6 +56,8 @@ class NerModel:
             "templates": self.templates.state(),
             "stages": self.stages,
         }
+        if self.ner_lang:
+            meta["ner_lang"] = self.ner_lang
         with open(os.path.join(model_dir, "model.json"), "w", encoding="utf-8") as f:
             json.dump(meta, f)
         arrays = {}
@@ -79,7 +97,7 @@ class NerModel:
                 from ..morpho.tagger import MorphoTagger
 
                 tagger = MorphoTagger.from_state(st)
-        return cls(entities, templates, networks, tagger)
+        return cls(entities, templates, networks, tagger, ner_lang=meta.get("ner_lang"))
 
     # --------------------------------------------------- sentence construction
     def make_sentence(self, forms) -> Sentence:

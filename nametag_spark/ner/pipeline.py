@@ -239,12 +239,18 @@ def recognize_df(
     model_dir: str,
     text_col: str = "text",
     passthrough: tuple = (),
-    lang: str = "en",
+    lang: str | None = None,
 ) -> DataFrame:
     """The mention table: one row per recognized entity span.
 
     model_dir must be visible on all executors (shared FS or spark-submit
     --files/--archives); loaded once per python worker and cached.
+
+    lang: tokenizer grammar override. Default None selects the tokenizer
+    the MODEL implies (its embedded ner_id: czech -> cs, english -> en,
+    generic -> generic), mirroring ner::new_tokenizer
+    (src/ner/bilou_ner.cpp:126-137) — so loading a czech .ner and
+    recognizing raw text tokenizes with czech rules without any flag.
 
     passthrough: extra input columns replicated onto each mention row
     (e.g. ("role", "tool", "ts") for streaming windows / predicate context).
@@ -270,6 +276,7 @@ def recognize_df(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = get_model()
         rec = _BatchRecognizer(model)
+        eff_lang = lang or model.default_tokenizer_lang
         for pdf in batches:
             # tokenize the whole batch first, building Sentence workspaces
             sent_meta = []  # (row_pos, sent_idx, spans, text)
@@ -277,7 +284,7 @@ def recognize_df(
             texts = pdf[text_col]
             for pos in range(len(pdf)):
                 text = texts.iloc[pos] or ""
-                for s_idx, spans in enumerate(tokenize_sentences(text, lang)):
+                for s_idx, spans in enumerate(tokenize_sentences(text, eff_lang)):
                     forms = [text[a : a + b] for (a, b) in spans]
                     sentences.append(model.make_sentence(forms))
                     sent_meta.append((pos, s_idx, spans, text))
@@ -322,11 +329,13 @@ def recognize_df(
     return src.mapInPandas(fn, schema=schema)
 
 
-def recognize_local(model, texts, lang: str = "en"):
+def recognize_local(model, texts, lang: str | None = None):
     """Single-process oracle: same kernels, no Spark — used for parity tests
-    (FIXTURES.md §6). Returns list of per-text mention dicts."""
+    (FIXTURES.md §6). Returns list of per-text mention dicts. lang=None
+    selects the model-implied tokenizer (see recognize_df)."""
     from ..features.templates import Sentence
 
+    lang = lang or model.default_tokenizer_lang
     rec = _BatchRecognizer(model)
     out = []
     for text in texts:

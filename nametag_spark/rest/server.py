@@ -36,8 +36,10 @@ def load_model(path: str):
 
 
 class NametagService:
-    def __init__(self, models: dict, default: str | None = None, lang: str = "en"):
-        """models: {rest_id: model path or NerModel}."""
+    def __init__(self, models: dict, default: str | None = None, lang: str | None = None):
+        """models: {rest_id: model path or NerModel}. lang=None tokenizes
+        each request with the tokenizer its MODEL implies (the reference's
+        ner::new_tokenizer behavior); a string forces one grammar."""
         self.models = {}
         for rid, m in models.items():
             self.models[rid] = m if hasattr(m, "recognize_sentence") else load_model(m)
@@ -62,7 +64,7 @@ class NametagService:
             "default_model": self.default,
         }
 
-    def _sentences(self, data: str, input_mode: str):
+    def _sentences(self, data: str, input_mode: str, rid: str | None = None):
         """-> (text, sent_spans, sent_forms). Vertical input: one token per
         line, blank line ends a sentence (nametag_service.cpp vertical
         tokenizer); untokenized: the model-language tokenizer."""
@@ -88,7 +90,10 @@ class NametagService:
             text = " ".join(text_parts)
         else:
             text = data
-            spans = tokenize_sentences(text, self.lang)
+            lang = self.lang or (
+                self.models[rid].default_tokenizer_lang if rid in self.models else "en"
+            )
+            spans = tokenize_sentences(text, lang)
         forms = [[text[a : a + b] for (a, b) in s] for s in spans]
         return text, spans, forms
 
@@ -118,7 +123,7 @@ class NametagService:
             render_xml_fragments,
         )
 
-        text, spans, forms = self._sentences(data, input_mode)
+        text, spans, forms = self._sentences(data, input_mode, rid)
         decoded = self._decoded_batches(rid, spans, forms)
         if output == "conll":
             return render_conll_fragments((f, e) for (_s, f, e) in decoded)
@@ -132,7 +137,7 @@ class NametagService:
     def tokenize_fragments(self, rid: str, data: str, output: str):
         from ..sinks.render import render_xml_fragments
 
-        text, spans, forms = self._sentences(data, "untokenized")
+        text, spans, forms = self._sentences(data, "untokenized", rid)
         if output == "vertical":
             # one token per line, blank line between sentences
             return ("\n".join(sent) + "\n\n" for sent in forms)

@@ -115,16 +115,19 @@ def render_xml(text: str, sent_spans, sent_entities) -> str:
     return "".join(render_xml_fragments(text, zip(sent_spans, sent_entities)))
 
 
-def render_df(df: DataFrame, model_dir: str, fmt: str = "conll", text_col: str = "text") -> DataFrame:
+def render_df(df: DataFrame, model_dir: str, fmt: str = "conll", text_col: str = "text",
+              lang: str | None = None) -> DataFrame:
     """Render each turn in the given format -> (conv_id, turn_idx, rendered).
 
-    fmt: 'conll' | 'vertical' | 'xml'.
+    fmt: 'conll' | 'vertical' | 'xml'. lang=None selects the model-implied
+    tokenizer (ner::new_tokenizer, src/ner/bilou_ner.cpp:126-137); sentences
+    are built through model.make_sentence so morphology-bearing models
+    (embedded MorphoDiTa taggers) render with full morphology.
     """
     if fmt not in ("conll", "vertical", "xml"):
         raise ValueError(f"unknown sink format {fmt!r}")
 
     from ..model.model import NerModel
-    from ..features.templates import Sentence
     from ..ner.pipeline import _BatchRecognizer
 
     _cache: dict = {}
@@ -135,12 +138,13 @@ def render_df(df: DataFrame, model_dir: str, fmt: str = "conll", text_col: str =
             model = NerModel.load(model_dir)
             _cache[model_dir] = model
         rec = _BatchRecognizer(model)
+        eff_lang = lang or model.default_tokenizer_lang
         for pdf in batches:
             rendered = []
             for text in pdf[text_col]:
                 text = text or ""
-                sent_spans = tokenize_sentences(text)
-                sentences = [Sentence([text[a : a + b] for (a, b) in s]) for s in sent_spans]
+                sent_spans = tokenize_sentences(text, eff_lang)
+                sentences = [model.make_sentence([text[a : a + b] for (a, b) in s]) for s in sent_spans]
                 ents = rec.recognize_batch(sentences)
                 forms = [[text[a : a + b] for (a, b) in s] for s in sent_spans]
                 if fmt == "conll":

@@ -359,3 +359,57 @@ def test_derivator_parity():
         plain = load_morpho(f)
     for form in ("pila", "Novák", "stát", "nejneznámější", "3,14"):
         assert m.analyze(form, GUESSER) == plain.analyze(form, GUESSER), form
+
+
+def test_model_driven_tokenizer_selection():
+    """bilou_ner::new_tokenizer parity (src/ner/bilou_ner.cpp:126-137):
+    loading a CZECH .ner and recognizing raw text WITHOUT passing lang must
+    tokenize with the czech grammar and reproduce the compiled reference
+    run_ner's conll byte-for-byte (fixtures/morphodita/
+    model_tokenizer_golden_cs.conll = run_ner on the same texts as
+    paragraphs). The texts discriminate: the english grammar splits
+    clitics ('s, n't, cannot) and breaks sentences after 'p.', so a wrong
+    default would fail."""
+    from nametag_spark.model.binary_reader import load_binary_ner
+    from nametag_spark.ner.pipeline import _BatchRecognizer
+    from nametag_spark.tokenizer.rules import tokenize_sentences
+    from nametag_spark.sinks.render import render_conll
+
+    m = load_binary_ner(os.path.join(FIX, "tiny_cs.ner"))
+    assert m.ner_lang == "czech"
+    assert m.default_tokenizer_lang == "cs"
+    texts = [
+        l.rstrip("\n")
+        for l in open(os.path.join(FIX, "model_tokenizer_input_cs.txt"), encoding="utf-8")
+        if l.strip()
+    ]
+    rec = _BatchRecognizer(m)
+    out = []
+    for t in texts:
+        spans = tokenize_sentences(t, m.default_tokenizer_lang)
+        forms = [[t[a : a + b] for (a, b) in s] for s in spans]
+        ents = rec.recognize_batch([m.make_sentence(f) for f in forms])
+        out.append(render_conll(forms, ents))
+    golden = open(os.path.join(FIX, "model_tokenizer_golden_cs.conll"), encoding="utf-8").read()
+    assert "".join(out) == golden
+    # the en grammar provably differs on these texts (the test discriminates)
+    out_en = []
+    for t in texts:
+        spans = tokenize_sentences(t, "en")
+        forms = [[t[a : a + b] for (a, b) in s] for s in spans]
+        ents = rec.recognize_batch([m.make_sentence(f) for f in forms])
+        out_en.append(render_conll(forms, ents))
+    assert "".join(out_en) != golden
+
+
+def test_recognize_local_model_driven_default():
+    """recognize_local with no lang uses the model tokenizer (czech here):
+    'Pan p. Novák je tu.' stays one sentence (p. is a czech abbreviation)."""
+    from nametag_spark.model.binary_reader import load_binary_ner
+    from nametag_spark.ner.pipeline import recognize_local
+
+    m = load_binary_ner(os.path.join(FIX, "tiny_cs.ner"))
+    auto = recognize_local(m, ["Pan p. Novák je tu."])
+    explicit = recognize_local(m, ["Pan p. Novák je tu."], lang="cs")
+    assert auto == explicit
+    assert any(mn["sent_idx"] == 0 for mn in auto[0])
