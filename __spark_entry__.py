@@ -1191,6 +1191,90 @@ def _q_morphodita_ner(spark, ner_file, sentences):
     return df.mapInPandas(fn, "sent_id long, tok_start int, tok_len int, type string")
 
 
+_TAGSET_COMBOS = [
+    ("none", "root"), ("identity", "none"), ("pdt_to_conll2009", "none"),
+    ("strip_lemma_id", "none"), ("strip_lemma_comment", "tree"),
+    ("pdt_to_conll2009", "path"),
+]
+
+
+def _tagset_convert_rows():
+    """Golden rows (converter, formatter, form, lemma, tag) for the combos
+    in _TAGSET_COMBOS, filtered from the compiled reference's full 20-combo
+    output (fixtures/morphodita/tagset_convert_golden_cs.tsv, produced by
+    scripts/ref_tools/morpho_tools.cpp `convert`)."""
+    combos = set(_TAGSET_COMBOS)
+    rows = []
+    path = os.path.join(_REPO_ROOT, "fixtures", "morphodita", "tagset_convert_golden_cs.tsv")
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            c, fm, form, lemma, tag = line.rstrip("\n").split("\t")
+            if (c, fm) in combos:
+                rows.append((c, fm, form, lemma, tag))
+    return rows
+
+
+def q_tagset_convert(spark, sf_dir):
+    """MorphoDiTa tagset converters (identity / pdt_to_conll2009 /
+    strip_lemma_id / strip_lemma_comment) + derivation formatters (none /
+    root / path / tree) applied distributed over the fuzz czech dict's
+    analyses; oracle = the compiled reference's own `convert` output on the
+    same (converter, formatter, form) triples (src/morphodita/
+    tagset_converter/*.cpp, src/morphodita/derivator/
+    derivation_formatter.cpp)."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    with open(os.path.join(_REPO_ROOT, "fixtures", "morphodita", "fuzz_cs_deriv.dict"), "rb") as fh:
+        blob = fh.read()
+    forms = []
+    seen = set()
+    for c, fm, form, _l, _t in _tagset_convert_rows():
+        if form not in seen:
+            seen.add(form)
+            forms.append(form)
+    df = spark.createDataFrame(
+        [(c, fm, form) for (c, fm) in _TAGSET_COMBOS for form in forms],
+        ["converter", "formatter", "form"],
+    )
+
+    def fn(batches):
+        import io
+
+        from nametag_spark.morpho.convert import (
+            IdentityConverter,
+            new_derivation_formatter,
+            new_tagset_converter,
+        )
+        from nametag_spark.morpho.morphodita import GUESSER, load_morpho
+
+        m = load_morpho(io.BytesIO(blob))
+        cache = {}
+        for pdf in batches:
+            rows = {"converter": [], "formatter": [], "form": [], "lemma": [], "tag": []}
+            for c, fm, form in zip(pdf["converter"], pdf["formatter"], pdf["form"]):
+                pair = cache.get((c, fm))
+                if pair is None:
+                    conv = (
+                        IdentityConverter()
+                        if c == "identity"
+                        else (new_tagset_converter(c, m) if c != "none" else None)
+                    )
+                    pair = cache[(c, fm)] = (conv, new_derivation_formatter(fm, m.derinet))
+                conv, fmtr = pair
+                for lemma, tag in fmtr.format_tagged_lemmas(m.analyze(form, GUESSER), conv):
+                    rows["converter"].append(c)
+                    rows["formatter"].append(fm)
+                    rows["form"].append(form)
+                    rows["lemma"].append(lemma)
+                    rows["tag"].append(tag)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        fn, "converter string, formatter string, form string, lemma string, tag string"
+    )
+
+
 def _model_tokenizer_rows():
     """(text_id, sent_idx, tok_idx, form, label) rows of the compiled
     reference run_ner on fixtures/morphodita/model_tokenizer_input_cs.txt
@@ -1786,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morphodita_tag_fixture": q_morphodita_tag_fixture,
         "morphodita_ner_mentions": q_morphodita_ner_mentions,
         "model_driven_tokenize": q_model_driven_tokenize,
+        "tagset_convert": q_tagset_convert,
         "morphodita_derivator": q_morphodita_derivator,
         "emergency_split_fixture": q_emergency_split_fixture,
         "vertical_reader_fixture": q_vertical_reader_fixture,
@@ -2070,6 +2155,11 @@ def oracle_sql() -> dict[str, str]:
                 for row in globals()[gold]
             ],
             ["family", "sent_id", "tok_start", "tok_len", "type"],
+        ),
+        "tagset_convert": "SELECT * FROM "
+        + _values_sql(
+            _tagset_convert_rows(),
+            ["converter", "formatter", "form", "lemma", "tag"],
         ),
         "model_driven_tokenize": "SELECT * FROM "
         + _values_sql(

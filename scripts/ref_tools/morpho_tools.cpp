@@ -25,6 +25,9 @@
 #include <string>
 #include <vector>
 
+#include <cstring>
+
+#include "morphodita/derivator/derivation_formatter.h"
 #include "morphodita/derivator/derivator.h"
 #include "morphodita/derivator/derivator_dictionary_encoder.h"
 #include "morphodita/morpho/czech_morpho_encoder.h"
@@ -40,6 +43,7 @@
 #include "morphodita/tagger/perceptron_tagger_trainer.h"
 #include "morphodita/tagger/tagger_trainer.h"
 #include "morphodita/tagger/training_maps.h"
+#include "morphodita/tagset_converter/tagset_converter.h"
 
 using namespace ufal::nametag::morphodita;
 using ufal::nametag::utils::string_piece;
@@ -216,6 +220,39 @@ int main(int argc, char* argv[]) {
       kids.clear();
       if (der->children(lemma, kids))
         for (auto&& k : kids) cout << '\t' << k.lemma;
+      cout << '\n';
+    }
+    return 0;
+  }
+
+  if (cmd == "convert") {
+    // convert <dict> <converter: none|identity|pdt_to_conll2009|
+    //                 strip_lemma_id|strip_lemma_comment>
+    //         <formatter: none|root|path|tree> <use_guesser 0|1> < forms
+    // prints "form\tlemma\ttag" per output analysis, blank line per form —
+    // golden generator for nametag_spark/morpho/convert.py
+    if (argc < 6) return usage();
+    unique_ptr<morpho> m(morpho::load(argv[2]));
+    if (!m) { cerr << "cannot load morpho" << endl; return 1; }
+    string conv_name = argv[3];
+    unique_ptr<tagset_converter> conv;
+    if (conv_name == "identity") conv.reset(tagset_converter::new_identity_converter());
+    else if (conv_name != "none") {
+      conv.reset(new_tagset_converter(conv_name, *m));
+      if (!conv) { cerr << "bad converter " << conv_name << endl; return 1; }
+    }
+    unique_ptr<derivation_formatter> fmt(
+        derivation_formatter::new_derivation_formatter(
+            string_piece(argv[4], strlen(argv[4])), m->get_derivator()));
+    if (!fmt) { cerr << "bad formatter " << argv[4] << endl; return 1; }
+    auto mode = stoi(argv[5]) ? morpho::GUESSER : morpho::NO_GUESSER;
+    string line;
+    vector<tagged_lemma> lemmas;
+    while (getline(cin, line)) {
+      m->analyze(string_piece(line.c_str(), line.size()), mode, lemmas);
+      fmt->format_tagged_lemmas(lemmas, conv.get());
+      for (auto&& tl : lemmas)
+        cout << line << '\t' << tl.lemma << '\t' << tl.tag << '\n';
       cout << '\n';
     }
     return 0;

@@ -413,3 +413,66 @@ def test_recognize_local_model_driven_default():
     explicit = recognize_local(m, ["Pan p. Novák je tu."], lang="cs")
     assert auto == explicit
     assert any(mn["sent_idx"] == 0 for mn in auto[0])
+
+
+def test_tagset_converters_and_derivation_formatters():
+    """All 5 tagset converters x 4 derivation formatters vs the compiled
+    reference (fixtures/morphodita/tagset_convert_golden_cs.tsv =
+    morpho_tools `convert` over every combo on the 400-lemma fuzz czech
+    dict + derivator forest, guesser on): format_tagged_lemmas output must
+    match exactly, including the conditional-vs-unconditional dedup rules
+    (none-formatter defers to the converter's convert_analyzed; derivating
+    formatters always unique when >1) and the tree/path lemma strings."""
+    import collections
+    import itertools
+
+    from nametag_spark.morpho.morphodita import load_morpho, GUESSER
+    from nametag_spark.morpho.convert import (
+        IdentityConverter,
+        new_derivation_formatter,
+        new_tagset_converter,
+    )
+
+    with open(os.path.join(FIX, "fuzz_cs_deriv.dict"), "rb") as f:
+        m = load_morpho(f)
+    golden = collections.defaultdict(list)
+    forms_in_golden = []
+    seen = set()
+    with open(os.path.join(FIX, "tagset_convert_golden_cs.tsv"), encoding="utf-8") as f:
+        for line in f:
+            c, fm, form, lemma, tag = line.rstrip("\n").split("\t")
+            golden[(c, fm, form)].append((lemma, tag))
+            if form not in seen:
+                seen.add(form)
+                forms_in_golden.append(form)
+    convs = ["none", "identity", "pdt_to_conll2009", "strip_lemma_id", "strip_lemma_comment"]
+    fmts = ["none", "root", "path", "tree"]
+    for c, fm in itertools.product(convs, fmts):
+        conv = (
+            IdentityConverter()
+            if c == "identity"
+            else (new_tagset_converter(c, m) if c != "none" else None)
+        )
+        fmtr = new_derivation_formatter(fm, m.derinet)
+        for form in forms_in_golden:
+            got = fmtr.format_tagged_lemmas(m.analyze(form, GUESSER), conv)
+            assert got == golden[(c, fm, form)], (c, fm, form)
+
+
+def test_derivation_formatter_scalar_api():
+    """format_derivation / new_* factories (derivation_formatter.cpp
+    contracts): none is a no-op, root climbs to the forest root, factories
+    return None without a derivator (reference returns nullptr)."""
+    from nametag_spark.morpho.morphodita import load_morpho
+    from nametag_spark.morpho.convert import new_derivation_formatter
+
+    with open(os.path.join(FIX, "fuzz_cs_deriv.dict"), "rb") as f:
+        m = load_morpho(f)
+    root_f = new_derivation_formatter("root", m.derinet)
+    none_f = new_derivation_formatter("none", m.derinet)
+    lemma = next(iter(m.derinet.parent_map))
+    assert none_f.format_derivation(lemma) == lemma
+    climbed = root_f.format_derivation(lemma)
+    assert m.derinet.parent(climbed) is None
+    assert new_derivation_formatter("root", None) is None
+    assert new_derivation_formatter("bogus", m.derinet) is None
