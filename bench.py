@@ -104,14 +104,29 @@ def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf, sf: float
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     timings: dict = {}
+    spreads: dict = {}
+    reps_default = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        log(f"  {name}: {dt:.2f}s ({out})")
-        return dt
+    def timed(name, fn, reps=None, reset=None):
+        """Median-of-N with per-query dispersion: the host's available
+        throughput swings ±30% between windows, so a single sample keeps
+        poisoning artifacts. spread = (max-min)/median across the N runs —
+        large spread marks the measurement, not just the mean, as noisy."""
+        reps = reps_default if reps is None else reps
+        ts = []
+        out = None
+        for i in range(reps):
+            t0 = time.time()
+            out = fn()
+            ts.append(time.time() - t0)
+            if reset is not None and i + 1 < reps:
+                reset()
+        ts.sort()
+        med = ts[len(ts) // 2]
+        timings[name] = round(med, 3)
+        spreads[name] = round((ts[-1] - ts[0]) / med, 3) if med > 0 and reps > 1 else 0.0
+        log(f"  {name}: median {med:.2f}s over {reps} (spread {spreads[name]}) ({out})")
+        return med
 
     timed("ner_tokenize", lambda: tokenize_df(transcripts).count())
     timed("ner_recognize", lambda: recognize_df(transcripts, model_dir).count())
@@ -136,9 +151,9 @@ def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf, sf: float
         transcripts.persist()
         transcripts.count()
 
-    timed("kg_triples_e2e_cold", kg_e2e)
+    timed("kg_triples_e2e_cold", kg_e2e, reps=1)
     reset_caches()
-    timed("kg_triples_e2e", kg_e2e)
+    timed("kg_triples_e2e", kg_e2e, reset=reset_caches)
     reset_caches()
 
     timed(
@@ -157,7 +172,7 @@ def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf, sf: float
     timed("events_turn_order", lambda: entry.q_events_turn_order(spark, sf_dir).count())
 
     transcripts.unpersist()
-    return timings, n_turns
+    return timings, spreads, n_turns
 
 
 def _timed(fn) -> float:
@@ -238,6 +253,64 @@ def kg_scaling_point(cores: int, model_dir: str, paths: list, trials: int = 2) -
         spark.stop()
 
 
+def kg_stage_breakdown(cores: int, model_dir: str, paths: list) -> list:
+    """Per-stage wall times of the kg pipeline at `cores`, one entry per
+    corpus: {"n_turns", "ner", "resolve", "triples", "total"}.
+
+    Makes the marginal-efficiency claim auditable from the artifact alone:
+    the resolve stage operates on DISTINCT surfaces (bounded by vocabulary,
+    not corpus size), so its time should be near-constant across corpus
+    sizes while ner + triples grow — the Amdahl constant that motivates
+    reporting marginal rather than raw toy-scale efficiency. Stage
+    boundaries are persist+count barriers, so the stage split pays a little
+    extra materialization vs the fused headline run; the fused number
+    remains the official kg point."""
+    from nametag_spark.kg.resolution import release_persisted, resolve_entities
+    from nametag_spark.kg.triples import extract_triples
+    from nametag_spark.ner.pipeline import recognize_df
+
+    spark = make_spark(cores)
+    out = []
+    try:
+        dfs = []
+        for p in paths:
+            df = spark.read.parquet(p).repartition(cores * 2).persist()
+            dfs.append((df, df.count()))
+
+        # warm-up python workers / JIT on the smallest corpus
+        recognize_df(dfs[0][0].limit(256), model_dir).count()
+        for df, n in dfs:
+            spark.catalog.clearCache()
+            df.persist()
+            df.count()
+            t0 = time.time()
+            mentions = recognize_df(df, model_dir).persist()
+            mentions.count()
+            t1 = time.time()
+            me, _ents = resolve_entities(mentions)
+            me = me.persist()
+            me.count()
+            t2 = time.time()
+            extract_triples(me, df).count()
+            t3 = time.time()
+            release_persisted()
+            mentions.unpersist()
+            me.unpersist()
+            out.append(
+                {
+                    "n_turns": n,
+                    "ner": round(t1 - t0, 2),
+                    "resolve": round(t2 - t1, 2),
+                    "triples": round(t3 - t2, 2),
+                    "total": round(t3 - t0, 2),
+                }
+            )
+            log(f"kg stages local[{cores}] n={n}: ner {t1-t0:.1f}s resolve {t2-t1:.1f}s triples {t3-t2:.1f}s")
+        return out
+    finally:
+        spark.stop()
+
+
 def _pure_worker(args):
     """Module-level for multiprocessing pickling."""
     texts, model_dir = args
@@ -288,7 +361,7 @@ def main() -> None:
 
     spark = make_spark(CPUS)
     t0 = time.time()
-    timings, n_turns = bench_queries(spark, SF_DIR, model_dir, transcripts_pdf, sf)
+    timings, spreads, n_turns = bench_queries(spark, SF_DIR, model_dir, transcripts_pdf, sf)
     total = time.time() - t0
     spark.stop()
 
@@ -339,6 +412,12 @@ def main() -> None:
     kg_efficiency = (kg_marg_hi / kg_marg_lo) / 4.0
     kg_raw_efficiency = ((kg_hi[-1][0] / kg_hi[-1][1]) / (kg_lo[-1][0] / kg_lo[-1][1])) / 4.0
 
+    # per-stage breakdown at both levels and both corpus sizes: lets the
+    # artifact itself show which stage is (near-)constant across corpus
+    # sizes (the resolve phase over distinct surfaces) vs which scales
+    kg_stages_lo = kg_stage_breakdown(SCALE_BASE, model_dir, kg_paths)
+    kg_stages_hi = kg_stage_breakdown(SCALE_BASE * 4, model_dir, kg_paths)
+
     # hardware ceiling: the same kernel via plain multiprocessing — what
     # this (noisy, SMT-limited) host can deliver at each level at all
     hw_texts = list(scale_pdf["text"].iloc[: min(len(scale_pdf), 30000)])
@@ -352,6 +431,12 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # per-query (max-min)/median over the repeated runs; >0.10 marks the
+        # measurement window as contaminated by host noise
+        "queries_spread": spreads,
+        "window_contaminated": bool(
+            spreads and max(spreads.values()) > 0.10
+        ),
         "sf": sf,
         "n_turns": n_turns,
         "scaling": {
@@ -366,6 +451,8 @@ def main() -> None:
             "kg_marginal_turns_per_sec_scaled": round(kg_marg_hi, 1),
             "kg_marginal_efficiency": round(kg_efficiency, 3),
             "kg_raw_efficiency": round(kg_raw_efficiency, 3),
+            "kg_stages_base": kg_stages_lo,
+            "kg_stages_scaled": kg_stages_hi,
             "hardware_ceiling_base": round(hw_lo, 1),
             "hardware_ceiling_scaled": round(hw_hi, 1),
             "hardware_ceiling_efficiency": round(hw_eff, 3),
