@@ -344,14 +344,18 @@ def connected_components(
         # star round costs ONE job (plan truncation + convergence check
         # together) instead of two
         e = e.localCheckpoint(eager=False)
-        if e0 is not None:
-            e0.unpersist()  # checkpoint materialized; the input cache is dead weight
-            e0 = None
 
         checksum = e.agg(
             F.count(F.lit(1)).alias("c"),
             F.sum(F.hash("src", "dst").cast("long")).alias("s"),
         ).collect()[0]
+        if e0 is not None:
+            # only NOW is the lazy checkpoint materialized (by the checksum
+            # job above) — unpersisting the input cache any earlier forces
+            # that first job to recompute the edge pipeline from upstream
+            # lineage (correct but a silent first-round recompute)
+            e0.unpersist()
+            e0 = None
         cur = (checksum["c"], checksum["s"])
         if cur == prev_checksum:
             break

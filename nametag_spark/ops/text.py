@@ -45,12 +45,16 @@ def spread_small_input(df: DataFrame, min_splits: int | None = None) -> DataFram
     if not files or len(files) >= min_splits:
         return df
     # inputFiles() sees through transformations, so don't re-shuffle inputs
-    # the caller already repartitioned or cached (the logical plan is a
-    # driver-side object; no job is triggered)
+    # the caller already repartitioned or cached (the plan is a driver-side
+    # object; no job is triggered). Use withCachedData — the ANALYZED plan
+    # with cached subtrees substituted — so a select() over a cached parent
+    # (exactly what recognize_df builds) shows its InMemoryRelation; the raw
+    # unanalyzed plan of such a child shows neither marker and a cached
+    # input would eat an extra repartition shuffle.
     try:
         if df.storageLevel.useMemory or df.storageLevel.useDisk:
             return df
-        plan = df._jdf.queryExecution().logical().toString()
+        plan = df._jdf.queryExecution().withCachedData().toString()
         if "Repartition" in plan or "InMemoryRelation" in plan:
             return df
     except Exception:  # pragma: no cover - plan introspection best-effort

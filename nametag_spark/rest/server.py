@@ -225,11 +225,25 @@ class _Handler(BaseHTTPRequestHandler):
         )
         chunk((head[:-1] + ',"result":"').encode("utf-8"))
         self.wfile.flush()
-        for frag in fragments:
-            if frag:
-                # json-escape, strip the surrounding quotes
-                chunk(json.dumps(frag, ensure_ascii=False)[1:-1].encode("utf-8"))
+        try:
+            for frag in fragments:
+                if frag:
+                    # json-escape, strip the surrounding quotes
+                    chunk(json.dumps(frag, ensure_ascii=False)[1:-1].encode("utf-8"))
+                    self.wfile.flush()
+        except Exception:
+            # headers + part of the chunked 200 body are already on the
+            # wire: a fresh 500 status line here would corrupt the response
+            # and desync the keep-alive connection. Abort the chunked stream
+            # by closing the socket WITHOUT the terminating 0-chunk — the
+            # client sees a truncated transfer (an unambiguous error), and
+            # the connection cannot be reused for a desynced request.
+            self.close_connection = True
+            try:
                 self.wfile.flush()
+            except OSError:
+                pass
+            return
         chunk(b'"}')
         self.wfile.write(b"0\r\n\r\n")
         self.wfile.flush()
