@@ -65,7 +65,7 @@ def _parse_conll_spans(lines):
 
 def reference_agreement(spark) -> dict:
     """North-rule 'vs the reference' gates: the committed reference-trained
-    model.ner decoded by THIS engine (distributed) over the 500-conversation
+    model.ner decoded by THIS engine (distributed) over the 2000-conversation
     eval corpus, scored against the committed compiled-run_ner output
     (fixtures/ref_agreement/, regenerable via scripts/gen_ref_agreement.py)."""
     import gzip
@@ -83,7 +83,7 @@ def reference_agreement(spark) -> dict:
     with open(os.path.join(base, "model.ner"), "rb") as f:
         blob = f.read()
 
-    tdf, _ = synth_transcripts(n_conversations=500, seed=20260816)
+    tdf, _ = synth_transcripts(n_conversations=2000, seed=20260816)
     transcripts = spark.createDataFrame(tdf)
     sent_index = []  # sid -> (conv_id, turn_idx, sent_idx, forms)
     for row in tdf.itertuples(index=False):
@@ -273,7 +273,7 @@ def main() -> None:
             "memorized forms.\n"
             "\nThe vs-REFERENCE rows score THIS ENGINE's distributed decode of the\n"
             "committed reference-trained `fixtures/ref_agreement/model.ner` against\n"
-            "the compiled reference run_ner's own output on the same 500-conversation\n"
+            "the compiled reference run_ner's own output on the same 2000-conversation\n"
             "corpus (~50k tokens; regenerate with scripts/gen_ref_agreement.py), and\n"
             "the triples each mention set yields through the same KG rules — the\n"
             "north rule's 'matches the reference's emitted triples' measured\n"

@@ -1,5 +1,5 @@
 """NER decode-parity fuzz goldens: run the compiled reference run_ner over
-deterministic ~800-sentence corpora for each MorphoDiTa fixture model
+deterministic ~10k-sentence corpora for each MorphoDiTa fixture model
 (generic / czech / english) and commit the outputs. The corpora mix
 dictionary forms, inflections, guesser-eligible OOV words, numbers and
 punctuation — stressing the whole morpho+NER lattice far beyond the
@@ -46,7 +46,7 @@ POOLS = {
 EXTRAS = ["42", "3.14", "1990", ".", ",", "-", "+"]
 
 
-def sentences(lang: str, n: int = 800):
+def sentences(lang: str, n: int = 10000):
     rng = random.Random(f"nerfuzz:{lang}")
     pool = POOLS[lang]
     out = []

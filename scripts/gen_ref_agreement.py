@@ -36,7 +36,7 @@ URLEmailDetector/1 URL EMAIL
 """
 
 TRAIN_SEED, TRAIN_CONVS = 42, 200
-EVAL_SEED, EVAL_CONVS = 20260816, 500
+EVAL_SEED, EVAL_CONVS = 20260816, 2000
 
 
 def eval_vertical() -> str:
