@@ -293,20 +293,26 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    max_rows_bruteforce: int = 20000,
+    max_rows_bruteforce: int | None = 20000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
     Brute-force self-join (exact) — intended for per-bucket use at scale;
     callers shard by an IVF/LSH bucket first (see ops.similarity). The row
     cap guards accidental quadratic blowups and raises instead of silently
-    truncating."""
-    n = df.count()
-    if n > max_rows_bruteforce:
-        raise ValueError(
-            f"{n} rows exceed brute-force cap {max_rows_bruteforce}; "
-            "bucket the input first (ops.similarity.ivf_assign)"
-        )
+    truncating. The guard is a LIMIT cap+1 existence probe (scans at most
+    cap+1 rows, stopping early) rather than a full count, and
+    max_rows_bruteforce=None disables the probe entirely for callers that
+    already bounded the input (e.g. the sharded IVF composition calling
+    once per bucket inside a loop: one job per bucket adds up)."""
+    if max_rows_bruteforce is not None:
+        over = df.limit(max_rows_bruteforce + 1).count()
+        if over > max_rows_bruteforce:
+            raise ValueError(
+                f"input exceeds brute-force cap {max_rows_bruteforce}; "
+                "bucket the input first (ops.similarity.ivf_assign) or pass "
+                "max_rows_bruteforce=None if the input is already bounded"
+            )
     v = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
