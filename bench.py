@@ -426,16 +426,25 @@ def main() -> None:
     hw_eff = (hw_hi / hw_lo) / 4.0
     log(f"hardware ceiling: {hw_lo:.0f} -> {hw_hi:.0f} turns/s, eff {hw_eff:.3f}")
 
+    # headline value = sum of per-query MEDIANS — comparable to earlier
+    # rounds' single-run totals (raw wall time now includes the median-of-N
+    # repetitions and is reported separately)
     result = {
         "metric": "headline_suite_seconds",
-        "value": round(total, 3),
+        "value": round(sum(timings.values()), 3),
+        "wall_seconds": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        # per-query (max-min)/median over the repeated runs; >0.10 marks the
-        # measurement window as contaminated by host noise
+        # per-query (max-min)/median over the repeated runs. The
+        # contamination flag weighs only queries with median >= 2s: for
+        # sub-second queries the dispersion is dominated by per-job Spark
+        # scheduling jitter (tens of ms on a ~0.3s query), not host load,
+        # and would trip the flag in perfectly healthy windows.
         "queries_spread": spreads,
-        "window_contaminated": bool(
-            spreads and max(spreads.values()) > 0.10
+        "window_contaminated": any(
+            spread > 0.10
+            for name, spread in spreads.items()
+            if timings.get(name, 0) >= 2.0
         ),
         "sf": sf,
         "n_turns": n_turns,
@@ -453,6 +462,19 @@ def main() -> None:
             "kg_raw_efficiency": round(kg_raw_efficiency, 3),
             "kg_stages_base": kg_stages_lo,
             "kg_stages_scaled": kg_stages_hi,
+            # per-stage marginal efficiency from the breakdowns:
+            # (Δt_base / Δt_scaled) / 4 across the two corpus sizes. At
+            # 10^12 turns the marginal cost IS the cost, and ner dominates
+            # it — the resolve phase is corpus-constant (distinct surfaces)
+            "kg_stage_marginal_efficiency": {
+                stage: round(
+                    (kg_stages_lo[-1][stage] - kg_stages_lo[0][stage])
+                    / max(kg_stages_hi[-1][stage] - kg_stages_hi[0][stage], 1e-6)
+                    / 4.0,
+                    3,
+                )
+                for stage in ("ner", "triples")
+            },
             "hardware_ceiling_base": round(hw_lo, 1),
             "hardware_ceiling_scaled": round(hw_hi, 1),
             "hardware_ceiling_efficiency": round(hw_eff, 3),

@@ -170,7 +170,7 @@ def main() -> None:
     spark = get_spark(app_name="nametag_spark_eval")
     model_dir = entry._model_dir()
 
-    tdf, gdf = synth_transcripts(n_conversations=120, seed=20260816)
+    tdf, gdf = synth_transcripts(n_conversations=500, seed=20260816)
     transcripts = spark.createDataFrame(tdf)
     gold_mentions = spark.createDataFrame(gdf)
 
@@ -249,7 +249,7 @@ def main() -> None:
         f.write(
             "# EVAL — north-rule gates (span F1, triple P/R)\n\n"
             "Produced by `python eval_report.py`: the standard entry model on\n"
-            "120 fresh seeded conversations (seed 20260816, disjoint from the\n"
+            "500 fresh seeded conversations (seed 20260816, disjoint from the\n"
             "training seeds); exact span+type matching per the reference\n"
             "protocol; triple target = the same KG rules applied to the gold\n"
             "mention table.\n\n"
@@ -274,7 +274,7 @@ def main() -> None:
             "\nThe vs-REFERENCE rows score THIS ENGINE's distributed decode of the\n"
             "committed reference-trained `fixtures/ref_agreement/model.ner` against\n"
             "the compiled reference run_ner's own output on the same 2000-conversation\n"
-            "corpus (~50k tokens; regenerate with scripts/gen_ref_agreement.py), and\n"
+            "corpus (~200k tokens; regenerate with scripts/gen_ref_agreement.py), and\n"
             "the triples each mention set yields through the same KG rules — the\n"
             "north rule's 'matches the reference's emitted triples' measured\n"
             "directly against the reference binary.\n"
