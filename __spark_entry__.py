@@ -1275,6 +1275,81 @@ def q_tagset_convert(spark, sf_dir):
     )
 
 
+def _morpho_generate_rows():
+    """Golden rows of the compiled reference's morpho generation
+    (morpho_tools `generate` over fixtures/morphodita/generate_golden.tsv),
+    filtered to the czech fuzz dict with no converter: (wildcard, query,
+    status, lemma, form, tag); rows with no generated forms carry empty
+    lemma/form/tag."""
+    rows = []
+    path = os.path.join(_REPO_ROOT, "fixtures", "morphodita", "generate_golden.tsv")
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if parts[0] != "fuzz_cs_deriv.dict" or parts[1] != "none":
+                continue
+            wc, query, status = parts[2], parts[3], int(parts[4])
+            if len(parts) > 5:
+                rows.append((wc, query, status, parts[5], parts[6], parts[7]))
+            else:
+                rows.append((wc, query, status, "", "", ""))
+    return rows
+
+
+def q_morpho_generate(spark, sf_dir):
+    """Morphological GENERATION (run_morpho's other half —
+    morpho_dictionary.h:199-246, czech_morpho.cpp:119-134): lemma + tag
+    wildcard -> inflected (form, tag) table, distributed over the czech
+    fuzz dict; oracle = the compiled reference's own generate output
+    (homonym-id matching, `_,x` non-generatable comments, tag-wildcard
+    filters all pinned)."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    with open(os.path.join(_REPO_ROOT, "fixtures", "morphodita", "fuzz_cs_deriv.dict"), "rb") as fh:
+        blob = fh.read()
+    queries = []
+    seen = set()
+    for wc, query, _s, _l, _f, _t in _morpho_generate_rows():
+        if (wc, query) not in seen:
+            seen.add((wc, query))
+            queries.append((wc, query))
+    df = spark.createDataFrame(queries, ["wildcard", "query"])
+
+    def fn(batches):
+        import io
+
+        from nametag_spark.morpho.morphodita import GUESSER, load_morpho
+
+        m = load_morpho(io.BytesIO(blob))
+        for pdf in batches:
+            rows = {"wildcard": [], "query": [], "status": [], "lemma": [], "form": [], "tag": []}
+            for wc, query in zip(pdf["wildcard"], pdf["query"]):
+                status, groups = m.generate(query, wc, GUESSER)
+                emitted = False
+                for gl, forms in groups:
+                    for form, tag in forms:
+                        rows["wildcard"].append(wc)
+                        rows["query"].append(query)
+                        rows["status"].append(status)
+                        rows["lemma"].append(gl)
+                        rows["form"].append(form)
+                        rows["tag"].append(tag)
+                        emitted = True
+                if not emitted:
+                    rows["wildcard"].append(wc)
+                    rows["query"].append(query)
+                    rows["status"].append(status)
+                    rows["lemma"].append("")
+                    rows["form"].append("")
+                    rows["tag"].append("")
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        fn, "wildcard string, query string, status int, lemma string, form string, tag string"
+    )
+
+
 def _model_tokenizer_rows():
     """(text_id, sent_idx, tok_idx, form, label) rows of the compiled
     reference run_ner on fixtures/morphodita/model_tokenizer_input_cs.txt
@@ -1871,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morphodita_ner_mentions": q_morphodita_ner_mentions,
         "model_driven_tokenize": q_model_driven_tokenize,
         "tagset_convert": q_tagset_convert,
+        "morpho_generate": q_morpho_generate,
         "morphodita_derivator": q_morphodita_derivator,
         "emergency_split_fixture": q_emergency_split_fixture,
         "vertical_reader_fixture": q_vertical_reader_fixture,
@@ -2155,6 +2231,11 @@ def oracle_sql() -> dict[str, str]:
                 for row in globals()[gold]
             ],
             ["family", "sent_id", "tok_start", "tok_len", "type"],
+        ),
+        "morpho_generate": "SELECT * FROM "
+        + _values_sql(
+            _morpho_generate_rows(),
+            ["wildcard", "query", "status", "lemma", "form", "tag"],
         ),
         "tagset_convert": "SELECT * FROM "
         + _values_sql(

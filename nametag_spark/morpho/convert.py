@@ -36,6 +36,35 @@ def _unique_analyzed(tagged):
     return out
 
 
+def _unique_generated(groups):
+    """tagset_converter.cpp:58-87 tagset_converter_unique_generated,
+    including the swap-with-last removal order (it determines the surviving
+    group order) and the sort-only-when-merged rule. groups: mutable list
+    of [lemma, [(form, tag), ...]]."""
+    i = 0
+    while i < len(groups):
+        any_merged = False
+        j = len(groups) - 1
+        while j > i:
+            if groups[j][0] == groups[i][0]:
+                groups[i][1].extend(groups[j][1])
+                if j < len(groups) - 1:
+                    groups[j] = groups[len(groups) - 1]
+                groups.pop()
+                any_merged = True
+            j -= 1
+        if any_merged and len(groups[i][1]) > 1:
+            dedup = []
+            last = None
+            for ft in sorted(groups[i][1], key=lambda ft: (ft[1], ft[0])):
+                if ft != last:
+                    dedup.append(ft)
+                    last = ft
+            groups[i][1] = dedup
+        i += 1
+    return groups
+
+
 class IdentityConverter:
     """identity_tagset_converter.cpp — no conversion, no dedup."""
 
@@ -44,6 +73,9 @@ class IdentityConverter:
 
     def convert_analyzed(self, tagged):
         return list(tagged)
+
+    def convert_generated(self, groups):
+        return [(lemma, list(forms)) for lemma, forms in groups]
 
 
 class PdtToConll2009Converter:
@@ -77,6 +109,21 @@ class PdtToConll2009Converter:
             return out
         return _unique_analyzed(out)
 
+    def convert_generated(self, groups):
+        """pdt_to_conll2009_tagset_converter.cpp:69-82: every form's tag is
+        converted with the GROUP's (pre-truncation) lemma, then the lemma
+        truncates; dedup only when a lemma changed and >= 2 groups."""
+        out = []
+        lemma_changed = False
+        for lemma, forms in groups:
+            nf = [(form, self.convert(lemma, tag)[1]) for form, tag in forms]
+            nl = lemma[: _czech_raw_lemma_len(lemma)]
+            lemma_changed = lemma_changed or nl != lemma
+            out.append([nl, nf])
+        if not lemma_changed or len(out) < 2:
+            return [(l, f) for l, f in out]
+        return [(l, f) for l, f in _unique_generated(out)]
+
 
 class _StripConverter:
     """Common body of strip_lemma_id / strip_lemma_comment converters
@@ -102,6 +149,17 @@ class _StripConverter:
         if not lemma_changed or len(out) < 2:
             return out
         return _unique_analyzed(out)
+
+    def convert_generated(self, groups):
+        out = []
+        lemma_changed = False
+        for lemma, forms in groups:
+            nl = lemma[: self._len(lemma)]
+            lemma_changed = lemma_changed or nl != lemma
+            out.append([nl, list(forms)])
+        if not lemma_changed or len(out) < 2:
+            return [(l, f) for l, f in out]
+        return [(l, f) for l, f in _unique_generated(out)]
 
 
 class StripLemmaIdConverter(_StripConverter):

@@ -123,14 +123,20 @@ def _pmap_value_map(buckets) -> dict:
 # morpho dictionary (morpho_dictionary.h load + analyze)
 # --------------------------------------------------------------------------
 class MdDictionary:
-    __slots__ = ("roots", "roots_max_len", "tags", "suffixes", "suffix_max_len")
+    __slots__ = ("roots", "roots_max_len", "tags", "suffixes", "suffix_max_len",
+                 "lemmas_map", "class_suffixes", "format_addinfo")
 
-    def __init__(self, roots, roots_max_len, tags, suffixes, suffix_max_len):
+    def __init__(self, roots, roots_max_len, tags, suffixes, suffix_max_len,
+                 lemmas_map, class_suffixes, format_addinfo):
         self.roots = roots              # bytes -> [(class, lemma_str)]
         self.roots_max_len = roots_max_len
         self.tags = tags                # [str]
         self.suffixes = suffixes        # bytes -> (classes, indices, tags) or None (closure key)
         self.suffix_max_len = suffix_max_len
+        # generation-side structures (morpho_dictionary.h:199-246):
+        self.lemmas_map = lemmas_map    # raw-lemma bytes -> [(info bytes, [(root bytes, clas)])]
+        self.class_suffixes = class_suffixes  # clas -> [(suffix bytes, (tag ids))]
+        self.format_addinfo = format_addinfo
 
     @classmethod
     def load(cls, d: _Decoder, format_addinfo) -> "MdDictionary":
@@ -142,12 +148,14 @@ class MdDictionary:
             d.u4()
 
         roots: dict = {}
+        lemmas_map: dict = {}
         lemma = b""
         for _ in range(d.u4()):
             drop = d.u1()
             lemma = lemma[: len(lemma) - drop] + bytes(d.raw(d.u1()))
             info = bytes(d.raw(d.u1()))
             lemma_str = lemma.decode("utf-8") + format_addinfo(info)
+            lemma_roots = []
             root = lemma
             for _r in range(d.u1()):
                 ops = d.u1()
@@ -161,6 +169,10 @@ class MdDictionary:
                     root = root + bytes(d.raw(d.u1()))
                 clas = d.u2()
                 roots.setdefault(root, []).append((clas, lemma_str))
+                lemma_roots.append((root, clas))
+            # lemmas trie entry: multiple entries per raw lemma (homonyms)
+            # in stream order (morpho_dictionary.h:72-79)
+            lemmas_map.setdefault(lemma, []).append((info, lemma_roots))
 
         tags = []
         for _ in range(d.u2()):
@@ -175,6 +187,7 @@ class MdDictionary:
 
         buckets = _load_pmap_buckets(d)
         suffixes: dict = {}
+        class_suffixes: list = []
         for key, _length, e in _pmap_items(buckets, skip):
             cl = e.u2()
             classes = struct.unpack_from("<%dH" % cl, e.data, e.pos)
@@ -185,7 +198,47 @@ class MdDictionary:
             stags = struct.unpack_from("<%dH" % ntags, e.data, e.pos)
             if key not in suffixes:
                 suffixes[key] = (classes, indices + (ntags,), stags) if cl else None
-        return cls(roots, roots_max_len, tags, suffixes, len(buckets))
+            # classes[clas] built in iter_all data order
+            # (morpho_dictionary.h:138-153)
+            full_indices = indices + (ntags,)
+            for i in range(cl):
+                c = classes[i]
+                while len(class_suffixes) <= c:
+                    class_suffixes.append([])
+                class_suffixes[c].append((key, stags[full_indices[i] : full_indices[i + 1]]))
+        return cls(roots, roots_max_len, tags, suffixes, len(buckets),
+                   lemmas_map, class_suffixes, format_addinfo)
+
+    def generate(self, lemma: str, filt, addinfo, out: list) -> bool:
+        """morpho_dictionary.h:199-246 — appends
+        (lemma_string, [(form, tag), ...]) groups to `out` for every
+        dictionary entry whose raw lemma + lemma id match `lemma`; returns
+        whether any entry matched (even if the filter kept no forms)."""
+        lb = lemma.encode("utf-8")
+        raw_len, data = addinfo.parse(lb)
+        matched = False
+        tags = self.tags
+        class_suffixes = self.class_suffixes
+        for info, lemma_roots in self.lemmas_map.get(lb[:raw_len], ()):
+            if addinfo.match_lemma_id(data, info) and addinfo.generatable(info):
+                matched = True
+                forms = None
+                for root, clas in lemma_roots:
+                    suffs = class_suffixes[clas] if clas < len(class_suffixes) else ()
+                    for suffix, tag_ids in suffs:
+                        rws = None
+                        for t in tag_ids:
+                            tag = tags[t]
+                            if filt.matches(tag):
+                                if forms is None:
+                                    forms = []
+                                    out.append(
+                                        (lb[:raw_len].decode("utf-8") + self.format_addinfo(info), forms)
+                                    )
+                                if rws is None:
+                                    rws = (root + suffix).decode("utf-8")
+                                forms.append((rws, tag))
+        return matched
 
     def analyze(self, form: str, out: list) -> None:
         """morpho_dictionary.h:156-196 — appends (lemma, tag) in the exact
@@ -227,6 +280,117 @@ class MdDictionary:
 
 
 _MISSING = object()
+
+
+# --------------------------------------------------------------------------
+# lemma addinfo (generation side): byte-level parse / match / generatable
+# mirroring {czech,english,generic}_lemma_addinfo.h — the analyze-side
+# helpers operate on str, but generation keys the lemmas trie by BYTES
+# --------------------------------------------------------------------------
+class _GenericAddinfo:
+    """generic_lemma_addinfo.h — no addinfo at all."""
+
+    @staticmethod
+    def parse(lemma: bytes):
+        return len(lemma), b""
+
+    @staticmethod
+    def match_lemma_id(data, info):
+        return True
+
+    @staticmethod
+    def generatable(info):
+        return True
+
+
+class _CzechAddinfo:
+    """czech_lemma_addinfo.h:85-143 (parse/match) + :75-81 (generatable)."""
+
+    @staticmethod
+    def parse(lemma: bytes):
+        n = len(lemma)
+        raw_len = n
+        for k in range(1, n):
+            b = lemma[k]
+            if b in (0x60, 0x5F) or (  # ` _
+                b == 0x2D and k + 1 < n and 0x30 <= lemma[k + 1] <= 0x39
+            ):
+                raw_len = k
+                break
+        if raw_len == n:
+            return raw_len, b""
+        lemma_num = 255
+        pos = raw_len
+        if lemma[pos] == 0x2D:  # '-'
+            lemma_num = 0
+            pos += 1
+            start = pos
+            while pos < n and 0x30 <= lemma[pos] <= 0x39:
+                lemma_num = 10 * lemma_num + (lemma[pos] - 0x30)
+                pos += 1
+            if pos == start or (pos < n and lemma[pos] not in (0x60, 0x5F)) or lemma_num >= 255:
+                lemma_num = 255
+        data = bytes([lemma_num]) + lemma[pos:]
+        return raw_len, data[:255]
+
+    @staticmethod
+    def match_lemma_id(data, info):
+        if not data:
+            return True
+        if data[0] != 255 and (not info or info[0] != data[0]):
+            return False
+        return True
+
+    @staticmethod
+    def generatable(info):
+        # a '_,x' technical-lemma marker anywhere past position 0 blocks it
+        for i in range(1, len(info) - 2):
+            if info[i : i + 3] == b"_,x":
+                return False
+        return True
+
+
+class _EnglishAddinfo:
+    """english_lemma_addinfo.h:34-83."""
+
+    @staticmethod
+    def parse(lemma: bytes):
+        n = len(lemma)
+        raw_len = n
+        for k in range(1, n):
+            b = lemma[k]
+            if k + 1 == n and b in (0x5E, 0x2B):  # ^ +
+                raw_len = k
+                break
+            if k + 1 < n and b == 0x5E:
+                ok = True
+                for i in range(k + 1, n):
+                    c = lemma[i]
+                    if not (
+                        0x41 <= c <= 0x5A
+                        or 0x61 <= c <= 0x7A
+                        or (i > k + 1 and c == 0x2D)
+                    ):
+                        ok = False
+                        break
+                if ok:
+                    raw_len = k
+                    break
+        return raw_len, lemma[raw_len:]
+
+    @staticmethod
+    def match_lemma_id(data, info):
+        if not data:
+            return True
+        if data == b"^":
+            return len(info) > 0 and info[0] == 0x5E
+        if data == b"+":
+            return len(info) == 0
+        return data == info
+
+    @staticmethod
+    def generatable(info):
+        return True
 
 
 # --------------------------------------------------------------------------
@@ -439,6 +603,15 @@ class GenericMorpho:
 
     def raw_form_len(self, form: str) -> int:
         return len(form)
+
+    def generate(self, lemma: str, tag_wildcard: str, guesser_mode: int):
+        """generic_morpho.cpp:97-108 -> (status, [(lemma, [(form, tag)])]).
+        status NO_GUESSER when the dictionary matched, -1 otherwise."""
+        out: list = []
+        filt = _TagFilter(tag_wildcard or "")
+        if lemma and self.dictionary.generate(lemma, filt, _GenericAddinfo, out):
+            return NO_GUESSER, out
+        return -1, out
 
     def analyze(self, form: str, guesser_mode: int) -> list:
         """generic_morpho.cpp:60-96; returns non-empty (lemma, tag) list."""
@@ -675,6 +848,17 @@ class CzechMorpho:
     def raw_form_len(self, form: str) -> int:
         return len(form)
 
+    def generate(self, lemma: str, tag_wildcard: str, guesser_mode: int):
+        """czech_morpho.cpp:119-134. The reference's prefix-guesser
+        generation is itself an unimplemented stub
+        (morpho_prefix_guesser.h generate -> false), so the dictionary is
+        the entire surface under GUESSER too."""
+        out: list = []
+        filt = _TagFilter(tag_wildcard or "")
+        if lemma and self.dictionary.generate(lemma, filt, _CzechAddinfo, out):
+            return NO_GUESSER, out
+        return -1, out
+
     def _analyze_special(self, form: str, out: list) -> None:
         """czech_morpho.cpp:167-200 — number, else punctuation by FIRST char
         (additional table ∪ category P minus exceptions)."""
@@ -792,6 +976,14 @@ class EnglishMorpho:
 
     def raw_form_len(self, form: str) -> int:
         return len(form)
+
+    def generate(self, lemma: str, tag_wildcard: str, guesser_mode: int):
+        """english_morpho.cpp:69-80 (guesser never generates)."""
+        out: list = []
+        filt = _TagFilter(tag_wildcard or "")
+        if lemma and self.dictionary.generate(lemma, filt, _EnglishAddinfo, out):
+            return NO_GUESSER, out
+        return -1, out
 
     def _analyze_special(self, form: str, out: list) -> None:
         """english_morpho.cpp:98-184 — 1-char exceptions, numbers (incl.

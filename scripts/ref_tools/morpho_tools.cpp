@@ -258,6 +258,43 @@ int main(int argc, char* argv[]) {
     return 0;
   }
 
+  if (cmd == "generate") {
+    // generate <dict> <converter|none> <use_guesser 0|1> < "lemma[\twildcard]" lines
+    // prints "lemma\tstatus\tout_lemma\tform\ttag" per generated form (one
+    // "lemma\tstatus" line when nothing generates), blank line per query —
+    // golden generator for MdDictionary.generate + convert_generated
+    if (argc < 5) return usage();
+    unique_ptr<morpho> m(morpho::load(argv[2]));
+    if (!m) { cerr << "cannot load morpho" << endl; return 1; }
+    string conv_name = argv[3];
+    unique_ptr<tagset_converter> conv;
+    if (conv_name == "identity") conv.reset(tagset_converter::new_identity_converter());
+    else if (conv_name != "none") {
+      conv.reset(new_tagset_converter(conv_name, *m));
+      if (!conv) { cerr << "bad converter " << conv_name << endl; return 1; }
+    }
+    auto mode = stoi(argv[4]) ? morpho::GUESSER : morpho::NO_GUESSER;
+    string line;
+    vector<tagged_lemma_forms> forms;
+    while (getline(cin, line)) {
+      string lemma = line, wildcard;
+      auto tab = line.find('\t');
+      if (tab != string::npos) { lemma = line.substr(0, tab); wildcard = line.substr(tab + 1); }
+      int res = m->generate(string_piece(lemma.c_str(), lemma.size()),
+                            wildcard.empty() ? nullptr : wildcard.c_str(), mode, forms);
+      if (conv) conv->convert_generated(forms);
+      bool any = false;
+      for (auto&& lf : forms)
+        for (auto&& tf : lf.forms) {
+          cout << lemma << '\t' << res << '\t' << lf.lemma << '\t' << tf.form << '\t' << tf.tag << '\n';
+          any = true;
+        }
+      if (!any) cout << lemma << '\t' << res << '\n';
+      cout << '\n';
+    }
+    return 0;
+  }
+
   if (cmd == "tag") {
     if (argc < 3) return usage();
     unique_ptr<tagger> t(tagger::load(argv[2]));

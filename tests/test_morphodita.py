@@ -476,3 +476,50 @@ def test_derivation_formatter_scalar_api():
     assert m.derinet.parent(climbed) is None
     assert new_derivation_formatter("root", None) is None
     assert new_derivation_formatter("bogus", m.derinet) is None
+
+
+def test_morpho_generate_parity():
+    """Dictionary GENERATION (morpho_dictionary.h:199-246 +
+    {czech,english,generic}_morpho::generate) vs the compiled reference:
+    fixtures/morphodita/generate_golden.tsv holds morpho_tools `generate`
+    output for every (dict, converter, wildcard, lemma) combo — czech
+    homonym ids / `_,x` non-generatable comments / tag-wildcard filters /
+    convert_generated's merge+dedup order all pinned."""
+    import collections
+
+    from nametag_spark.morpho.morphodita import load_morpho, GUESSER
+    from nametag_spark.morpho.convert import IdentityConverter, new_tagset_converter
+
+    golden = collections.defaultdict(list)
+    with open(os.path.join(FIX, "generate_golden.tsv"), encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            dictfile, conv_name, wc, lemma, status = parts[:5]
+            rest = tuple(parts[5:])
+            golden[(dictfile, conv_name, wc)].append((lemma, int(status), rest))
+    by_dict = {}
+    for (dictfile, conv_name, wc), rows in golden.items():
+        m = by_dict.get(dictfile)
+        if m is None:
+            with open(os.path.join(FIX, dictfile), "rb") as f:
+                m = by_dict[dictfile] = load_morpho(f)
+        conv = (
+            IdentityConverter()
+            if conv_name == "identity"
+            else (new_tagset_converter(conv_name, m) if conv_name != "none" else None)
+        )
+        per_query = collections.defaultdict(list)
+        order = []
+        for lemma, status, rest in rows:
+            if lemma not in per_query:
+                order.append(lemma)
+            per_query[lemma].append((status, rest))
+        for lemma in order:
+            status, groups = m.generate(lemma, wc, GUESSER)
+            if conv is not None:
+                groups = conv.convert_generated(groups)
+            got = [(status, (gl, form, tag)) for gl, forms in groups for form, tag in forms]
+            if not got:
+                got = [(status, ())]
+            want = [(s, r) for s, r in per_query[lemma]]
+            assert got == want, (dictfile, conv_name, wc, lemma, got[:4], want[:4])
