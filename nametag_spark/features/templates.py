@@ -785,6 +785,7 @@ class GazetteersEnhanced(FeatureProcessor):
         raws = sent.get_raw_lemmas() if mode == "rawlemma" else None
         sources = [None] * n
         firsts = [None] * n
+        summaries = [None] * n
         for i in range(n):
             form = forms[i]
             if mode == "form":
@@ -802,22 +803,71 @@ class GazetteersEnhanced(FeatureProcessor):
                 if len(cache) > 200_000:
                     cache.clear()
                 srcs = tuple(self._recase_match_source(form, native=False, texts=texts))
-                e = cache[key] = (srcs, self._frontier_step((0,), srcs))
+                first = self._frontier_step((0,), srcs)
+                e = cache[key] = (srcs, first, self._first_summary(first))
             sources[i] = e[0]
             firsts[i] = e[1]
-        v = memo[id(self)] = (sources, firsts)
+            summaries[i] = e[2]
+        v = memo[id(self)] = (sources, firsts, summaries)
         return v
+
+    def _first_summary(self, first):
+        """Precompiled single-token outcome of a root trie step: (ordered
+        deduped feature values as the j==i loop would append them, best
+        HARD_PRE node for a length-1 match, whether any node has children
+        so a multi-token match could continue). None when the step is dead."""
+        if not first:
+            return None
+        span = 2 * self.window + 1
+        vals = []
+        hard_pre_node = None
+        has_children = False
+        for node in first:
+            t = self.trie[node]
+            if t["children"]:
+                has_children = True
+            if t["mode"] == self.HARD_PRE and (hard_pre_node is None or node < hard_pre_node):
+                hard_pre_node = node
+            for feature in t["features"]:
+                # j == i: btype is U(=4); G block always (the same
+                # _append_unless_exists order as the general walk)
+                a = feature + self.G * span
+                b = feature + 4 * span
+                if a not in vals:
+                    vals.append(a)
+                if b not in vals:
+                    vals.append(b)
+        return (vals, hard_pre_node, has_children)
 
     def process_sentence(self, sent, total=None):
         T = sent.size
         feats = None
-        sources, firsts = self._sentence_sources(sent)
+        sources, firsts, summaries = self._sentence_sources(sent)
         span = 2 * self.window + 1
 
         for i in range(T):
-            if not firsts[i]:
+            summary = summaries[i]
+            if summary is None:
                 # root step dead: no match can START here (the dominant
                 # case) — the while loop below would exit after one probe
+                continue
+            if not summary[2]:
+                # no node has children: only a single-token match is
+                # possible, fully described by the precompiled summary
+                vals, hp_node, _hc = summary
+                if vals:
+                    if feats is None:
+                        feats = [[] for _ in range(T)]
+                    fl = feats[i]
+                    for v2 in vals:
+                        if v2 not in fl:
+                            fl.append(v2)
+                if hp_node is not None and not sent.local_filled[i]:
+                    sent.local[i, :] = 0.0
+                    sent.local_ent[i, :] = ENTITY_UNKNOWN
+                    sent.local[i, BILOU_U] = 1.0
+                    sent.local_ent[i, BILOU_U] = self.trie[hp_node]["entity"]
+                    sent.local_filled[i] = True
                 continue
             hard_pre_length = 0
             hard_pre_node = None
@@ -890,7 +940,7 @@ class GazetteersEnhanced(FeatureProcessor):
         """
         if not getattr(self, "_has_hard_post", True):
             return
-        sources, firsts = self._sentence_sources(sent)
+        sources, firsts, _summaries = self._sentence_sources(sent)
         buffer = []
         entity_until = 0
         e = 0

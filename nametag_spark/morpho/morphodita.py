@@ -1391,15 +1391,28 @@ class GenericElementaryFeatures(_ElementaryBase):
         return v
 
     def per_form(self, forms, analyses, per_tag):
-        """compute_features per-form pass (reverse order for FollowingVerb*)."""
+        """compute_features per-form pass (reverse order for FollowingVerb*).
+
+        The complete vector is a pure function of (form, ambiguity,
+        following_tag, following_lemma), so it is cached and the SAME list
+        object reused across tokens/sentences — consumers only read it."""
         n = len(forms)
         out = [None] * n
+        cache = getattr(self, "_per_form_cache", None)
+        if cache is None:
+            cache = self._per_form_cache = {}
         following_tag = following_lemma = _EF_EMPTY
         for i in range(n - 1, -1, -1):
             verb = self._verb_index(forms[i], analyses[i])
-            vals = self._form_static(forms[i], len(analyses[i]) == 1).copy()
-            vals[1] = following_tag
-            vals[2] = following_lemma
+            key = (forms[i], len(analyses[i]) == 1, following_tag, following_lemma)
+            vals = cache.get(key)
+            if vals is None:
+                if len(cache) > 200_000:
+                    cache.clear()
+                vals = self._form_static(key[0], key[1]).copy()
+                vals[1] = following_tag
+                vals[2] = following_lemma
+                cache[key] = vals
             out[i] = vals
             if verb >= 0:
                 following_tag = per_tag[i][verb][self.TAG_SLOT]
@@ -1567,12 +1580,21 @@ class ConlluElementaryFeatures(GenericElementaryFeatures):
     def per_form(self, forms, analyses, per_tag):
         n = len(forms)
         out = [None] * n
+        cache = getattr(self, "_per_form_cache", None)
+        if cache is None:
+            cache = self._per_form_cache = {}
         following_tag = following_form = _EF_EMPTY
         for i in range(n - 1, -1, -1):
             verb = self._verb_index(forms[i], analyses[i])
-            vals = self._form_static(forms[i], len(analyses[i]) == 1).copy()
-            vals[1] = following_tag
-            vals[2] = following_form
+            key = (forms[i], len(analyses[i]) == 1, following_tag, following_form)
+            vals = cache.get(key)
+            if vals is None:
+                if len(cache) > 200_000:
+                    cache.clear()
+                vals = self._form_static(key[0], key[1]).copy()
+                vals[1] = following_tag
+                vals[2] = following_form
+                cache[key] = vals
             out[i] = vals
             if verb >= 0:
                 following_tag = per_tag[i][verb][self.TAG_SLOT]
