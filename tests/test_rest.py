@@ -164,3 +164,33 @@ def test_multipart_post(rest_url):
     with urllib.request.urlopen(req) as r:
         got = json.loads(r.read().decode("utf-8"))
     assert got["result"].splitlines() == ["1,2\tPER\tAlice Johnson"]
+
+
+def test_midstream_error_aborts_chunked_response():
+    """An exception AFTER the chunked 200 header is on the wire must abort
+    the stream (truncated chunked transfer, connection closed) — never a
+    fresh 500 status line spliced into the 200 body, which would desync
+    HTTP keep-alive."""
+    import http.client
+
+    svc = NametagService({"m": FIXTURE})
+
+    def exploding_fragments(rid, data, input_mode, output):
+        def gen():
+            yield "first fragment"
+            raise RuntimeError("decode blew up mid-stream")
+
+        return gen()
+
+    svc.recognize_fragments = exploding_fragments
+    server, _thread = serve(svc)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.server_address[1])
+        conn.request("GET", "/recognize?data=hello")
+        resp = conn.getresponse()
+        assert resp.status == 200  # headers were already committed
+        with pytest.raises(http.client.IncompleteRead):
+            resp.read()  # truncated chunked body, no terminating 0-chunk
+        conn.close()
+    finally:
+        server.shutdown()
