@@ -1517,9 +1517,47 @@ MORPHODITA_NER_FAMILIES = [
 ]
 
 
+DEEP_ORDER_TAG_MODELS = [
+    # decoding orders 3/4 + window>order shapes (czech2_3 = the published
+    # czech-morfflex tagger id); 8 sentences each from the committed
+    # 3,000-sentence reference goldens (tests cover the full corpora)
+    ("generic3", "tiny3.tagger", "md"),
+    ("generic4", "tiny4.tagger", "md"),
+    ("generic2_3", "tiny2_3.tagger", "md"),
+    ("czech3", "tiny_cs3.tagger", "cs"),
+    ("czech2_3", "tiny_cs2_3.tagger", "cs"),
+    ("conllu3", "tiny_cu3.tagger", "cs"),
+    ("conllu2_3", "tiny_cu2_3.tagger", "cs"),
+]
+
+
+def _deep_tag_cases(n_sentences=8):
+    """(family, tagger_file, [(sent_id, forms)], gold rows) per deep-order
+    model, sliced from the committed reference-tag goldens."""
+    import gzip
+
+    from scripts.gen_ner_fuzz import sentences as fuzz_sentences
+
+    out = []
+    for fam, fname, lang in DEEP_ORDER_TAG_MODELS:
+        sents = fuzz_sentences(lang, 3000)[:n_sentences]
+        name = fname.replace(".tagger", "")
+        path = os.path.join(_REPO_ROOT, "fixtures", "morphodita", f"tag_fuzz_golden_{name}.tsv.gz")
+        with gzip.open(path, "rt", encoding="utf-8") as fh:
+            blocks = [b for b in fh.read().split("\n\n") if b.strip()][:n_sentences]
+        gold = []
+        for sid, block in enumerate(blocks, 1):
+            for ti, line in enumerate(l for l in block.split("\n") if l):
+                form, lemma, tag = line.split("\t")
+                gold.append((sid, ti, form, lemma, tag))
+        out.append((fam, fname, [(sid, forms) for sid, forms in enumerate(sents, 1)], gold))
+    return out
+
+
 def q_morphodita_tag_fixture(spark, sf_dir):
-    """G4-G6 via the REAL MorphoDiTa serialized formats, all four morpho
-    families in one union (generic / czech / english / conllu): each
+    """G4-G6 via the REAL MorphoDiTa serialized formats: the four morpho
+    families (generic / czech / english / conllu) PLUS the deep decoding
+    orders (3/4 and the window>order 2_3 shapes) in one union — each
     reference-built .tagger is parsed by morpho/morphodita.py and decoded
     distributed; the oracle is the reference runtime's own (lemma, tag)
     output on the same sentences, labeled by family."""
@@ -1530,6 +1568,12 @@ def q_morphodita_tag_fixture(spark, sf_dir):
         )
         for fam, fname, sents, _gold in MORPHODITA_TAG_FAMILIES
     ]
+    for fam, fname, sents, _gold in _deep_tag_cases():
+        dfs.append(
+            _q_morphodita_tag(spark, fname, sents).select(
+                F.lit(fam).alias("family"), "sent_id", "tok_idx", "form", "lemma", "tag"
+            )
+        )
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -2220,6 +2264,11 @@ def oracle_sql() -> dict[str, str]:
                 (fam,) + row
                 for fam, _f, _s, gold in MORPHODITA_TAG_FAMILIES
                 for row in globals()[gold]
+            ]
+            + [
+                (fam,) + row
+                for fam, _f, _s, gold in _deep_tag_cases()
+                for row in gold
             ],
             ["family", "sent_id", "tok_idx", "form", "lemma", "tag"],
         ),

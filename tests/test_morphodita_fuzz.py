@@ -69,3 +69,39 @@ def test_derivator_fuzz_parity():
         gc = next(gi).split("\t")
         assert (der.parent(q) or "") == (gp[2] if len(gp) > 2 else ""), q
         assert der.children(q) == gc[2:], q
+
+
+DEEP_ORDER_MODELS = [
+    # (tagger file, fuzz lang) — decoding orders 3 and 4 plus the
+    # window>order shapes (czech2_3 is what published czech-morfflex
+    # taggers use); goldens = morpho_tools `tag` (the reference runtime)
+    ("tiny3.tagger", "md"),
+    ("tiny4.tagger", "md"),
+    ("tiny2_3.tagger", "md"),
+    ("tiny_cs3.tagger", "cs"),
+    ("tiny_cs2_3.tagger", "cs"),
+    ("tiny_cu3.tagger", "cs"),
+    ("tiny_cu2_3.tagger", "cs"),
+]
+
+
+@pytest.mark.parametrize("model,lang", DEEP_ORDER_MODELS)
+def test_deep_order_tag_parity(model, lang):
+    """Viterbi decode parity for decoding orders BEYOND the 2/2 the other
+    fixtures use: order-3/4 windows, deeper node merging (same_tags >=
+    order-1 over longer histories), depth-2/3 feature groups, and the
+    window-exceeds-order shapes. 3,000 sentences per model, (lemma, tag)
+    streams must match the reference exactly."""
+    from nametag_spark.morpho.morphodita import MorphoditaTagger
+
+    t = MorphoditaTagger.load(os.path.join(FIX, model))
+    sents = sentences(lang, 3000)
+    name = model.replace(".tagger", "")
+    with gzip.open(os.path.join(FIX, f"tag_fuzz_golden_{name}.tsv.gz"), "rt",
+                   encoding="utf-8") as f:
+        blocks = [b for b in f.read().split("\n\n") if b.strip()]
+    assert len(blocks) == len(sents)
+    for sent, block in zip(sents, blocks):
+        want = [tuple(l.split("\t")[1:3]) for l in block.split("\n") if l]
+        got = [tuple(x) for x in t.tag(sent)]
+        assert got == want, (model, sent, got, want)
