@@ -1580,6 +1580,44 @@ def q_morphodita_tag_fixture(spark, sf_dir):
     return out
 
 
+def _cs23_ner_case(n_sentences=10):
+    """(sentences, gold mention rows) for tiny_cs23.ner — the published
+    czech-model shape (czech2_3 window>order tagger inside a .ner) — from
+    the committed reference run_ner golden. Uses the first sentences with
+    FLAT labels (no nesting) so BIO->span conversion is unambiguous."""
+    import gzip
+
+    from scripts.gen_ner_fuzz import sentences as fuzz_sentences
+
+    sents = fuzz_sentences("cs", 3000)
+    path = os.path.join(_REPO_ROOT, "fixtures", "morphodita", "ner_fuzz_golden_cs23.conll.gz")
+    with gzip.open(path, "rt", encoding="utf-8") as fh:
+        blocks = [b for b in fh.read().split("\n\n") if b.strip()]
+    out_sents = []
+    gold = []
+    sid = 0
+    for forms, block in zip(sents, blocks):
+        labels = [l.split("\t")[1] for l in block.split("\n") if l]
+        if any("|" in lab for lab in labels):
+            continue
+        sid += 1
+        out_sents.append((sid, forms))
+        start = None
+        typ = None
+        for i, lab in enumerate(labels + ["O"]):
+            if lab.startswith("B-") or lab == "O":
+                if start is not None:
+                    gold.append((sid, start, i - start, typ))
+                    start, typ = None, None
+                if lab.startswith("B-"):
+                    start, typ = i, lab[2:]
+            elif lab.startswith("I-"):
+                pass
+        if sid >= n_sentences:
+            break
+    return out_sents, gold
+
+
 def q_morphodita_ner_mentions(spark, sf_dir):
     """S4 completion across all published-model shapes: .ner files whose
     tagger payload is an embedded MorphoDiTa stream (generic / czech /
@@ -1593,6 +1631,12 @@ def q_morphodita_ner_mentions(spark, sf_dir):
         )
         for fam, fname, sents, _gold in MORPHODITA_NER_FAMILIES
     ]
+    cs23_sents, _cs23_gold = _cs23_ner_case()
+    dfs.append(
+        _q_morphodita_ner(spark, "tiny_cs23.ner", cs23_sents).select(
+            F.lit("czech2_3").alias("family"), "sent_id", "tok_start", "tok_len", "type"
+        )
+    )
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -2278,7 +2322,8 @@ def oracle_sql() -> dict[str, str]:
                 (fam,) + tuple(row)
                 for fam, _f, _s, gold in MORPHODITA_NER_FAMILIES
                 for row in globals()[gold]
-            ],
+            ]
+            + [("czech2_3",) + tuple(row) for row in _cs23_ner_case()[1]],
             ["family", "sent_id", "tok_start", "tok_len", "type"],
         ),
         "morpho_generate": "SELECT * FROM "
