@@ -1211,29 +1211,10 @@ def load_morpho(f):
 # --------------------------------------------------------------------------
 # elementary features
 # --------------------------------------------------------------------------
-def _vli_encode(value: int) -> bytes:
-    """vli.h uint32 encoding."""
-    if value < 0x80:
-        return bytes((value,))
-    if value < 0x4000:
-        return bytes(((value >> 7) | 0x80, value & 0x7F))
-    if value < 0x200000:
-        return bytes(((value >> 14) | 0x80, ((value >> 7) & 0x7F) | 0x80, value & 0x7F))
-    if value < 0x10000000:
-        return bytes(((value >> 21) | 0x80, ((value >> 14) & 0x7F) | 0x80,
-                      ((value >> 7) & 0x7F) | 0x80, value & 0x7F))
-    return bytes(((value >> 28) | 0x80, ((value >> 21) & 0x7F) | 0x80,
-                  ((value >> 14) & 0x7F) | 0x80, ((value >> 7) & 0x7F) | 0x80,
-                  value & 0x7F))
-
-
-# encode-once cache (values are bounded by the model's value-map sizes)
-_VLI_CACHE: dict = {}
-
-
 def _vli_decode_key(b: bytes):
-    """Inverse of _vli_encode over a concatenation: the serialized score
-    keys are sequences of vli-encoded uint32s (self-delimiting), decoded
+    """vli.h uint32 decoding over a concatenation: the serialized score
+    keys are sequences of vli-encoded uint32s (self-delimiting — every
+    value's final byte is < 0x80, continuation bytes >= 0x80), decoded
     once at load so the hot scoring loop can key on int tuples instead of
     re-encoding values to bytes per lookup."""
     out = []
