@@ -401,19 +401,17 @@ class StagePartialScorer:
             self._ps_tab = tab
         return tab
 
-    def score(self, sentences, batch=None, prev_b=None, prev_e=None):
+    def score(self, sentences, batch, prev_b=None, prev_e=None):
         """-> softmax probabilities (total_tokens, n_out) for all sentences.
 
         Expects apply_pins() to have run (gazetteer soft features live in
         sent._soft_events) — pinned rows are still scored (cheap) and the
         caller overwrites only unpinned rows, same as the slow path.
 
-        batch: optional (codes, uniques, sent_start, lo, hi) precomputed by
-        the caller and shared across stages (token keys and sentence bounds
-        are stage-invariant). prev_b/prev_e: flat previous-stage decode
-        arrays (every token known); None on the first stage."""
-        import pandas as pd
-
+        batch: (codes, uniques, sent_start, lo, hi) precomputed by the
+        caller and shared across stages (token keys and sentence bounds are
+        stage-invariant). prev_b/prev_e: flat previous-stage decode arrays
+        (every token known); None on the first stage."""
         net = self.net
         n_out = net.n_out
         m = self.maxw
@@ -427,35 +425,12 @@ class StagePartialScorer:
         epos_arrs = []
         efid_arrs = []
         ps_proc = self.fz.stateful[0] if self.fz.stateful else None
-
-        if batch is None:
-            sent_start = np.zeros(len(sentences) + 1, dtype=np.int64)
-            np.cumsum(lengths, out=sent_start[1:])
-            forms_all = []
-            for s in sentences:
-                forms_all.extend(self.fz._token_keys(s))
-            keys_arr = np.empty(len(forms_all), dtype=object)
-            keys_arr[:] = forms_all  # 1-D even when keys are same-length tuples
-            codes, uniques = pd.factorize(keys_arr)
-            tok_sent = np.repeat(np.arange(len(sentences), dtype=np.int64), lengths)
-            lo = sent_start[:-1][tok_sent]
-            hi = sent_start[1:][tok_sent]
-        else:
-            codes, uniques, sent_start, lo, hi = batch
+        codes, uniques, sent_start, lo, hi = batch
 
         base = 0
         for s in sentences:
             Tn = s.size
             soft = getattr(s, "_soft_events", None)
-            if soft is None and s.features is not None:
-                # slow-path caller without apply_pins snapshot: walk lists
-                pos = []
-                fid = []
-                for i, lst in enumerate(s.features):
-                    if lst:
-                        pos.extend([i] * len(lst))
-                        fid.extend(lst)
-                soft = (np.array(pos, dtype=np.int64), np.array(fid, dtype=np.int64)) if pos else None
             if soft is not None:
                 epos_arrs.append(soft[0] + base)
                 efid_arrs.append(soft[1])
@@ -463,23 +438,6 @@ class StagePartialScorer:
             if len(opos):
                 epos_arrs.append(opos + base)
                 efid_arrs.append(oval)
-            if prev_b is None and ps_proc is not None and Tn and s.prev_bilou[0] != T.BILOU_UNKNOWN:
-                # compat path: per-sentence prev lists (not used by the
-                # flat-array pipeline, which passes prev_b/prev_e)
-                w = ps_proc.window
-                pb, pe = s.prev_bilou, s.prev_ent
-                pos = []
-                fid = []
-                for i in range(Tn):
-                    f = self.fz._prev_fid(ps_proc, pb[i], pe[i])
-                    if f is not None:
-                        hi2 = i + w + 1 if i + w + 1 < Tn else Tn
-                        for p2 in range(i + 1, hi2):
-                            pos.append(base + p2)
-                            fid.append(f + p2 - i)
-                if pos:
-                    epos_arrs.append(np.array(pos, dtype=np.int64))
-                    efid_arrs.append(np.array(fid, dtype=np.int64))
             base += Tn
 
         if prev_b is not None and ps_proc is not None and total:
