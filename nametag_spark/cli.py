@@ -1,6 +1,7 @@
 """spark-submit entry points mirroring the reference CLIs.
 
-train (reference: src/train_ner.cpp:50-84, same parameter set):
+train (reference: src/train_ner.cpp:50-84, same parameter set;
+tagger = trivial | morphodita:<tagger_file>):
   python -m nametag_spark.cli train <ner_id> <tagger> <features_file> \
       <stages> <iterations> <missing_weight> <initial_lr> <final_lr> \
       <gaussian_sigma> <hidden_layer> <train.conll> <model_dir> [heldout.conll]
@@ -27,8 +28,16 @@ def main_train(argv) -> int:
     (ner_id, tagger, features_file, stages, iterations, missing_weight,
      lr0, lrF, sigma, hidden, train_path, model_dir) = argv[:12]
     heldout_path = argv[12] if len(argv) > 12 else None
-    if tagger != "trivial":
-        print("only the trivial tagger is supported (SURVEY.md §2.3 G2)", file=sys.stderr)
+    tagger_obj = None
+    if tagger.startswith("morphodita:"):
+        # reference train_ner tagger spec (tagger_ids::parse + the
+        # morphodita tagger's option = its .tagger file): the stream is
+        # embedded verbatim into the saved model
+        from .morpho.morphodita import MorphoditaTagger
+
+        tagger_obj = MorphoditaTagger.load(tagger.split(":", 1)[1])
+    elif tagger != "trivial":
+        print("unsupported tagger spec (trivial | morphodita:<file>)", file=sys.stderr)
         return 1
     if ner_id not in ("czech", "english", "generic"):
         print(f"unknown ner_id {ner_id!r} (czech|english|generic)", file=sys.stderr)
@@ -61,6 +70,7 @@ def main_train(argv) -> int:
             "hidden_layer": int(hidden),
         },
         base_dir=os.path.dirname(os.path.abspath(features_file)),
+        tagger=tagger_obj,
         verbose=True,
     )
     # the CLI's <ner_id> selects the model's tokenizer like the reference

@@ -17,8 +17,9 @@ payload (binary search over prefix length) — the decoder then stops exactly
 at input end with the output complete.
 
 Limitations (reject loudly rather than write silently-wrong files):
-  - only the trivial tagger (a MorphoTagger has no reference encoding we
-    can produce without a full MorphoDiTa stream)
+  - trivial tagger, or an embedded MorphoDiTa tagger (whose serialized
+    stream round-trips verbatim); our own trained MorphoTagger has no
+    reference encoding
   - only feature processors the reference knows (everything this engine
     implements is in that set)
 """
@@ -192,14 +193,26 @@ def save_binary_ner(model, path: str, ner_id: str = None) -> None:
     back to "english"."""
     if ner_id is None:
         ner_id = getattr(model, "ner_lang", None) or "english"
+    tagger_blob = None
     if model.tagger is not None:
-        raise ValueError(
-            "cannot encode a MorphoTagger into the reference format "
-            "(it embeds a MorphoDiTa stream); save() the directory format instead"
-        )
+        # a MorphoDiTa tagger round-trips: its serialized stream is kept
+        # verbatim at load (morphodita_tagger.cpp:27-38 embeds the whole
+        # .tagger file), so writing is a passthrough. Other tagger kinds
+        # (our own trained MorphoTagger) have no reference encoding.
+        tagger_blob = getattr(model.tagger, "raw_bytes", None)
+        if tagger_blob is None:
+            raise ValueError(
+                "cannot encode this tagger kind into the reference format "
+                "(only embedded MorphoDiTa streams round-trip); save() the "
+                "directory format instead"
+            )
     with open(path, "wb") as f:
         f.write(bytes([NER_IDS[ner_id]]))
-        f.write(bytes([0]))  # TRIVIAL tagger, no payload
+        if tagger_blob is None:
+            f.write(bytes([0]))  # TRIVIAL tagger, no payload
+        else:
+            f.write(bytes([2]))  # MORPHODITA (tagger_ids.h)
+            f.write(tagger_blob)
 
         e = _Encoder()
         e.u4(len(model.entities.id2str))

@@ -81,7 +81,15 @@ def _load_data(conll_sentences, entities, add_entities, tagger=None):
     for sent in conll_sentences:
         forms = [f for f, _ in sent]
         labels = [l for _, l in sent]
-        if tagger is not None:
+        if tagger is not None and hasattr(tagger, "ner_tag_columns"):
+            # MorphoDiTa tagger: train over the SAME per-token morphology
+            # inference sees (raw_lemmas_all etc. — bilou_ner_trainer.cpp
+            # tags training data with the model tagger)
+            fs, comments, raws, lids, tags, raw_all, keys = tagger.ner_tag_columns(forms)
+            s = Sentence(fs, lemma_comments=comments, raw_lemmas=raws,
+                         lemma_ids=lids, tags=tags, raw_lemmas_all=raw_all)
+            s._fast_token_keys = keys
+        elif tagger is not None:
             lemmas, tags = tagger.tag_sentence(forms)
             s = Sentence.from_pdt(forms, lemmas, tags)
         else:

@@ -178,3 +178,50 @@ def test_nermodel_load_dispatches_on_file():
     m = NerModel.load(path)
     ents = m.recognize_sentence(["Karel", "Novák", "viděl", "Prahu", "."])
     assert any(t == "PER" for (_s, _l, t) in ents)
+
+
+def test_morphodita_tagger_train_export_roundtrip(tmp_path):
+    """A model TRAINED BY THIS ENGINE with an embedded MorphoDiTa tagger
+    (the reference CLI's `morphodita:<file>` spec) exports through
+    binary_writer (tagger stream passthrough) and decodes IDENTICALLY under
+    the compiled reference run_ner and under this engine — training,
+    morphology-tagged featurization, writer, and decode all agree."""
+    import subprocess
+
+    import pytest
+
+    if not os.path.exists(REF_RUN_NER):
+        pytest.skip("compiled reference run_ner not available")
+
+    from nametag_spark.model.binary_writer import save_binary_ner
+    from nametag_spark.morpho.morphodita import MorphoditaTagger
+    from nametag_spark.train.trainer import train_ner
+
+    fixdir = os.path.join(os.path.dirname(__file__), "..", "fixtures", "morphodita")
+    tagger = MorphoditaTagger.load(os.path.join(fixdir, "tiny_cs2_3.tagger"))
+    with open(os.path.join(fixdir, "ner_train_cs.conll"), encoding="utf-8") as f:
+        conll = f.read()
+    templates = (
+        "Form/2\nFormCapitalization/2\nRawLemma/2\nTag/2\nFormSuffix/1 2 3\n"
+        "PreviousStage/3\n"
+    )
+    model = train_ner(templates, conll, stages=2, params={"iterations": 8}, tagger=tagger)
+    model.ner_lang = "czech"
+    ner_path = str(tmp_path / "cs_md.ner")
+    save_binary_ner(model, ner_path)
+
+    from scripts.gen_ner_fuzz import sentences, vertical
+    from nametag_spark.sinks.render import render_conll
+
+    sents = sentences("cs", 300)
+    out = subprocess.run(
+        [REF_RUN_NER, "--input=vertical", "--output=conll", ner_path],
+        input=vertical(sents), capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+
+    m2 = load_binary_ner(ner_path)
+    assert m2.ner_lang == "czech"
+    assert m2.tagger is not None and m2.tagger.tagger_family == "czech"
+    mine = render_conll(sents, [m2.recognize_sentence(s) for s in sents])
+    assert mine == out.stdout
