@@ -1636,6 +1636,64 @@ class FeatureSequences:
                 by_depth.setdefault(d, []).append(si)
         self.depth_groups = sorted(by_depth.items())
         self._elements = [els for (_dep, els) in sequences]
+        # compile each group into a specialized scorer (same semantics as
+        # score_group, minus the interpretive element walk); parity is
+        # pinned by the 24k-sentence decode goldens across all families
+        self.static_fn = self._compile_group(self.static_group)
+        self.depth_fns = [(d, self._compile_group(idxs)) for d, idxs in self.depth_groups]
+        self.dyn_fn = self._compile_group(self.dyn_group)
+
+    def _compile_group(self, seq_indices):
+        """Generate a (form_index, window_tags, dynamic, per_form, per_tag,
+        n_forms) -> int function with the group's element fetches, bounds
+        guards, UNKNOWN dead-checks, and score lookups unrolled inline —
+        feature_sequences.h:179-233 specialized to this model's sequences."""
+        if not seq_indices:
+            return None
+        ns = {}
+        lines = [
+            "def _group_scorer(form_index, window_tags, dynamic, per_form, per_tag, n_forms):",
+            "    total = 0",
+        ]
+        for si in seq_indices:
+            elements = self._elements[si]
+            if not elements:
+                continue  # empty key -> never scored (score_group's `not vals`)
+            ns[f"_S{si}"] = self.scores[si]
+            indent = "    "
+            vals = []
+            for k, (typ, elem_idx, seq_idx) in enumerate(elements):
+                v = f"v{si}_{k}"
+                if typ == _PER_FORM:
+                    if seq_idx == 0:
+                        lines.append(f"{indent}{v} = per_form[form_index][{elem_idx}]")
+                    else:
+                        j = f"j{si}_{k}"
+                        lines.append(f"{indent}{j} = form_index + ({seq_idx})")
+                        lines.append(
+                            f"{indent}{v} = per_form[{j}][{elem_idx}] if 0 <= {j} < n_forms else {_EF_EMPTY}"
+                        )
+                elif typ == _PER_TAG:
+                    off = -seq_idx
+                    if off == 0:
+                        lines.append(
+                            f"{indent}{v} = per_tag[form_index][window_tags[0]][{elem_idx}]"
+                        )
+                    else:
+                        lines.append(
+                            f"{indent}{v} = per_tag[form_index - {off}][window_tags[{off}]][{elem_idx}]"
+                            f" if form_index >= {off} else {_EF_EMPTY}"
+                        )
+                else:
+                    lines.append(f"{indent}{v} = dynamic[{elem_idx}]")
+                lines.append(f"{indent}if {v}:")  # _EF_UNKNOWN == 0 -> dead
+                indent += "    "
+                vals.append(v)
+            key = f"({vals[0]},)" if len(vals) == 1 else "(" + ", ".join(vals) + ")"
+            lines.append(f"{indent}total += _S{si}.get({key}, 0)")
+        lines.append("    return total")
+        exec("\n".join(lines), ns)  # noqa: S102 - model-derived codegen
+        return ns["_group_scorer"]
 
     @classmethod
     def load(cls, f, elementary_cls):
@@ -1798,7 +1856,8 @@ class MorphoditaTagger:
         per_tag = [elem.per_tag_cached(forms[i], analyses[i]) for i in range(n)]
         per_form = elem.per_form(forms, analyses, per_tag)
         dyn = elem.dynamic
-        depth_groups, dyn_group = feats.depth_groups, feats.dyn_group
+        depth_fns, dyn_fn = feats.depth_fns, feats.dyn_fn
+        static_fn = feats.static_fn
         dyn_depth1 = feats.dyn_depth + 1
 
         # nodes: (tag, prev, score, dynamic)
@@ -1849,22 +1908,23 @@ class MorphoditaTagger:
                         score = 0
                     else:
                         if static_score is None:
-                            static_score = feats.score_group(
-                                feats.static_group, i, window, dynamic, per_form, per_tag, n)
+                            static_score = (
+                                static_fn(i, window, dynamic, per_form, per_tag, n)
+                                if static_fn is not None
+                                else 0
+                            )
                         score = static_score
-                        for d, idxs in depth_groups:
+                        for d, fn in depth_fns:
                             key = (d, *window[: d + 1])
                             part = memo.get(key)
                             if part is None:
-                                part = memo[key] = feats.score_group(
-                                    idxs, i, window, dynamic, per_form, per_tag, n)
+                                part = memo[key] = fn(i, window, dynamic, per_form, per_tag, n)
                             score += part
-                        if dyn_group:
+                        if dyn_fn is not None:
                             key = (*window[:dyn_depth1], dynamic)
                             part = memo.get(key)
                             if part is None:
-                                part = memo[key] = feats.score_group(
-                                    dyn_group, i, window, dynamic, per_form, per_tag, n)
+                                part = memo[key] = dyn_fn(i, window, dynamic, per_form, per_tag, n)
                             score += part
                     if prev >= 0:
                         score += nodes[prev][2]
