@@ -62,6 +62,7 @@ class Sentence:
         "_pins_memo",  # ner.fast pin-effect snapshot (stage-invariant)
         "_soft_events",  # ner.fast gazetteer soft features as (pos, fid) arrays
         "_gaz_sources",  # per-processor recased match sources (stage-invariant)
+        "_shared_memo",  # content-keyed memo store shared across instances
     )
 
     def __init__(self, forms, lemma_comments=None, raw_lemmas=None, lemma_ids=None,

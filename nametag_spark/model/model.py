@@ -109,7 +109,7 @@ class NerModel:
                 # MorphoDiTa tagger: full per-token morphology incl. the
                 # sorted-unique raw lemmas of ALL analyses
                 # (morphodita_tagger.cpp:40-80), column-oriented
-                fs, comments, raws, lids, tags, raw_all, keys = self.tagger.ner_tag_columns(forms)
+                fs, comments, raws, lids, tags, raw_all, keys, shared = self.tagger.ner_tag_columns(forms)
                 sent = Sentence(
                     fs,
                     lemma_comments=comments,
@@ -119,6 +119,10 @@ class NerModel:
                     raw_lemmas_all=raw_all,
                 )
                 sent._fast_token_keys = keys
+                # content-determined memo stores shared across Sentence
+                # instances of the same cached text (gazetteer walks, pins)
+                sent._gaz_sources = shared["gaz"]
+                sent._shared_memo = shared
                 return sent
             if hasattr(self.tagger, "ner_tag_sentence"):
                 info = self.tagger.ner_tag_sentence(forms)

@@ -2018,7 +2018,12 @@ class MorphoditaTagger:
             f if (r == f and l == f and t == "" and not c) else (f, r, l, t, c or "")
             for f, r, l, t, c in zip(raw_forms, raws, lids, tags, comments)
         ]
-        v = (raw_forms, comments, raws, lids, tags, raw_all, keys)
+        # shared per-content memo store: gazetteer sources/pins are pure
+        # functions of the sentence's morphology, so Sentence instances
+        # rebuilt from this cache entry share their computed walks
+        # ({"gaz": {...}} filled by templates._sentence_sources, "pins" by
+        # ner.fast.apply_pins)
+        v = (raw_forms, comments, raws, lids, tags, raw_all, keys, {"gaz": {}})
         if len(cache) > 100_000:
             cache.clear()
         cache[key] = v
@@ -2026,7 +2031,7 @@ class MorphoditaTagger:
 
     def ner_tag_sentence(self, forms):
         """Row-oriented view of ner_tag_columns (compat API)."""
-        fs, comments, raws, lids, tags, raw_all, _keys = self.ner_tag_columns(forms)
+        fs, comments, raws, lids, tags, raw_all, _keys, _shared = self.ner_tag_columns(forms)
         return [
             {
                 "form": f,

@@ -252,6 +252,14 @@ class FastFeaturizer:
         gazetteer tries. Soft features are snapshot as (pos, fid) arrays
         (``sent._soft_events``) so the scorer never walks per-token lists."""
         memo = getattr(sent, "_pins_memo", None)
+        if memo is None:
+            shared = getattr(sent, "_shared_memo", None)
+            if shared is not None:
+                # pins are a pure function of sentence content + model
+                # processors: reuse another instance's snapshot of the same
+                # cached text (keyed by model identity — taggers could in
+                # principle be shared between models)
+                memo = shared.get(("pins", id(self.model)))
         if memo is not None:
             soft, filled_idx, rows, ents = memo
             sent._soft_events = soft
@@ -285,6 +293,9 @@ class FastFeaturizer:
             sent.local[filled_idx].copy() if len(filled_idx) else None,
             sent.local_ent[filled_idx].copy() if len(filled_idx) else None,
         )
+        shared = getattr(sent, "_shared_memo", None)
+        if shared is not None:
+            shared[("pins", id(self.model))] = sent._pins_memo
 
     def _apply_pins_uncached(self, sent):
         for p in self.model.templates.processors:

@@ -85,7 +85,7 @@ def _load_data(conll_sentences, entities, add_entities, tagger=None):
             # MorphoDiTa tagger: train over the SAME per-token morphology
             # inference sees (raw_lemmas_all etc. — bilou_ner_trainer.cpp
             # tags training data with the model tagger)
-            fs, comments, raws, lids, tags, raw_all, keys = tagger.ner_tag_columns(forms)
+            fs, comments, raws, lids, tags, raw_all, keys, _shared = tagger.ner_tag_columns(forms)
             s = Sentence(fs, lemma_comments=comments, raw_lemmas=raws,
                          lemma_ids=lids, tags=tags, raw_lemmas_all=raw_all)
             s._fast_token_keys = keys
