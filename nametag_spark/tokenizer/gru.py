@@ -17,10 +17,11 @@ Re-expression of the reference network and decision semantics:
     inclusive), END_OF_SENTENCE also ending the sentence. The emergency
     split thresholds match unicode_tokenizer.cpp:60-67.
 
-The TRAINER (gru_tokenizer_network_trainer.h) is deliberately not
-re-created: no released NameTag model uses a GRU tokenizer, so there is no
-behavior to be parity-tested against — the network here is exercised with
-hand-constructed weights whose segmentation behavior is derivable by hand
+Round 4: the serialized gru_tokenizer_factory format loads and saves
+(load_gru_factory / save_gru_factory), and the RUNTIME is the faithful
+windowed port (GruTokenizer) — reference-TRAINED tokenizers (built by the
+bundled gru_tokenizer_trainer via morpho_tools gru_train) reproduce the
+reference's own tokenization byte-for-byte on 3,000-sentence streams
 (tests/test_gru_tokenizer.py).
 """
 
@@ -126,67 +127,152 @@ def _is_space(c: str) -> bool:
     return c in "\r\t\n" or unicodedata.category(c) == "Zs"
 
 
-def gru_tokenize_sentences(text: str, network: GruTokenizerNetwork) -> list:
-    """Tokenize + segment with network outcomes (gru_tokenizer.cpp:20-53).
+class GruTokenizer:
+    """Faithful port of the reference GRU tokenizer RUNTIME
+    (gru_tokenizer.cpp:20-113): windowed classification over `segment`
+    network chars with space-run collapsing and an appended end-of-data
+    space, the post-classification spacing rules (EOS propagated onto the
+    preceding token-final char, EOT forced before spaces unless
+    allow_spaces, \\n\\n hard breaks), window truncation to a suitable
+    split, and the exact next_sentence consumption loop with URL/email
+    override and emergency splitting."""
 
-    Returns sentences of (start, length) char spans, same contract as
-    rules.tokenize_sentences."""
-    n = len(text)
-    outcomes = network.classify(text)
-    sentences: list = []
-    tokens: list = []
+    def __init__(self, network: GruTokenizerNetwork, segment: int = 50,
+                 allow_spaces: bool = False, url_email: bool = True):
+        self.network = network
+        self.segment = segment
+        self.allow_spaces = allow_spaces
+        self.url_email = url_email
 
-    def end_sentence():
-        nonlocal tokens
-        if tokens:
-            sentences.append(tokens)
-            tokens = []
+    def tokenize(self, text: str) -> list:
+        n = len(text)
+        cats = [unicodedata.category(c) for c in text]
 
-    def emergency() -> bool:
-        if not tokens:
+        def is_space(i):
+            return cats[i] == "Zs" or text[i] in "\r\n\t"
+
+        current = 0
+        net_index = net_length = 0
+        net_outcomes: list = []
+        net_offsets: list = []
+        segment = self.segment
+
+        def classify_window():
+            nonlocal net_index, net_length, net_outcomes, net_offsets
+            net_index = 0
+            net_length = 0
+            net_chars = []
+            net_offsets = []
+            offset = current
+            # for (offset=current; push(offset), offset<n && len<segment;
+            #      len++, offset++) with space-run collapsing in the body
+            while True:
+                net_offsets.append(offset)
+                if not (offset < n and net_length < segment):
+                    break
+                if is_space(offset):
+                    net_chars.append(" ")
+                    while offset + 1 < n and is_space(offset + 1):
+                        offset += 1
+                else:
+                    net_chars.append(text[offset])
+                net_length += 1
+                offset += 1
+            # add a space at end-of-data
+            if net_length < segment and net_chars and net_chars[-1] != " ":
+                net_chars.append(" ")
+            net_outcomes = list(self.network.classify("".join(net_chars)))
+
+            # spacing token/sentence breaks (gru_tokenizer.cpp:82-97)
+            for i in range(net_length - 1):
+                if is_space(net_offsets[i + 1]):
+                    eos = net_outcomes[i + 1] == END_OF_SENTENCE
+                    if i + 2 == net_length:
+                        eos = True
+                    j = net_offsets[i + 1]
+                    while j + 1 < net_offsets[i + 2] and not eos:
+                        eos = (text[j] == "\n" and text[j + 1] == "\n") or (
+                            j + 3 < net_offsets[i + 2]
+                            and text[j] == "\r" and text[j + 1] == "\n"
+                            and text[j + 2] == "\r" and text[j + 3] == "\n"
+                        )
+                        j += 1
+                    if eos:
+                        net_outcomes[i] = END_OF_SENTENCE
+                    if net_outcomes[i] == NO_SPLIT and (
+                        not self.allow_spaces or net_outcomes[i + 1] == END_OF_TOKEN
+                    ):
+                        net_outcomes[i] = END_OF_TOKEN
+
+            # adjust window length to a suitable break
+            if net_length == segment and net_length >= 10:
+                net_length -= 5
+                while net_length > segment // 2:
+                    net_length -= 1
+                    if net_outcomes[net_length] != NO_SPLIT:
+                        break
+
+        def next_outcome():
+            nonlocal current, net_index
+            if net_index >= net_length:
+                classify_window()
+            out = net_outcomes[net_index]
+            current = net_offsets[net_index + 1]
+            net_index += 1
+            return out
+
+        def emergency(tokens):
+            if len(tokens) >= 500:
+                return True
+            if tokens:
+                k = cats[tokens[-1][0]]
+                if len(tokens) >= 450 and k.startswith("P"):
+                    return True
+                if len(tokens) >= 400 and k == "Po":
+                    return True
             return False
-        nt = len(tokens)
-        if nt >= 500:
-            return True
-        if nt >= 400:
-            k = unicodedata.category(text[tokens[-1][0]])
-            if nt >= 450 and k.startswith("P"):
-                return True
-            if k == "Po":
-                return True
-        return False
 
-    i = 0
-    while i < n:
-        if _is_space(text[i]):
-            o = outcomes[i]
-            i += 1
-            if o == END_OF_SENTENCE and tokens:
-                end_sentence()
-            continue
-
-        d = detect_url_email(text, i)
-        if d is not None:
-            tokens.append((i, d[1] - i))
-            eos = any(outcomes[j] == END_OF_SENTENCE for j in range(i, d[1]))
-            i = d[1]
-            if (eos and tokens) or emergency():
-                end_sentence()
-            continue
-
-        start = i
-        o = NO_SPLIT
-        while i < n:
-            o = outcomes[i]
-            i += 1
-            if o != NO_SPLIT:
+        sentences = []
+        while current < n:
+            tokens: list = []
+            if current == 0:
+                net_index = net_length = 0
+            eos = False
+            while not eos and not emergency(tokens):
+                while current < n and is_space(current):
+                    if next_outcome() == END_OF_SENTENCE and tokens:
+                        break
+                if current >= n:
+                    break
+                d = detect_url_email(text, current) if self.url_email else None
+                if d is not None:
+                    tokens.append((current, d[1] - current))
+                    url_end = d[1]
+                    current = url_end
+                    while net_index < net_length and net_offsets[net_index] < current:
+                        if net_outcomes[net_index] == END_OF_SENTENCE and tokens:
+                            eos = True
+                        net_index += 1
+                    continue
+                token_start = current
+                while True:
+                    outcome = next_outcome()
+                    eos = outcome == END_OF_SENTENCE
+                    if outcome != NO_SPLIT or current >= n:
+                        break
+                tokens.append((token_start, current - token_start))
+            if not tokens:
                 break
-        tokens.append((start, i - start))
-        if o == END_OF_SENTENCE or emergency():
-            end_sentence()
+            sentences.append(tokens)
+        return sentences
 
-    end_sentence()
-    return sentences
+
+def gru_tokenize_sentences(text: str, network: GruTokenizerNetwork,
+                           segment: int = 50, allow_spaces: bool = False) -> list:
+    """Tokenize + segment with the reference runtime semantics; returns
+    sentences of (start, length) char spans, same contract as
+    rules.tokenize_sentences."""
+    return GruTokenizer(network, segment=segment, allow_spaces=allow_spaces).tokenize(text)
 
 
 def demo_network(dim: int = 3) -> GruTokenizerNetwork:
@@ -232,3 +318,158 @@ def demo_network(dim: int = 3) -> GruTokenizerNetwork:
 
     unknown = {"Lu": "a", "Ll": "a", "Nd": "0", "Po": ",", "Zs": " "}
     return GruTokenizerNetwork(dim, emb, fwd, bwd, proj_fwd, proj_bwd, unknown)
+
+
+# ---------------------------------------------------------------------------
+# serialized gru_tokenizer_factory format (load + save)
+# ---------------------------------------------------------------------------
+# unilib/unicode.h category bit values <-> unicodedata 2-letter names
+_UNILIB_CAT_NAMES = [
+    None, "Lu", "Ll", "Lt", "Lm", "Lo", "Mn", "Mc", "Me", "Nd", "Nl", "No",
+    "Pc", "Pd", "Ps", "Pe", "Pi", "Pf", "Po", "Sm", "Sc", "Sk", "So",
+    "Zs", "Zl", "Zp", "Cc", "Cf", "Cs", "Co", "Cn",
+]
+_CAT_BITS = {name: 1 << i for i, name in enumerate(_UNILIB_CAT_NAMES) if name}
+_BITS_CAT = {v: k for k, v in _CAT_BITS.items()}
+
+
+def load_gru_factory(path_or_stream) -> tuple:
+    """Parse a serialized gru_tokenizer_factory (the stream
+    gru_tokenizer_trainer.cpp writes): version byte + compressed blob of
+    (url_email_version, segment, allow_spaces, network, unknown_chars) —
+    gru_tokenizer_factory.cpp:23-43 + gru_tokenizer_network.h:189-210.
+
+    Returns (network, url_email_version, segment, allow_spaces). Weights
+    are kept float32 so classification matches the reference bit-for-bit.
+    """
+    from ..model.binary_reader import BinaryFormatError, _read_blob
+
+    close = False
+    if isinstance(path_or_stream, (str, bytes)):
+        f = open(path_or_stream, "rb")
+        close = True
+    else:
+        f = path_or_stream
+    try:
+        outer = f.read(1)
+        if not outer or outer[0] != 3:  # tokenizer_ids::GRU
+            raise BinaryFormatError(f"not a GRU tokenizer factory (id {outer!r})")
+        version = f.read(1)
+        if not version or not 1 <= version[0] <= 2:
+            raise BinaryFormatError(f"unknown gru_tokenizer_factory version {version!r}")
+        d = _read_blob(f)
+    finally:
+        if close:
+            f.close()
+    url_email = d.u1()
+    segment = d.u2()
+    allow_spaces = bool(d.u1()) if version[0] >= 2 else False
+    net_version = d.u1()
+    if net_version != 1:
+        raise BinaryFormatError(f"unknown gru network version {net_version}")
+    dim = d.u1()
+    if dim not in (16, 24, 64):
+        raise BinaryFormatError(f"unsupported gru dimension {dim}")
+
+    def f32s(n):
+        import struct as _s
+
+        vals = np.frombuffer(bytes(d.raw(4 * n)), dtype="<f4").copy()
+        return vals
+
+    embeddings = {}
+    for _ in range(d.u4()):
+        chr_ = chr(d.u4())
+        embeddings[chr_] = f32s(dim)
+
+    def read_matrix(rows):
+        w = np.vstack([f32s(dim) for _ in range(rows)])
+        b = f32s(rows)
+        return w, b
+
+    def read_gru():
+        g = Gru(dim)
+        (g.X, g.bX) = read_matrix(dim)
+        (g.X_r, g.bX_r) = read_matrix(dim)
+        (g.X_z, g.bX_z) = read_matrix(dim)
+        (g.H, _hb) = read_matrix(dim)
+        (g.H_r, _hrb) = read_matrix(dim)
+        (g.H_z, _hzb) = read_matrix(dim)
+        # the reference gru has no H biases; read_matrix consumed D floats
+        # for each — but the serialized gru matrices DO carry biases (the
+        # save path writes matrix<D,D> incl. b). The H biases are unused by
+        # classify (only X biases are read), matching the reference.
+        return g
+
+    gru_fwd = read_gru()
+    gru_bwd = read_gru()
+    projection_fwd = read_matrix(3)
+    projection_bwd = read_matrix(3)
+    unknown = {}
+    for _ in range(d.u1()):
+        cat_bits = d.u4()
+        chr_ = chr(d.u4())
+        name = _BITS_CAT.get(cat_bits)
+        if name is not None:
+            unknown[name] = chr_
+    if not d.is_end():
+        raise BinaryFormatError("trailing data in gru_tokenizer_factory blob")
+    net = GruTokenizerNetwork(dim, embeddings, gru_fwd, gru_bwd,
+                              projection_fwd, projection_bwd, unknown)
+    # float32 end-to-end (classification parity with the reference)
+    net.embeddings = {c: v.astype(np.float32) for c, v in net.embeddings.items()}
+    net.projection_fwd = tuple(np.asarray(x, np.float32) for x in net.projection_fwd)
+    net.projection_bwd = tuple(np.asarray(x, np.float32) for x in net.projection_bwd)
+    net._empty = np.zeros(dim, dtype=np.float32)
+    for g in (net.gru_fwd, net.gru_bwd):
+        for attr in ("X", "X_r", "X_z", "H", "H_r", "H_z", "bX", "bX_r", "bX_z"):
+            setattr(g, attr, np.asarray(getattr(g, attr), np.float32))
+    return net, url_email, segment, allow_spaces
+
+
+def save_gru_factory(network: GruTokenizerNetwork, path: str, url_email: int = 2,
+                     segment: int = 50, allow_spaces: bool = False) -> None:
+    """Inverse of load_gru_factory: writes the version-2 factory stream the
+    reference's tokenizer_factory::load accepts (verified end-to-end by the
+    compiled reference in tests)."""
+    from ..model.binary_writer import _Encoder
+
+    e = _Encoder()
+    e.u1(url_email)
+    e.u2(segment)
+    e.u1(1 if allow_spaces else 0)
+    e.u1(1)  # network version
+    D = network.dim
+    e.u1(D)
+
+    def f32(arr):
+        e.raw(np.asarray(arr, dtype="<f4").tobytes())
+
+    e.u4(len(network.embeddings))
+    for c, v in network.embeddings.items():
+        e.u4(ord(c))
+        f32(v)
+
+    def write_matrix(w, b):
+        for row in np.asarray(w).reshape(len(b) if np.ndim(w) > 1 else 1, -1):
+            f32(row)
+        f32(b)
+
+    for g in (network.gru_fwd, network.gru_bwd):
+        zeros = np.zeros(D, dtype=np.float32)
+        write_matrix(g.X, g.bX)
+        write_matrix(g.X_r, g.bX_r)
+        write_matrix(g.X_z, g.bX_z)
+        write_matrix(g.H, getattr(g, "bH", zeros))
+        write_matrix(g.H_r, getattr(g, "bH_r", zeros))
+        write_matrix(g.H_z, getattr(g, "bH_z", zeros))
+    write_matrix(network.projection_fwd[0], network.projection_fwd[1])
+    write_matrix(network.projection_bwd[0], network.projection_bwd[1])
+    e.u1(len(network.unknown_chars))
+    for name, c in network.unknown_chars.items():
+        e.u4(_CAT_BITS[name])
+        e.u4(ord(c))
+    with open(path, "wb") as f:
+        f.write(bytes([3]))  # tokenizer_ids::GRU
+        f.write(bytes([2]))  # gru_tokenizer_factory version
+        f.write(e.blob())

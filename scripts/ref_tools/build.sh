@@ -31,7 +31,15 @@ for cpp in \
     morphodita/morpho/morpho_prefix_guesser_encoder.cpp \
     morphodita/morpho/raw_morpho_dictionary_reader.cpp \
     morphodita/derivator/derivator_dictionary_encoder.cpp \
-    morphodita/tagger/training_maps.cpp; do
+    morphodita/tagger/training_maps.cpp \
+    morphodita/tokenizer/tokenizer_factory.cpp \
+    morphodita/tokenizer/gru_tokenizer.cpp \
+    morphodita/tokenizer/gru_tokenizer_factory.cpp \
+    morphodita/tokenizer/gru_tokenizer_network.cpp \
+    morphodita/tokenizer/gru_tokenizer_trainer.cpp \
+    morphodita/tokenizer/czech_tokenizer_factory.cpp \
+    morphodita/tokenizer/generic_tokenizer_factory.cpp \
+    unilib/uninorms.cpp; do
   [ -f "$cpp" ] && EXTRA="$EXTRA $cpp"
 done
 

@@ -28,6 +28,9 @@
 #include <cstring>
 
 #include "morphodita/derivator/derivation_formatter.h"
+#include "morphodita/tokenizer/gru_tokenizer_trainer.h"
+#include "morphodita/tokenizer/tokenizer_factory.h"
+#include "unilib/utf8.h"
 #include "morphodita/derivator/derivator.h"
 #include "morphodita/derivator/derivator_dictionary_encoder.h"
 #include "morphodita/morpho/czech_morpho_encoder.h"
@@ -253,6 +256,67 @@ int main(int argc, char* argv[]) {
       fmt->format_tagged_lemmas(lemmas, conv.get());
       for (auto&& tl : lemmas)
         cout << line << '\t' << tl.lemma << '\t' << tl.tag << '\n';
+      cout << '\n';
+    }
+    return 0;
+  }
+
+  if (cmd == "gru_train") {
+    // gru_train <dim> <segment> <epochs> <batch> <lr> <lr_final> <dropout>
+    //           <init_range> <allow_spaces 0|1> <out.tokenizer>
+    //           < vertical sentences (token per line, blank line = sentence;
+    //             sentence text = tokens joined with single spaces)
+    if (argc < 12) return usage();
+    unsigned dim = stoi(argv[2]), segment = stoi(argv[3]), epochs = stoi(argv[4]), batch = stoi(argv[5]);
+    float lr = stof(argv[6]), lrF = stof(argv[7]), dropout = stof(argv[8]), init = stof(argv[9]);
+    bool allow_spaces = stoi(argv[10]) != 0;
+    ofstream out(argv[11], ofstream::binary);
+    if (!out) { cerr << "cannot open " << argv[11] << endl; return 1; }
+    vector<tokenized_sentence> data;
+    tokenized_sentence ts;
+    string line;
+    auto flush_sentence = [&]() {
+      if (!ts.sentence.empty()) { data.push_back(ts); ts.sentence.clear(); ts.tokens.clear(); }
+    };
+    while (getline(cin, line)) {
+      if (line.empty()) { flush_sentence(); continue; }
+      u32string tok;
+      ufal::nametag::unilib::utf8::decode(line, tok);
+      if (!ts.sentence.empty()) ts.sentence.push_back(U' ');
+      ts.tokens.emplace_back(ts.sentence.size(), tok.size());
+      ts.sentence.append(tok);
+    }
+    flush_sentence();
+    string error;
+    vector<tokenized_sentence> no_heldout;
+    out.put(3);  // tokenizer_ids::GRU — the OUTER dispatch byte; the trainer
+                 // then writes the gru factory version byte + blob
+    if (!gru_tokenizer_trainer::train(gru_tokenizer_trainer::URL_EMAIL_LATEST, segment, allow_spaces,
+                                      dim, epochs, batch, lr, lrF, dropout, init,
+                                      /*early_stopping=*/false, data, no_heldout, out, error)) {
+      cerr << "gru_train failed: " << error << endl;
+      return 1;
+    }
+    return 0;
+  }
+
+  if (cmd == "gru_tokenize") {
+    // gru_tokenize <file.tokenizer> < raw text -> vertical tokens
+    if (argc < 3) return usage();
+    unique_ptr<tokenizer_factory> f(tokenizer_factory::load(argv[2]));
+    if (!f) { cerr << "cannot load tokenizer factory" << endl; return 1; }
+    unique_ptr<tokenizer> t(f->new_tokenizer(nullptr));
+    string text((istreambuf_iterator<char>(cin)), istreambuf_iterator<char>());
+    t->set_text(text);
+    vector<token_range> tokens;
+    while (t->next_sentence(nullptr, &tokens)) {
+      u32string utext;
+      ufal::nametag::unilib::utf8::decode(text, utext);
+      for (auto&& tok : tokens) {
+        string enc8;
+        ufal::nametag::unilib::utf8::encode(utext.substr(tok.start, tok.length), enc8);
+        cout << enc8 << '\n';
+      }
       cout << '\n';
     }
     return 0;

@@ -120,3 +120,62 @@ def test_gru_state_equations_against_direct_numpy():
     expect[w[:, 2] > w[np.arange(len(text)), expect]] = 2
 
     assert list(net.classify(text)) == list(expect)
+
+
+import gzip
+
+from nametag_spark.tokenizer.gru import GruTokenizer, load_gru_factory
+
+FIX = os.path.join(os.path.dirname(__file__), "..", "fixtures", "morphodita")
+
+
+def _stream(lang):
+    from scripts.gen_ner_fuzz import sentences
+
+    return "\n\n".join(" ".join(s) for s in sentences(lang, 3000))
+
+
+def test_reference_trained_gru_parity_generic():
+    """A REFERENCE-trained gru tokenizer (morpho_tools gru_train — the
+    bundled gru_tokenizer_trainer) loads through load_gru_factory and the
+    ported runtime (windowed classification, spacing rules, truncation)
+    reproduces the reference's own tokenization of a 3,000-sentence stream
+    byte-for-byte (dim 16, segment 50)."""
+    net, _u, segment, allow_spaces = load_gru_factory(os.path.join(FIX, "tiny_gru.tokenizer"))
+    text = _stream("md")
+    spans = GruTokenizer(net, segment=segment, allow_spaces=allow_spaces).tokenize(text)
+    mine = "".join("".join(text[a : a + b] + "\n" for (a, b) in s) + "\n" for s in spans)
+    with gzip.open(os.path.join(FIX, "gru_tokenize_golden_tiny_gru.txt.gz"), "rt",
+                   encoding="utf-8") as f:
+        assert mine == f.read()
+
+
+def test_reference_trained_gru_parity_czech_allow_spaces():
+    """Same, dim 24 / segment 40 / allow_spaces=1 over the czech stream —
+    covers the second network dimension and the allow-spaces spacing rule."""
+    net, _u, segment, allow_spaces = load_gru_factory(os.path.join(FIX, "tiny_gru_cs.tokenizer"))
+    assert net.dim == 24 and allow_spaces
+    text = _stream("cs")
+    spans = GruTokenizer(net, segment=segment, allow_spaces=allow_spaces).tokenize(text)
+    mine = "".join("".join(text[a : a + b] + "\n" for (a, b) in s) + "\n" for s in spans)
+    with gzip.open(os.path.join(FIX, "gru_tokenize_golden_tiny_gru_cs.txt.gz"), "rt",
+                   encoding="utf-8") as f:
+        assert mine == f.read()
+
+
+def test_gru_factory_roundtrip():
+    """save_gru_factory(load_gru_factory(x)) keeps classification behavior
+    (H biases are format ballast the runtime never reads)."""
+    import tempfile
+
+    net, u, segment, allow_spaces = load_gru_factory(os.path.join(FIX, "tiny_gru.tokenizer"))
+    with tempfile.NamedTemporaryFile(suffix=".tokenizer") as tmp:
+        from nametag_spark.tokenizer.gru import save_gru_factory
+
+        save_gru_factory(net, tmp.name, url_email=u, segment=segment, allow_spaces=allow_spaces)
+        net2, u2, s2, a2 = load_gru_factory(tmp.name)
+    assert (u2, s2, a2) == (u, segment, allow_spaces)
+    text = _stream("md")[:2000]
+    t1 = GruTokenizer(net, segment=segment, allow_spaces=allow_spaces).tokenize(text)
+    t2 = GruTokenizer(net2, segment=s2, allow_spaces=a2).tokenize(text)
+    assert t1 == t2
