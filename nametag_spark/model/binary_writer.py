@@ -12,9 +12,12 @@ Blob framing detail: the reference decodes raw LZMA1 with FINISH_ANY and
 requires the compressed length to be consumed exactly
 (compressor_load.cpp:1403). Python's lzma always terminates LZMA1 streams
 with an end-of-stream marker the reference never reads, so the encoder
-truncates the stream to the minimal prefix that still inflates to the full
-payload (binary search over prefix length) — the decoder then stops exactly
-at input end with the output complete.
+truncates the stream to EXACTLY the prefix the reference's decoder
+consumes, computed by _consumed_prefix — a transcription of the embedded
+LzmaDec decode loop's consumption behavior (its post-output NORMALIZE can
+consume one byte more than liblzma's minimal prefix, so a liblzma-derived
+length is occasionally rejected by the reference; found via the GRU
+factory round-trip).
 
 Limitations (reject loudly rather than write silently-wrong files):
   - trivial tagger, or an embedded MorphoDiTa tagger (whose serialized
@@ -71,31 +74,198 @@ class _Encoder:
         payload = b"".join(self.parts)
         comp = lzma.compress(payload, format=lzma.FORMAT_ALONE, filters=_FILTERS)
         props, stream = comp[:5], comp[13:]
-        trunc = stream[: _consumed_prefix(stream, len(payload))]
+        trunc = stream[: _consumed_prefix(stream, len(payload), props)]
         ulen, clen = len(payload), len(trunc)
         crc = (ulen * 19991 + clen * 199999991 + 1234567890) % (1 << 32)
         return struct.pack("<III", ulen, clen, crc) + props + trunc
 
 
-def _consumed_prefix(stream: bytes, ulen: int) -> int:
-    """Minimal prefix of the raw LZMA1 stream that inflates to ulen bytes."""
+def _consumed_prefix(stream: bytes, ulen: int, props: bytes) -> int:
+    """EXACT number of stream bytes the reference's LZMA decoder consumes
+    to produce ulen output bytes.
 
-    def full(n: int) -> bool:
-        d = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=_FILTERS)
-        try:
-            out = d.decompress(stream[:n], max_length=ulen)
-        except lzma.LZMAError:
-            return False
-        return len(out) >= ulen
+    The reference requires `compressed_size == compressed_len` after
+    decoding with LZMA_FINISH_ANY (compressor_load.cpp:1403 /
+    LzmaDecode), and its decoder performs one final NORMALIZE after the
+    output is complete — so its consumption can exceed liblzma's minimal
+    prefix by one byte (observed in practice), and a liblzma-derived length
+    is rejected. This is a faithful transcription of the consumption
+    behavior of the LzmaDec decode loop embedded in compressor_load.cpp
+    (Igor Pavlov's public-domain LzmaDec.c): range-coder init (5 bytes),
+    NORMALIZE before every bit decode, and the post-loop NORMALIZE."""
+    lclppb = props[0]
+    lc = lclppb % 9
+    lp = (lclppb // 9) % 5
+    pb = lclppb // 45
+    kTop = 1 << 24
 
-    lo, hi = 0, len(stream)
-    while lo < hi:
-        mid = (lo + hi) // 2
-        if full(mid):
-            hi = mid
+    n_probs = 1846 + (768 << (lc + lp))
+    probs = [1024] * n_probs
+    IsMatch = 0
+    IsRep = IsMatch + (12 << 4)
+    IsRepG0 = IsRep + 12
+    IsRepG1 = IsRepG0 + 12
+    IsRepG2 = IsRepG1 + 12
+    IsRep0Long = IsRepG2 + 12
+    PosSlot = IsRep0Long + (12 << 4)
+    SpecPos = PosSlot + (4 << 6)
+    Align_ = SpecPos + 128 - 14  # kNumFullDistances=1<<(kEndPosModelIndex>>1)
+    LenCoder = Align_ + 16
+    RepLenCoder = LenCoder + 2 + (16 << 3) + (16 << 3) + 256
+    Literal = RepLenCoder + 2 + (16 << 3) + (16 << 3) + 256
+
+    pos = 0  # consumed bytes
+
+    def byte():
+        nonlocal pos
+        b = stream[pos]
+        pos += 1
+        return b
+
+    # rc init: 1 ignored byte + 4 code bytes
+    byte()
+    code = 0
+    for _ in range(4):
+        code = (code << 8) | byte()
+    rng = 0xFFFFFFFF
+
+    out = bytearray()
+    state = 0
+    rep0 = rep1 = rep2 = rep3 = 1
+    pb_mask = (1 << pb) - 1
+    lp_mask = (1 << lp) - 1
+
+    def bit(idx):
+        nonlocal rng, code
+        ttt = probs[idx]
+        if rng < kTop:
+            rng = (rng << 8) & 0xFFFFFFFF
+            code = ((code << 8) | byte()) & 0xFFFFFFFF
+        bound = (rng >> 11) * ttt
+        if code < bound:
+            rng = bound
+            probs[idx] = ttt + ((2048 - ttt) >> 5)
+            return 0
+        rng -= bound
+        code -= bound
+        probs[idx] = ttt - (ttt >> 5)
+        return 1
+
+    def tree(base, nbits):
+        i = 1
+        for _ in range(nbits):
+            i = (i << 1) | bit(base + i)
+        return i - (1 << nbits)
+
+    def len_decode(base, pos_state):
+        if bit(base) == 0:
+            return tree(base + 2 + (pos_state << 3), 3)
+        if bit(base + 1) == 0:
+            return 8 + tree(base + 2 + (16 << 3) + (pos_state << 3), 3)
+        return 16 + tree(base + 2 + (16 << 3) + (16 << 3), 8)
+
+    while len(out) < ulen:
+        pos_state = len(out) & pb_mask
+        if bit(IsMatch + (state << 4) + pos_state) == 0:
+            # literal
+            prev = out[-1] if out else 0
+            lit = Literal + 768 * (((len(out) & lp_mask) << lc) + (prev >> (8 - lc)))
+            if state < 7:
+                sym = 1
+                while sym < 0x100:
+                    sym = (sym << 1) | bit(lit + sym)
+            else:
+                match_byte = out[len(out) - rep0]
+                offs = 0x100
+                sym = 1
+                while sym < 0x100:
+                    match_byte <<= 1
+                    b = match_byte & offs
+                    v = bit(lit + offs + b + sym)
+                    sym = (sym << 1) | v
+                    if v:
+                        offs &= b
+                    else:
+                        offs &= ~b
+            out.append(sym & 0xFF)
+            state = state - state if state < 4 else (state - 3 if state < 10 else state - 6)
+            continue
+        if bit(IsRep + state) == 0:
+            # match
+            length = len_decode(LenCoder, pos_state)
+            state = 7 if state < 7 else 10
+            slot_base = PosSlot + ((length if length < 4 else 3) << 6)
+            dist = tree(slot_base, 6)
+            if dist >= 4:
+                slot = dist
+                nbits = (slot >> 1) - 1
+                dist = (2 | (slot & 1))
+                if slot < 14:
+                    dist <<= nbits
+                    base = SpecPos + dist - slot - 1
+                    mask = 1
+                    i = 1
+                    for _ in range(nbits):
+                        v = bit(base + i)
+                        i = (i << 1) | v
+                        if v:
+                            dist |= mask
+                        mask <<= 1
+                else:
+                    for _ in range(nbits - 4):
+                        if rng < kTop:
+                            rng = (rng << 8) & 0xFFFFFFFF
+                            code = ((code << 8) | byte()) & 0xFFFFFFFF
+                        rng >>= 1
+                        code = (code - rng) & 0xFFFFFFFF
+                        if code >> 31:  # t == 0xFFFFFFFF: bit 0
+                            dist = dist << 1
+                            code = (code + rng) & 0xFFFFFFFF
+                        else:  # t == 0: bit 1
+                            dist = (dist << 1) + 1
+                    base = Align_
+                    i = 1
+                    add = 1
+                    dist <<= 4
+                    for _ in range(4):
+                        v = bit(base + i)
+                        i = (i << 1) | v
+                        if v:
+                            dist |= add
+                        add <<= 1
+                    if dist == 0xFFFFFFFF:
+                        break  # end marker (not produced for our streams)
+            rep3, rep2, rep1, rep0 = rep2, rep1, rep0, dist + 1
+            length += 2
+            for _ in range(min(length, ulen - len(out))):
+                out.append(out[len(out) - rep0])
         else:
-            lo = mid + 1
-    return lo
+            if bit(IsRepG0 + state) == 0:
+                if bit(IsRep0Long + (state << 4) + pos_state) == 0:
+                    out.append(out[len(out) - rep0])
+                    state = 9 if state < 7 else 11
+                    continue
+            else:
+                if bit(IsRepG1 + state) == 0:
+                    dist = rep1
+                else:
+                    if bit(IsRepG2 + state) == 0:
+                        dist = rep2
+                    else:
+                        dist = rep3
+                        rep3 = rep2
+                    rep2 = rep1
+                rep1 = rep0
+                rep0 = dist
+            state = 8 if state < 7 else 11
+            length = len_decode(RepLenCoder, pos_state) + 2
+            for _ in range(min(length, ulen - len(out))):
+                out.append(out[len(out) - rep0])
+
+    # the post-loop NORMALIZE (this is the byte liblzma does not count)
+    if rng < kTop:
+        pos += 1
+    return pos
 
 
 def _write_base(e: _Encoder, proc) -> None:

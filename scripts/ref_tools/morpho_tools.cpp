@@ -31,6 +31,8 @@
 #include "morphodita/tokenizer/gru_tokenizer_trainer.h"
 #include "morphodita/tokenizer/tokenizer_factory.h"
 #include "unilib/utf8.h"
+#include "utils/binary_decoder.h"
+#include "utils/compressor.h"
 #include "morphodita/derivator/derivator.h"
 #include "morphodita/derivator/derivator_dictionary_encoder.h"
 #include "morphodita/morpho/czech_morpho_encoder.h"
@@ -259,6 +261,19 @@ int main(int argc, char* argv[]) {
       cout << '\n';
     }
     return 0;
+  }
+
+  if (cmd == "blob_probe") {
+    // blob_probe <file> <skip> — run compressor::load on the blob at byte
+    // offset <skip>; prints ok/fail (validates binary_writer framing)
+    if (argc < 4) return usage();
+    ifstream f(argv[2], ifstream::binary);
+    if (!f) { cerr << "cannot open" << endl; return 1; }
+    f.seekg(stoi(argv[3]));
+    ufal::nametag::utils::binary_decoder data;
+    bool ok = ufal::nametag::utils::compressor::load(f, data);
+    cout << (ok ? "ok" : "fail") << endl;
+    return ok ? 0 : 1;
   }
 
   if (cmd == "gru_train") {
