@@ -13,7 +13,7 @@ the mention/kg tables this engine adds):
 
 tokenize (reference: src/run_tokenizer.cpp:23-48 — tokenize-only driver):
   python -m nametag_spark.cli tokenize <input_parquet> <output_path> \
-      [--format tokens|vertical|xml] [--lang en|cs|generic]
+      [--format tokens|vertical|xml] [--lang en|cs|generic|gru:<factory-file>]
 """
 
 from __future__ import annotations

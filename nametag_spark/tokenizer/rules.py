@@ -269,12 +269,29 @@ _LANGS = {
 }
 
 
+_GRU_CACHE: dict = {}
+
+
 def tokenize_sentences(text: str, lang: str = "en") -> list:
     """Tokenize + sentence-segment one text.
 
     Returns a list of sentences; each sentence is a list of (start, length)
     Unicode-char spans into *text*.
+
+    lang: 'en' | 'cs' | 'generic' (rule grammars), or 'gru:<factory-file>'
+    to tokenize with a trained GRU tokenizer (the serialized
+    gru_tokenizer_factory format; loaded once per process and cached).
     """
+    if lang.startswith("gru:"):
+        tok = _GRU_CACHE.get(lang)
+        if tok is None:
+            from .gru import GruTokenizer, load_gru_factory
+
+            net, _url_email, segment, allow_spaces = load_gru_factory(lang[4:])
+            tok = _GRU_CACHE[lang] = GruTokenizer(
+                net, segment=segment, allow_spaces=allow_spaces
+            )
+        return tok.tokenize(text)
     word_re, num_re, abbreviations, split_clitics = _LANGS[lang]
     n = len(text)
     i = 0

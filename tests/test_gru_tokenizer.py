@@ -234,3 +234,28 @@ def test_train_gru_tokenizer_end_to_end(tmp_path):
             "".join(text[a : a + b] + "\n" for (a, b) in s) + "\n" for s in ours
         )
         assert mine == r.stdout.decode()
+
+
+def test_gru_spec_in_tokenize_df(spark):
+    """The DataFrame surface accepts lang='gru:<file>': tokenize_df runs a
+    trained GRU tokenizer inside mapInPandas (factory loaded once per
+    worker), matching the local runtime's spans."""
+    from nametag_spark.ner.pipeline import tokenize_df
+    from nametag_spark.tokenizer.rules import tokenize_sentences
+
+    path = os.path.join(FIX, "tiny_gru.tokenizer")
+    spec = f"gru:{path}"
+    texts = ["the dog walks in Praha. Alice saw Bob.", "books and cats run quickly."]
+    df = spark.createDataFrame(
+        [(str(i), 0, t) for i, t in enumerate(texts)], "conv_id string, turn_idx int, text string"
+    )
+    got = {
+        (r["conv_id"], r["sent_idx"], r["tok_idx"]): (r["form"], r["start"], r["length"])
+        for r in tokenize_df(df, lang=spec).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        for s_idx, sent in enumerate(tokenize_sentences(t, spec)):
+            for t_idx, (a, b) in enumerate(sent):
+                want[(str(i), s_idx, t_idx)] = (t[a : a + b], a, b)
+    assert got == want and got
