@@ -225,3 +225,41 @@ def test_morphodita_tagger_train_export_roundtrip(tmp_path):
     assert m2.tagger is not None and m2.tagger.tagger_family == "czech"
     mine = render_conll(sents, [m2.recognize_sentence(s) for s in sents])
     assert mine == out.stdout
+
+
+def test_blob_framing_fuzz_vs_reference_loader():
+    """The LZMA blob framing (exact LzmaDec consumed-length emulation in
+    binary_writer._consumed_prefix) across varied payloads: every blob must
+    round-trip through OUR reader, and — with the compiled reference
+    available — pass the reference's own compressor::load via the
+    morpho_tools blob_probe subcommand (the condition that rejected
+    liblzma-minimal truncations)."""
+    import io
+    import random
+    import subprocess
+    import tempfile
+
+    from nametag_spark.model.binary_reader import _read_blob
+    from nametag_spark.model.binary_writer import _Encoder
+
+    probe = "/tmp/refbuild/morpho_tools"
+    have_ref = os.path.exists(probe)
+    rng = random.Random(20260817)
+    payloads = []
+    for size in (1, 7, 64, 1000, 16659, 80000):
+        payloads.append(bytes(rng.randrange(256) for _ in range(size)))  # incompressible
+        payloads.append((b"abcd" * (size // 4 + 1))[:size])  # highly repetitive
+        payloads.append(bytes(rng.choice(b"abc ") for _ in range(size)))  # texty
+    for k, payload in enumerate(payloads):
+        e = _Encoder()
+        e.raw(payload)
+        blob = e.blob()
+        d = _read_blob(io.BytesIO(blob))
+        assert bytes(d.data) == payload, f"payload {k}: reader round-trip"
+        if have_ref:
+            with tempfile.NamedTemporaryFile(delete=False) as tmp:
+                tmp.write(blob)
+                name = tmp.name
+            r = subprocess.run([probe, "blob_probe", name, "0"], capture_output=True)
+            os.unlink(name)
+            assert r.returncode == 0, f"payload {k} ({len(payload)}B): reference rejected blob"
