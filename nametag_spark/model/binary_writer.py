@@ -17,7 +17,8 @@ consumes, computed by _consumed_prefix — a transcription of the embedded
 LzmaDec decode loop's consumption behavior (its post-output NORMALIZE can
 consume one byte more than liblzma's minimal prefix, so a liblzma-derived
 length is occasionally rejected by the reference; found via the GRU
-factory round-trip).
+factory round-trip). The emulation is pure Python at ~2.5s/MB of payload —
+a save-time cost only, paid once per exported model.
 
 Limitations (reject loudly rather than write silently-wrong files):
   - trivial tagger, or an embedded MorphoDiTa tagger (whose serialized
