@@ -640,7 +640,6 @@ class GazetteersEnhanced(FeatureProcessor):
         self.entity_list = [entities.name(i) for i in range(len(entities))]
         self._load_lists(base_dir)
         self._build_trie()
-        self._source_cache = {}
 
     def _load_lists(self, base_dir):
         self.lists = []
@@ -691,41 +690,6 @@ class GazetteersEnhanced(FeatureProcessor):
             for t in texts:
                 out.append(self._recase_text(t, perform))
         return out
-
-    def _match_sources(self, sent, i):
-        form = sent.forms[i]
-        if self.match == "rawlemma":
-            texts = (sent.get_raw_lemmas()[i],)
-        elif self.match == "rawlemmas":
-            texts = tuple(sent.get_raw_lemmas_all(i))
-        else:
-            texts = (form,)
-        # recasing is a pure function of (form, match texts) — cache it
-        # (tokens repeat heavily; bounded like the analysis caches)
-        key = (form, texts)
-        cache = getattr(self, "_source_cache", None)
-        if cache is None:
-            cache = self._source_cache = {}
-        v = cache.get(key)
-        if v is None:
-            if len(cache) > 200_000:
-                cache.clear()
-            v = cache[key] = tuple(self._recase_match_source(form, native=False, texts=texts))
-        return v
-
-    def _first_step(self, srcs):
-        """Trie step from the root for one token's match sources, cached —
-        the root step dominates the walk (most tokens match nothing and the
-        frontier dies immediately)."""
-        cache = getattr(self, "_first_step_cache", None)
-        if cache is None:
-            cache = self._first_step_cache = {}
-        v = cache.get(srcs)
-        if v is None:
-            if len(cache) > 200_000:
-                cache.clear()
-            v = cache[srcs] = self._frontier_step((0,), srcs)
-        return v
 
     def _build_trie(self):
         # node: {"children": {str: [node_ids]}, "features": [], "mode": SOFT, "entity": -1}
