@@ -62,6 +62,7 @@ class Sentence:
         "_pins_memo",  # ner.fast pin-effect snapshot (stage-invariant)
         "_soft_events",  # ner.fast gazetteer soft features as (pos, fid) arrays
         "_gaz_sources",  # per-processor recased match sources (stage-invariant)
+        "_gaz_hp_skip",  # proc ids whose hard_post walk provably can't match
         "_shared_memo",  # content-keyed memo store shared across instances
     )
 
@@ -730,6 +731,33 @@ class GazetteersEnhanced(FeatureProcessor):
                         _append_unless_exists(new_nodes, nxt)
         return new_nodes
 
+    def _key_entry(self, key, form, texts):
+        """(sources, first-step nodes, first-step summary) for one token,
+        cached per match key — the pure per-token core of the trie walk,
+        shared by the per-sentence path and ner.fast's batched path."""
+        cache = getattr(self, "_tok_cache", None)
+        if cache is None:
+            cache = self._tok_cache = {}
+        e = cache.get(key)
+        if e is None:
+            if len(cache) > 200_000:
+                cache.clear()
+            srcs = tuple(self._recase_match_source(form, native=False, texts=texts))
+            first = self._frontier_step((0,), srcs)
+            e = cache[key] = (srcs, first, self._first_summary(first))
+        return e
+
+    def _token_key(self, sent, i, forms, raws):
+        """Match key + recase texts for token i (mode-dependent)."""
+        form = forms[i]
+        if self.match == "form":
+            return form, form, None  # _recase_match_source defaults to (form,)
+        if self.match == "rawlemma":
+            t = raws[i]
+            return (form if t == form else (form, t)), form, (t,)
+        texts = tuple(sent.get_raw_lemmas_all(i))
+        return (form, texts), form, texts
+
     def _sentence_sources(self, sent):
         """Recased match sources + root trie steps for every token, cached
         on the sentence — pure functions of per-token morphology, shared
@@ -741,9 +769,6 @@ class GazetteersEnhanced(FeatureProcessor):
         v = memo.get(id(self))
         if v is not None:
             return v
-        cache = getattr(self, "_tok_cache", None)
-        if cache is None:
-            cache = self._tok_cache = {}
         mode = self.match
         forms = sent.forms
         n = sent.size
@@ -752,29 +777,35 @@ class GazetteersEnhanced(FeatureProcessor):
         firsts = [None] * n
         summaries = [None] * n
         for i in range(n):
-            form = forms[i]
-            if mode == "form":
-                key = form
-                texts = None  # _recase_match_source defaults to (form,)
-            elif mode == "rawlemma":
-                t = raws[i]
-                key = form if t == form else (form, t)
-                texts = (t,)
-            else:  # rawlemmas
-                texts = tuple(sent.get_raw_lemmas_all(i))
-                key = (form, texts)
-            e = cache.get(key)
-            if e is None:
-                if len(cache) > 200_000:
-                    cache.clear()
-                srcs = tuple(self._recase_match_source(form, native=False, texts=texts))
-                first = self._frontier_step((0,), srcs)
-                e = cache[key] = (srcs, first, self._first_summary(first))
+            key, form, texts = self._token_key(sent, i, forms, raws)
+            e = self._key_entry(key, form, texts)
             sources[i] = e[0]
             firsts[i] = e[1]
             summaries[i] = e[2]
         v = memo[id(self)] = (sources, firsts, summaries)
         return v
+
+    def _hp_reach(self):
+        """Per-trie-node flag: does this node or any descendant carry
+        HARD_POST mode? Lets callers prove a hard_post walk from a given
+        first step can never match (the dominant case) and skip it."""
+        flags = getattr(self, "_hp_reach_flags", None)
+        if flags is None:
+            n = len(self.trie)
+            flags = [False] * n
+            # leaf-upward: process nodes in reverse creation order — children
+            # are always created after their parent in _build_trie
+            for node in range(n - 1, -1, -1):
+                t = self.trie[node]
+                v = t["mode"] == self.HARD_POST
+                if not v:
+                    for lst in t["children"].values():
+                        if any(flags[nxt] for nxt in lst):
+                            v = True
+                            break
+                flags[node] = v
+            self._hp_reach_flags = flags
+        return flags
 
     def _first_summary(self, first):
         """Precompiled single-token outcome of a root trie step: (ordered
@@ -904,6 +935,11 @@ class GazetteersEnhanced(FeatureProcessor):
         entities: list of [start, length, type_name], sorted by start.
         """
         if not getattr(self, "_has_hard_post", True):
+            return
+        skip = getattr(sent, "_gaz_hp_skip", None)
+        if skip is not None and id(self) in skip:
+            # ner.fast proved per-token that no first trie step of this
+            # sentence reaches a HARD_POST node — the walk below can't match
             return
         sources, firsts, _summaries = self._sentence_sources(sent)
         buffer = []
@@ -1161,7 +1197,16 @@ class FeatureTemplates:
             proc.process_sentence(sent, total)
 
     def process_entities(self, sent, entities, entity_map):
-        for proc in self.processors:
+        procs = getattr(self, "_entity_procs", None)
+        if procs is None:
+            # only processors that actually override process_entities —
+            # skips the no-op base-class dispatch for the rest
+            procs = self._entity_procs = [
+                p
+                for p in self.processors
+                if type(p).process_entities is not FeatureProcessor.process_entities
+            ]
+        for proc in procs:
             proc.process_entities(sent, entities, entity_map)
 
     # --- serialization ---------------------------------------------------

@@ -1791,6 +1791,7 @@ class MorphoditaTagger:
         self._raw_all_cache: dict = {}
         self._raw_form_cache: dict = {}
         self._sentence_cache: dict = {}
+        self._token_col_cache: dict = {}
 
     # ------------------------------------------------------------- loading
     @classmethod
@@ -1849,6 +1850,14 @@ class MorphoditaTagger:
         n = len(forms)
         if n == 0:
             return []
+        for a in analyses:
+            if len(a) != 1:
+                break
+        else:
+            # every token unambiguous: the loop below degenerates to a chain
+            # of single nodes and the backtrace returns index 0 everywhere —
+            # no score or dynamic vector is ever consulted
+            return [0] * n
         order = self.decoding_order
         window_size = self.window_size
         feats = self.features
@@ -1979,6 +1988,8 @@ class MorphoditaTagger:
         m = self.morpho
         rc = self._raw_form_cache
         raw_forms = []
+        analyses = []
+        an_of = self._analyses
         for f in forms:
             r = rc.get(f)
             if r is None:
@@ -1986,38 +1997,43 @@ class MorphoditaTagger:
                     rc.clear()
                 r = rc[f] = f[: m.raw_form_len(f)]
             raw_forms.append(r)
-        analyses = [self._analyses(f) for f in raw_forms]
+            analyses.append(an_of(r))
         idx = self._decode(raw_forms, analyses)
-        splits = self._lemma_split_cache
-        all_cache = self._raw_all_cache
-        comments, raws, lids, tags, raw_all = [], [], [], [], []
-        for form, an, k in zip(forms, analyses, idx):
-            lemma, tag = an[k]
-            sp = splits.get(lemma)
-            if sp is None:
-                if len(splits) > 200_000:
-                    splits.clear()
-                raw_len = m.raw_lemma_len(lemma)
-                id_len = m.lemma_id_len(lemma)
-                sp = splits[lemma] = (lemma[:raw_len], lemma[:id_len], lemma[id_len:])
-            all_raw = all_cache.get(form)
-            if all_raw is None:
-                if len(all_cache) > 200_000:
-                    all_cache.clear()
-                all_raw = all_cache[form] = sorted(
-                    {a_lemma[: m.raw_lemma_len(a_lemma)] for a_lemma, _t in self._analyses(form, GUESSER)}
-                )
-            raws.append(sp[0])
-            lids.append(sp[1])
-            comments.append(sp[2])
-            tags.append(tag)
-            raw_all.append(all_raw)
-        # ner.fast token memo keys (fast.py _token_keys contract), built here
-        # so they ride the sentence cache instead of being rebuilt per batch
-        keys = [
-            f if (r == f and l == f and t == "" and not c) else (f, r, l, t, c or "")
-            for f, r, l, t, c in zip(raw_forms, raws, lids, tags, comments)
-        ]
+        # fused per-(form, chosen-analysis) column cache: the whole output
+        # row (comment, raw, lid, tag, raw_lemmas_all, fast-token-key) is a
+        # pure function of the form and the decoder's pick
+        tok_cache = self._token_col_cache
+        entries = []
+        for form, rf, an, k in zip(forms, raw_forms, analyses, idx):
+            e = tok_cache.get((form, k))
+            if e is None:
+                if len(tok_cache) > 200_000:
+                    tok_cache.clear()
+                lemma, tag = an[k]
+                sp = self._lemma_split_cache.get(lemma)
+                if sp is None:
+                    if len(self._lemma_split_cache) > 200_000:
+                        self._lemma_split_cache.clear()
+                    raw_len = m.raw_lemma_len(lemma)
+                    id_len = m.lemma_id_len(lemma)
+                    sp = self._lemma_split_cache[lemma] = (
+                        lemma[:raw_len], lemma[:id_len], lemma[id_len:],
+                    )
+                all_raw = self._raw_all_cache.get(form)
+                if all_raw is None:
+                    if len(self._raw_all_cache) > 200_000:
+                        self._raw_all_cache.clear()
+                    all_raw = self._raw_all_cache[form] = sorted(
+                        {a_lemma[: m.raw_lemma_len(a_lemma)] for a_lemma, _t in an_of(form, GUESSER)}
+                    )
+                r, l, c = sp
+                # ner.fast token memo key (fast.py _token_keys contract)
+                tk = rf if (r == rf and l == rf and tag == "" and not c) else (rf, r, l, tag, c or "")
+                e = tok_cache[(form, k)] = (c, r, l, tag, all_raw, tk)
+            entries.append(e)
+        comments, raws, lids, tags, raw_all, keys = (
+            map(list, zip(*entries)) if entries else ([], [], [], [], [], [])
+        )
         # shared per-content memo store: gazetteer sources/pins are pure
         # functions of the sentence's morphology, so Sentence instances
         # rebuilt from this cache entry share their computed walks

@@ -346,6 +346,51 @@ def extract_entities(best: np.ndarray, best_ent: np.ndarray):
     return out
 
 
+def extract_entities_batch(best: np.ndarray, best_ent: np.ndarray, sent_start: np.ndarray):
+    """extract_entities over a flat batch: best/best_ent are concatenated
+    per-sentence decode rows, sent_start the (n_sent+1,) segment offsets.
+    Returns a list of per-sentence span lists, each identical to
+    extract_entities on that sentence's slice (bilou_ner.cpp:80-87) — but
+    touching only the B/U candidate positions instead of every token."""
+    n_sent = len(sent_start) - 1
+    results = [[] for _ in range(n_sent)]
+    T = len(best)
+    if T == 0:
+        return results
+    cand = np.flatnonzero((best == BILOU_U) | (best == BILOU_B))
+    if len(cand) == 0:
+        return results
+    # next L at position >= i (global; sentence bound applied per candidate)
+    pos = np.arange(T, dtype=np.int64)
+    idx = np.where(best == BILOU_L, pos, T)
+    next_l = np.minimum.accumulate(idx[::-1])[::-1]
+    sent_of = np.searchsorted(sent_start, cand, side="right") - 1
+    starts = sent_start[sent_of]
+    ends = sent_start[sent_of + 1]
+    bvals = best[cand]
+    evals = best_ent[cand]
+    nl = next_l[cand]
+    ptr = -1  # flat position where the previous B..L span ended (exclusive)
+    for j in range(len(cand)):
+        i = int(cand[j])
+        if i < ptr:
+            continue
+        res = results[sent_of[j]]
+        s0 = int(starts[j])
+        if bvals[j] == BILOU_U:
+            res.append((i - s0, 1, int(evals[j])))
+        else:
+            e = int(nl[j])
+            end = int(ends[j])
+            if e >= end:  # no L before sentence end: span runs to the end
+                res.append((i - s0, end - i, int(evals[j])))
+                ptr = end
+            else:
+                res.append((i - s0, e - i + 1, int(evals[j])))
+                ptr = e + 1
+    return results
+
+
 def sort_entities(entities):
     """Order by (start asc, length desc) — outermost-first for nested output
     (/root/reference/src/run_ner.cpp:174-184)."""

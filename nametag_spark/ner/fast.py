@@ -20,6 +20,7 @@ Parity between this path and the slow path is asserted in tests.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from ..features import templates as T
 
@@ -165,6 +166,12 @@ class FastFeaturizer:
             T.CzechAddContainers,
         )
         self.supported = all(isinstance(p, known) for p in procs)
+        # the fully-batched pin path covers URL/email + enhanced gazetteers;
+        # deprecated plain Gazetteers keeps the per-sentence reference walk
+        self.batch_pins_ok = all(
+            isinstance(p, (T.URLEmailDetector, T.GazetteersEnhanced))
+            for p in self.pin_procs
+        )
         self.form_cache: dict = {}
         self.pin_cache: dict = {}
         self.outer_cache: dict = {}
@@ -324,6 +331,388 @@ class FastFeaturizer:
                 # (into sent.features, merged by featurize())
                 p.process_sentence(sent)
 
+    # ---------------------------------------------------------- batched pins
+    def _url_kind_table(self, uniques):
+        """Per-unique URL/email pin kind (0 none, 1 email, 2 url), backed by
+        the same per-form pin_cache as the per-sentence path."""
+        pc = self.pin_cache
+        classify = T.classify_url_email
+        kinds = np.zeros(len(uniques), dtype=np.int8)
+        for u, key in enumerate(uniques):
+            form = key[0] if isinstance(key, tuple) else key
+            pin = pc.get(form)
+            if pin is None:
+                kind = classify(form)
+                # entity slot resolved at scatter time from the processor;
+                # the cache stores the kind marker as before
+                pin = ("E", None) if kind == "EMAIL" else ("U", None) if kind == "URL" else (None, None)
+                if len(pc) > 500_000:
+                    pc.clear()
+                pc[form] = pin
+            k = pin[0]
+            if k == "E":
+                kinds[u] = 1
+            elif k == "U":
+                kinds[u] = 2
+        return kinds
+
+    def _gaz_tables(self, p, batch, live):
+        """Per-unique trie-step tables for one GazetteersEnhanced processor:
+        state (0 dead / 2 single-token-only / 3 walk-needed), the cached
+        (sources, first, summary) entries, and (for hard_post processors)
+        whether the first step can reach a HARD_POST node."""
+        codes, uniques, sent_start, lo, hi = batch
+        U = len(uniques)
+        state = np.zeros(U, dtype=np.int8)
+        entries = [None] * U
+        mode = p.match
+        if mode == "rawlemmas":
+            # raw_lemmas_all is derived from the token's sentence (not part
+            # of the factorized key): read it off each key's first occurrence
+            total = len(codes)
+            first_pos = np.empty(U, dtype=np.int64)
+            first_pos[codes[::-1]] = np.arange(total - 1, -1, -1)
+            first_sent = np.searchsorted(sent_start, first_pos, side="right") - 1
+        hp_flags = p._hp_reach() if p._has_hard_post else None
+        hp_arr = np.zeros(U, dtype=bool) if hp_flags is not None else None
+        for u, key in enumerate(uniques):
+            if isinstance(key, tuple):
+                form, raw = key[0], key[1]
+            else:
+                form = raw = key
+            if mode == "form":
+                k2, texts = form, None
+            elif mode == "rawlemma":
+                k2 = form if raw == form else (form, raw)
+                texts = (raw,)
+            else:
+                fp = int(first_pos[u])
+                si = int(first_sent[u])
+                s = live[si]
+                texts = tuple(s.get_raw_lemmas_all(fp - int(sent_start[si])))
+                k2 = (form, texts)
+            e = p._key_entry(k2, form, texts)
+            entries[u] = e
+            summary = e[2]
+            if summary is not None:
+                vals, hp_node, has_children = summary
+                if has_children:
+                    state[u] = 3
+                elif vals or hp_node is not None:
+                    state[u] = 2
+                if hp_arr is not None and e[1]:
+                    hp_arr[u] = any(hp_flags[n] for n in e[1])
+        # flattened single-token summaries for the fully-vectorized path:
+        # per-unique soft-value segments + hard_pre pin entity (or -1)
+        val_len = np.zeros(U, dtype=np.int64)
+        hp_ent = np.full(U, -2, dtype=np.int64)  # -2 = no pin
+        vals_cat = []
+        trie = p.trie
+        for u in range(U):
+            if state[u] == 2:
+                vals, hp_node, _hc = entries[u][2]
+                val_len[u] = len(vals)
+                if vals:
+                    vals_cat.append(vals)
+                if hp_node is not None:
+                    hp_ent[u] = trie[hp_node]["entity"]
+        val_off = np.zeros(U + 1, dtype=np.int64)
+        np.cumsum(val_len, out=val_off[1:])
+        vals_flat = (
+            np.concatenate([np.asarray(v, dtype=np.int64) for v in vals_cat])
+            if vals_cat
+            else np.empty(0, dtype=np.int64)
+        )
+        return state, entries, hp_arr, (vals_flat, val_off[:-1], val_len, hp_ent)
+
+    _TRIVIAL_MEMO = (None, np.empty(0, dtype=np.int64), None, None)
+
+    def pins_batch(self, live, batch):
+        """Stage-invariant pin effects for the whole batch over FLAT arrays.
+
+        Replays per-sentence memos where available and runs the batched
+        (dead-token-skipping) URL/gazetteer machinery for fresh sentences,
+        preserving the per-sentence path's exact processor order, per-token
+        feature order, dedup, and filled-gating semantics (parity-tested).
+
+        Returns (soft_pos, soft_fid, fill_idx, fill_rows, fill_ents):
+        gazetteer soft features as position-sorted flat event arrays plus the
+        pinned probability rows to scatter over each stage's scored output.
+        Also snapshots fresh sentences' memos (cross-batch reuse) and marks
+        sentences whose hard_post walk provably can't match."""
+        codes, uniques, sent_start, lo, hi = batch
+        total = int(sent_start[-1])
+        local = np.zeros((total, 5), dtype=np.float64)
+        local_ent = np.full((total, 5), T.ENTITY_UNKNOWN, dtype=np.int64)
+        filled = np.zeros(total, dtype=bool)
+
+        model_key = ("pins", id(self.model))
+        fresh_sent = np.ones(len(live), dtype=bool)
+        fresh_sents = []
+        soft_parts = []  # (pos, fid) arrays; bins are per-sentence-disjoint
+        for k, s in enumerate(live):
+            memo = getattr(s, "_pins_memo", None)
+            if memo is None:
+                shared = getattr(s, "_shared_memo", None)
+                if shared is not None:
+                    memo = shared.get(model_key)
+                if memo is None:
+                    fresh_sents.append((k, int(sent_start[k]), s))
+                    continue
+            fresh_sent[k] = False
+            a = int(sent_start[k])
+            soft, fidx, rows, ents = memo
+            if soft is not None:
+                soft_parts.append((soft[0] + a, soft[1]))
+            if fidx is not None and len(fidx):
+                gi = fidx + a
+                local[gi] = rows
+                local_ent[gi] = ents
+                filled[gi] = True
+            s._soft_events = soft
+            s._pins_memo = memo
+
+        any_fresh = bool(fresh_sents)
+        if any_fresh:
+            fresh_mask = (
+                np.repeat(fresh_sent, np.diff(sent_start))
+                if len(fresh_sents) < len(live)
+                else np.ones(total, dtype=bool)
+            )
+        gaz_hp = []  # (proc, per-unique hp-possible array)
+        expanded = []  # per-proc (positions, fids) after window expansion
+        for p in self.model.templates.processors:
+            if isinstance(p, T.URLEmailDetector):
+                if not any_fresh:
+                    continue
+                kinds = self._url_kind_table(uniques)[codes]
+                sel = (kinds > 0) & fresh_mask & ~filled
+                if sel.any():
+                    local[sel] = 0.0
+                    local_ent[sel] = T.ENTITY_UNKNOWN
+                    local[sel, T.BILOU_U] = 1.0
+                    local_ent[sel, T.BILOU_U] = np.where(kinds[sel] == 1, p.email, p.url)
+                    filled[sel] = True
+            elif isinstance(p, T.GazetteersEnhanced):
+                state, entries, hp_arr, flat_tab = self._gaz_tables(p, batch, live)
+                if hp_arr is not None:
+                    gaz_hp.append((p, hp_arr))
+                if not any_fresh:
+                    continue
+                tok_state = state[codes]
+                starts = np.flatnonzero((tok_state >= 2) & fresh_mask)
+                if not len(starts):
+                    continue
+                if not (tok_state[starts] == 3).any():
+                    # no multi-token match can start anywhere in this batch:
+                    # every active token is fully described by its precompiled
+                    # single-token summary — emit soft values and U-pins with
+                    # pure gathers (per-token vals are unique and positions
+                    # are distinct, so no dedup or ordering bookkeeping)
+                    vals_flat, val_off, val_len, hp_ent = flat_tab
+                    u_sel = codes[starts]
+                    ls = val_len[u_sel]
+                    with_vals = ls > 0
+                    if with_vals.any():
+                        st2 = starts[with_vals]
+                        l2 = ls[with_vals]
+                        off2 = val_off[u_sel[with_vals]]
+                        cum = np.cumsum(l2)
+                        tot_v = int(cum[-1])
+                        gather = (
+                            np.arange(tot_v, dtype=np.int64)
+                            - np.repeat(cum - l2, l2)
+                            + np.repeat(off2, l2)
+                        )
+                        src = np.repeat(st2, l2)
+                        val = vals_flat[gather]
+                        offs = np.arange(-p.window, p.window + 1, dtype=np.int64)
+                        tgt = src[:, None] + offs
+                        ok = (tgt >= lo[src][:, None]) & (tgt < hi[src][:, None])
+                        okf = ok.ravel()
+                        expanded.append(
+                            (tgt.ravel()[okf], (val[:, None] + offs).ravel()[okf])
+                        )
+                    pins = starts[(hp_ent[u_sel] != -2) & ~filled[starts]]
+                    if len(pins):
+                        local[pins] = 0.0
+                        local_ent[pins] = T.ENTITY_UNKNOWN
+                        local[pins, T.BILOU_U] = 1.0
+                        local_ent[pins, T.BILOU_U] = hp_ent[codes[pins]]
+                        filled[pins] = True
+                    continue
+                trie = p.trie
+                span = 2 * p.window + 1
+                G = p.G
+                HARD_PRE = p.HARD_PRE
+                frontier = p._frontier_step
+                base_pos = []  # source token (flat) of each base event
+                base_val = []  # base feature value attached there
+                seen = set()
+                for i0 in starts:
+                    i = int(i0)
+                    e = entries[codes[i]]
+                    summary = e[2]
+                    if not summary[2]:
+                        # single-token-only: precompiled outcome
+                        vals, hp_node, _hc = summary
+                        for v in vals:
+                            t = (i, v)
+                            if t not in seen:
+                                seen.add(t)
+                                base_pos.append(i)
+                                base_val.append(v)
+                        if hp_node is not None and not filled[i]:
+                            local[i, :] = 0.0
+                            local_ent[i, :] = T.ENTITY_UNKNOWN
+                            local[i, T.BILOU_U] = 1.0
+                            local_ent[i, T.BILOU_U] = trie[hp_node]["entity"]
+                            filled[i] = True
+                        continue
+                    # general walk — the exact per-sentence loop over flat
+                    # arrays (templates.py GazetteersEnhanced.process_sentence)
+                    hard_pre_length = 0
+                    hard_pre_node = None
+                    hard_pre_possible = True
+                    nodes = [0]
+                    j = i
+                    end = int(hi[i])
+                    while j < end and nodes:
+                        new_nodes = (
+                            e[1] if j == i else frontier(nodes, entries[codes[j]][0])
+                        )
+                        hard_pre_possible = hard_pre_possible and not filled[j]
+                        if hard_pre_possible:
+                            for node in new_nodes:
+                                if trie[node]["mode"] == HARD_PRE and (
+                                    (j - i + 1) > hard_pre_length
+                                    or (hard_pre_node is not None and node < hard_pre_node)
+                                    or hard_pre_node is None
+                                ):
+                                    hard_pre_length = j - i + 1
+                                    hard_pre_node = node
+                        for node in new_nodes:
+                            for feature in trie[node]["features"]:
+                                fg = feature + G * span
+                                btype = 4 if j == i else 0
+                                for k2 in range(i, j + 1):
+                                    if j != i:
+                                        btype = 0 if k2 == i else 2 if k2 == j else 1
+                                    t = (k2, fg)
+                                    if t not in seen:
+                                        seen.add(t)
+                                        base_pos.append(k2)
+                                        base_val.append(fg)
+                                    t = (k2, feature + btype * span)
+                                    if t not in seen:
+                                        seen.add(t)
+                                        base_pos.append(k2)
+                                        base_val.append(feature + btype * span)
+                        nodes = new_nodes
+                        j += 1
+                    if hard_pre_length:
+                        ent_v = trie[hard_pre_node]["entity"]
+                        last = i + hard_pre_length - 1
+                        for j2 in range(i, i + hard_pre_length):
+                            local[j2, :] = 0.0
+                            local_ent[j2, :] = T.ENTITY_UNKNOWN
+                            btype = (
+                                T.BILOU_U
+                                if hard_pre_length == 1
+                                else T.BILOU_B
+                                if j2 == i
+                                else T.BILOU_L
+                                if j2 == last
+                                else T.BILOU_I
+                            )
+                            local[j2, btype] = 1.0
+                            local_ent[j2, btype] = ent_v
+                            filled[j2] = True
+                if base_pos:
+                    # window expansion: each base event contributes
+                    # (target, val + target - src) over the clipped window —
+                    # contiguous per event, so a stable sort by target
+                    # reproduces the per-sentence apply order per token
+                    src = np.array(base_pos, dtype=np.int64)
+                    val = np.array(base_val, dtype=np.int64)
+                    offs = np.arange(-p.window, p.window + 1, dtype=np.int64)
+                    tgt = src[:, None] + offs
+                    ok = (tgt >= lo[src][:, None]) & (tgt < hi[src][:, None])
+                    okf = ok.ravel()
+                    expanded.append(
+                        (tgt.ravel()[okf], (val[:, None] + offs).ravel()[okf])
+                    )
+
+        parts = soft_parts + expanded
+        if parts:
+            allpos = np.concatenate([x[0] for x in parts])
+            allfid = np.concatenate([x[1] for x in parts])
+            order = np.argsort(allpos, kind="stable")
+            soft_pos = allpos[order]
+            soft_fid = allfid[order]
+        else:
+            soft_pos = np.empty(0, dtype=np.int64)
+            soft_fid = np.empty(0, dtype=np.int64)
+
+        fill_idx = np.flatnonzero(filled)
+        fill_rows = local[fill_idx]
+        fill_ents = local_ent[fill_idx]
+
+        # hard_post skip flags (all live sentences — pure per-token facts).
+        # the dominant case is "skip every hard_post processor": one shared
+        # frozenset per batch, no per-sentence allocation
+        if gaz_hp:
+            per_sent = [
+                np.add.reduceat(hp_arr[codes].astype(np.int8), sent_start[:-1]) > 0
+                for _p, hp_arr in gaz_hp
+            ]
+            skip_all = frozenset(id(p) for p, _ in gaz_hp)
+            skip_none = frozenset()
+            none_possible = ~per_sent[0]
+            all_possible = per_sent[0]
+            for ps in per_sent[1:]:
+                none_possible = none_possible & ~ps
+                all_possible = all_possible & ps
+            # shared frozensets for the two dominant cases (no per-sentence
+            # allocation); assignment also clears any stale flag on reused
+            # Sentence instances
+            for k in np.flatnonzero(none_possible):
+                live[k]._gaz_hp_skip = skip_all
+            for k in np.flatnonzero(all_possible):
+                live[k]._gaz_hp_skip = skip_none
+            if len(gaz_hp) > 1:
+                for k in np.flatnonzero(~none_possible & ~all_possible):
+                    live[k]._gaz_hp_skip = {
+                        id(p) for (p, _), ps in zip(gaz_hp, per_sent) if not ps[k]
+                    }
+
+        # snapshot only sentences with pin/soft activity for cross-batch
+        # reuse (inactive sentences recompute through the vectorized masks —
+        # per-sentence bookkeeping would cost more than it saves)
+        if fresh_sents and (len(soft_pos) or len(fill_idx)):
+            sp = np.searchsorted(soft_pos, sent_start)
+            fp = np.searchsorted(fill_idx, sent_start)
+            active = (np.diff(sp) > 0) | (np.diff(fp) > 0)
+            for k, a, s in fresh_sents:
+                if not active[k]:
+                    continue
+                s0, s1 = int(sp[k]), int(sp[k + 1])
+                f0, f1 = int(fp[k]), int(fp[k + 1])
+                soft = (soft_pos[s0:s1] - a, soft_fid[s0:s1]) if s1 > s0 else None
+                memo = (
+                    soft,
+                    fill_idx[f0:f1] - a,
+                    fill_rows[f0:f1] if f1 > f0 else None,
+                    fill_ents[f0:f1] if f1 > f0 else None,
+                )
+                s._soft_events = soft
+                s._pins_memo = memo
+                shared = getattr(s, "_shared_memo", None)
+                if shared is not None:
+                    shared[model_key] = memo
+
+        return soft_pos, soft_fid, fill_idx, fill_rows, fill_ents
+
     def _prev_fid(self, proc, bilou: int, ent: int):
         key = (bilou, ent)
         fid = self.prev_fid_cache.get(key, -2)
@@ -412,12 +801,14 @@ class StagePartialScorer:
             self._ps_tab = tab
         return tab
 
-    def score(self, sentences, batch, prev_b=None, prev_e=None):
+    def score(self, sentences, batch, prev_b=None, prev_e=None, soft_flat=None):
         """-> softmax probabilities (total_tokens, n_out) for all sentences.
 
-        Expects apply_pins() to have run (gazetteer soft features live in
-        sent._soft_events) — pinned rows are still scored (cheap) and the
-        caller overwrites only unpinned rows, same as the slow path.
+        Expects pin effects to have been computed: either per-sentence
+        (apply_pins, soft features in sent._soft_events) or batched
+        (pins_batch, soft features passed as the position-sorted flat
+        soft_flat=(pos, fid) pair). Pinned rows are still scored (cheap) and
+        the caller overwrites them, same as the slow path.
 
         batch: (codes, uniques, sent_start, lo, hi) precomputed by the
         caller and shared across stages (token keys and sentence bounds are
@@ -427,8 +818,9 @@ class StagePartialScorer:
         n_out = net.n_out
         m = self.maxw
 
-        lengths = np.array([s.size for s in sentences], dtype=np.int64)
-        total = int(lengths.sum())
+        codes, uniques, sent_start, lo, hi = batch
+        lengths = np.diff(sent_start)
+        total = int(sent_start[-1])
 
         out = np.tile(self.w0, (total, 1))  # omnipresent contribution
         counts = np.ones(total, dtype=np.int64)
@@ -436,20 +828,35 @@ class StagePartialScorer:
         epos_arrs = []
         efid_arrs = []
         ps_proc = self.fz.stateful[0] if self.fz.stateful else None
-        codes, uniques, sent_start, lo, hi = batch
 
-        base = 0
-        for s in sentences:
-            Tn = s.size
-            soft = getattr(s, "_soft_events", None)
-            if soft is not None:
-                epos_arrs.append(soft[0] + base)
-                efid_arrs.append(soft[1])
-            opos, oval = self.fz._outer_pattern(Tn)
-            if len(opos):
-                epos_arrs.append(opos + base)
-                efid_arrs.append(oval)
-            base += Tn
+        if soft_flat is not None:
+            if len(soft_flat[0]):
+                epos_arrs.append(soft_flat[0])
+                efid_arrs.append(soft_flat[1])
+            # outer-word events grouped by sentence length: same pattern per
+            # length, offset by each sentence's base (events of different
+            # sentences never share a bin, so per-bin order is preserved)
+            sbases = sent_start[:-1]
+            for Tn in np.unique(lengths):
+                opos, oval = self.fz._outer_pattern(int(Tn))
+                if not len(opos):
+                    continue
+                bs = sbases[lengths == Tn]
+                epos_arrs.append((bs[:, None] + opos[None, :]).ravel())
+                efid_arrs.append(np.tile(oval, len(bs)))
+        else:
+            base = 0
+            for s in sentences:
+                Tn = s.size
+                soft = getattr(s, "_soft_events", None)
+                if soft is not None:
+                    epos_arrs.append(soft[0] + base)
+                    efid_arrs.append(soft[1])
+                opos, oval = self.fz._outer_pattern(Tn)
+                if len(opos):
+                    epos_arrs.append(opos + base)
+                    efid_arrs.append(oval)
+                base += Tn
 
         if prev_b is not None and ps_proc is not None and total:
             tab = self._ps_table(ps_proc)
@@ -492,7 +899,9 @@ class StagePartialScorer:
             # row once, then scatter-add with buffered bincounts per output
             # column (np.add.at is unbuffered and the full (n_extras, width)
             # gather was the single hottest kernel in the batch scorer)
-            uf, inv = np.unique(efid, return_inverse=True)
+            # factorize (hash, no sort) — order of the distinct rows is
+            # irrelevant, only the per-event gather matters
+            inv, uf = pd.factorize(efid)
             G = self._gather(uf)
             for c in range(G.shape[1]):
                 out[:, c] += np.bincount(epos, weights=G[inv, c], minlength=total)

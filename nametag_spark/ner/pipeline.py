@@ -170,8 +170,12 @@ class _BatchRecognizer:
             return results
         model = self.model
         live = [s for s in sentences if s.size > 0]
-        for s in live:
-            s.clear_previous_stage()
+        if not self.use_fast:
+            # slow path reads per-sentence prev_bilou/prev_ent during stage 0
+            # (PreviousStage.process_sentence); fast scorers take the flat
+            # arrays instead, so fresh lists would be dead allocations
+            for s in live:
+                s.clear_previous_stage()
         last_best = {}
         # tagged sentences (external analyses or a model morpho tagger,
         # trained or not) stay on the fast path: the featurizer keys its
@@ -199,11 +203,34 @@ class _BatchRecognizer:
             batch = (codes, uniques, sent_start, lo, hi)
 
             best_cat = bent_cat = None
-            for stage, net in enumerate(model.networks):
-                local, local_ent = self._stage_fast(
-                    live, self.scorers[stage], batch, best_cat, bent_cat
-                )
-                best_cat, bent_cat = core.viterbi_decode_batch(local, local_ent, lengths)
+            if self.fast.batch_pins_ok:
+                # fully-batched pin path: pin effects are stage-invariant,
+                # computed ONCE over flat arrays (dead tokens skipped via the
+                # factorized key tables) and scattered over each stage's
+                # scored output — no per-sentence view setup at all
+                if self.fast.pin_procs:
+                    soft_pos, soft_fid, fill_idx, fill_rows, fill_ents = (
+                        self.fast.pins_batch(live, batch)
+                    )
+                else:
+                    soft_pos = soft_fid = fill_idx = np.empty(0, dtype=np.int64)
+                    fill_rows = fill_ents = None
+                for stage, net in enumerate(model.networks):
+                    probs = self.scorers[stage].score(
+                        live, batch=batch, prev_b=best_cat, prev_e=bent_cat,
+                        soft_flat=(soft_pos, soft_fid),
+                    )
+                    local, local_ent = core.fill_bilou_probabilities(probs)
+                    if len(fill_idx):
+                        local[fill_idx] = fill_rows
+                        local_ent[fill_idx] = fill_ents
+                    best_cat, bent_cat = core.viterbi_decode_batch(local, local_ent, lengths)
+            else:
+                for stage, net in enumerate(model.networks):
+                    local, local_ent = self._stage_fast(
+                        live, self.scorers[stage], batch, best_cat, bent_cat
+                    )
+                    best_cat, bent_cat = core.viterbi_decode_batch(local, local_ent, lengths)
             for k, s in enumerate(live):
                 a, b = sent_start[k], sent_start[k + 1]
                 best = best_cat[a:b]
@@ -222,15 +249,32 @@ class _BatchRecognizer:
                     last_best[id(s)] = (best, best_ent)
 
         results = []
-        for s in sentences:
-            if s.size == 0:
-                results.append([])
-                continue
-            best, best_ent = last_best[id(s)]
-            spans = core.extract_entities(best, best_ent)
-            ents = [[st, ln, self.model.entities.name(e)] for (st, ln, e) in spans]
-            self.model.templates.process_entities(s, ents, self.model.entities)
-            results.append(core.sort_entities([tuple(e) for e in ents]))
+        name = self.model.entities.name
+        templates = self.model.templates
+        entities = self.model.entities
+        if use_fast and live:
+            # one flat pass over B/U candidates instead of per-sentence scans
+            spans_per = core.extract_entities_batch(best_cat, bent_cat, sent_start)
+            li = 0
+            for s in sentences:
+                if s.size == 0:
+                    results.append([])
+                    continue
+                spans = spans_per[li]
+                li += 1
+                ents = [[st, ln, name(e)] for (st, ln, e) in spans]
+                templates.process_entities(s, ents, entities)
+                results.append(core.sort_entities([tuple(e) for e in ents]))
+        else:
+            for s in sentences:
+                if s.size == 0:
+                    results.append([])
+                    continue
+                best, best_ent = last_best[id(s)]
+                spans = core.extract_entities(best, best_ent)
+                ents = [[st, ln, name(e)] for (st, ln, e) in spans]
+                templates.process_entities(s, ents, entities)
+                results.append(core.sort_entities([tuple(e) for e in ents]))
         return results
 
 

@@ -108,11 +108,21 @@ def _is_u_alnum(c: str) -> bool:
     return c.isalnum() or unicodedata.category(c)[0] == "M"
 
 
+# every first char any url/email alternative can accept: uchar (email/user),
+# [A-Za-z]{3,} scheme, [A-Za-z0-9] hostname, digit IP — all ASCII, so one
+# set membership rejects a position without running either regex
+_URL_START = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789$-_.+!*'(),%"
+)
+
+
 def detect_url_email(text: str, i: int):
     """Longest (url|email) match at position i.
 
     Returns (kind, end) with kind in {"URL", "EMAIL"} or None. Behavior is
     pinned against the compiled reference FSM by the URL_FSM_GOLD fixture."""
+    if text[i] not in _URL_START:
+        return None
     m_email = _EMAIL_FSM_RE.match(text, i)
     email_end = m_email.end() if m_email else -1
 
@@ -200,7 +210,7 @@ def _cat(c: str) -> str:
 
 
 def _is_ws(c: str) -> bool:
-    return c in "\r\t\n" or unicodedata.category(c) == "Zs"
+    return c == " " or c in "\r\t\n" or unicodedata.category(c) == "Zs"
 
 
 def _split_token(text: str, tokens: list) -> None:
@@ -325,9 +335,17 @@ def tokenize_sentences(text: str, lang: str = "en") -> list:
         # --- whitespace runs; blank line (two eols) ends the sentence
         if _is_ws(c):
             j = i
-            while j < n and _is_ws(text[j]):
-                j += 1
-            if len(EOL_RE.findall(text[i:j])) >= 2:
+            has_eol = False
+            while j < n:
+                cj = text[j]
+                if cj == " ":
+                    j += 1
+                elif cj in "\r\t\n" or unicodedata.category(cj) == "Zs":
+                    has_eol = has_eol or cj in "\r\n"
+                    j += 1
+                else:
+                    break
+            if has_eol and len(EOL_RE.findall(text[i:j])) >= 2:
                 end_sentence()
             i = j
             continue
@@ -337,7 +355,7 @@ def tokenize_sentences(text: str, lang: str = "en") -> list:
         if d is not None:
             tokens.append((i, d[1] - i))
             i = d[1]
-            if emergency():
+            if len(tokens) >= 400 and emergency():
                 end_sentence()
             continue
 
@@ -369,7 +387,7 @@ def tokenize_sentences(text: str, lang: str = "en") -> list:
             if split_clitics:
                 _split_token(text, tokens)
             i = m.end()
-            if emergency():
+            if len(tokens) >= 400 and emergency():
                 end_sentence()
             continue
 
@@ -378,14 +396,14 @@ def tokenize_sentences(text: str, lang: str = "en") -> list:
         if e is not None:
             tokens.append((i, e - i))
             i = e
-            if emergency():
+            if len(tokens) >= 400 and emergency():
                 end_sentence()
             continue
 
         # --- any other single char
         tokens.append((i, 1))
         i += 1
-        if emergency():
+        if len(tokens) >= 400 and emergency():
             end_sentence()
 
     end_sentence()

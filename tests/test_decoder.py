@@ -115,3 +115,23 @@ def test_classifier_out_of_range_feature():
     probs = net.scores_batch(np.array([0, 99]), np.array([0, 2]))
     raw = np.array([2 * -0.5 + 1.0, 2 * -0.5 + 1.0])
     assert np.allclose(probs[0], [0.5, 0.5])
+
+
+def test_extract_entities_batch_matches_per_sentence():
+    """Flat-batch extraction is positionally identical to per-sentence
+    extract_entities for every BILOU/entity combination (randomized)."""
+    import random
+
+    rng = random.Random(7)
+    for _trial in range(500):
+        n_sent = rng.randint(1, 6)
+        lens = [rng.randint(1, 9) for _ in range(n_sent)]
+        ss = np.zeros(n_sent + 1, dtype=np.int64)
+        np.cumsum(lens, out=ss[1:])
+        T = int(ss[-1])
+        best = np.array([rng.randint(0, 4) for _ in range(T)], dtype=np.int64)
+        ent = np.array([rng.randint(-1, 3) for _ in range(T)], dtype=np.int64)
+        got = core.extract_entities_batch(best, ent, ss)
+        for k in range(n_sent):
+            a, b = ss[k], ss[k + 1]
+            assert got[k] == core.extract_entities(best[a:b], ent[a:b])
