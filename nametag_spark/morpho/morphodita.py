@@ -1792,6 +1792,7 @@ class MorphoditaTagger:
         self._raw_form_cache: dict = {}
         self._sentence_cache: dict = {}
         self._token_col_cache: dict = {}
+        self._an_none_cache: dict = {}  # default-mode view of _analyses
 
     # ------------------------------------------------------------- loading
     @classmethod
@@ -1986,29 +1987,36 @@ class MorphoditaTagger:
         if v is not None:
             return v
         m = self.morpho
-        rc = self._raw_form_cache
-        raw_forms = []
-        analyses = []
         an_of = self._analyses
-        for f in forms:
-            r = rc.get(f)
+        # C-speed map over the per-form caches; misses (rare after warmup)
+        # fixed up individually
+        rc = self._raw_form_cache
+        raw_forms = list(map(rc.get, forms))
+        for pos, r in enumerate(raw_forms):
             if r is None:
                 if len(rc) > 200_000:
                     rc.clear()
-                r = rc[f] = f[: m.raw_form_len(f)]
-            raw_forms.append(r)
-            analyses.append(an_of(r))
+                f = forms[pos]
+                raw_forms[pos] = rc[f] = f[: m.raw_form_len(f)]
+        ac = self._an_none_cache
+        analyses = list(map(ac.get, raw_forms))
+        for pos, a in enumerate(analyses):
+            if a is None:
+                if len(ac) > 200_000:
+                    ac.clear()
+                rf = raw_forms[pos]
+                analyses[pos] = ac[rf] = an_of(rf)
         idx = self._decode(raw_forms, analyses)
         # fused per-(form, chosen-analysis) column cache: the whole output
         # row (comment, raw, lid, tag, raw_lemmas_all, fast-token-key) is a
         # pure function of the form and the decoder's pick
         tok_cache = self._token_col_cache
-        entries = []
-        for form, rf, an, k in zip(forms, raw_forms, analyses, idx):
-            e = tok_cache.get((form, k))
+        entries = list(map(tok_cache.get, zip(forms, idx)))
+        for pos, e in enumerate(entries):
             if e is None:
                 if len(tok_cache) > 200_000:
                     tok_cache.clear()
+                form, rf, an, k = forms[pos], raw_forms[pos], analyses[pos], idx[pos]
                 lemma, tag = an[k]
                 sp = self._lemma_split_cache.get(lemma)
                 if sp is None:
@@ -2029,8 +2037,7 @@ class MorphoditaTagger:
                 r, l, c = sp
                 # ner.fast token memo key (fast.py _token_keys contract)
                 tk = rf if (r == rf and l == rf and tag == "" and not c) else (rf, r, l, tag, c or "")
-                e = tok_cache[(form, k)] = (c, r, l, tag, all_raw, tk)
-            entries.append(e)
+                entries[pos] = tok_cache[(form, k)] = (c, r, l, tag, all_raw, tk)
         comments, raws, lids, tags, raw_all, keys = (
             map(list, zip(*entries)) if entries else ([], [], [], [], [], [])
         )

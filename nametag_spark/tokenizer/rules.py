@@ -281,6 +281,65 @@ _LANGS = {
 
 _GRU_CACHE: dict = {}
 
+# whitespace EXACTLY as _is_ws defines it (not python \s, which differs on
+# \x0b/\x1c-\x1f etc.): " \t\r\n" + Zs
+_WS_CLASS = " \t\r\n" + _chars_in_categories(("Zs",))
+_CHUNK_RE = re.compile(f"[^{re.escape(_WS_CLASS)}]+")
+
+# chunk memo per language: chunk string -> (spans_rel, n_tokens,
+#   candidate_rel | None, eos_chr, prev_tok_str | None, opens_upper) or
+#   _CHUNK_BAIL when the isolated scan is not context-free (emergency split)
+_CHUNK_MEMOS: dict = {"en": {}, "cs": {}, "generic": {}}
+_CHUNK_BAIL = object()
+
+
+def _chunk_entry(chunk: str, lang: str, memo: dict):
+    """Context-free tokenization facts for one whitespace-delimited chunk.
+
+    The isolated scan equals the in-context scan for every position except
+    the trailing `eos closing*` suffix, whose single-char tokens are
+    identical either way — only the sentence-break decision needs context
+    (next chunk's opening*Upper + the token preceding the eos char)."""
+    e = memo.get(chunk)
+    if e is None:
+        if len(memo) > 200_000:
+            memo.clear()
+        sents = _tokenize_scan(chunk, lang)
+        if len(sents) != 1:  # emergency split inside one chunk: not safe
+            e = memo[chunk] = _CHUNK_BAIL
+            return e
+        spans = sents[0]
+        n = len(chunk)
+        # trailing closing* run, then the eos candidate before it
+        cl = n
+        while cl > 0 and chunk[cl - 1] in _CLOSING:
+            cl -= 1
+        cand = None
+        eos_chr = ""
+        prev_tok = None
+        if cl > 0 and chunk[cl - 1] in _EOS_CHARS:
+            cpos = cl - 1
+            # the branch can only fire if the scan reaches cpos as a token
+            # start (binary search: spans are sorted by start)
+            for k in range(len(spans) - 1, -1, -1):
+                s, l = spans[k]
+                if s == cpos:
+                    cand = cpos
+                    eos_chr = chunk[cpos]
+                    if k > 0:
+                        ps, pl = spans[k - 1]
+                        prev_tok = chunk[ps : ps + pl]
+                    break
+                if s < cpos:
+                    break
+        # opening* Upper flag (for the PREVIOUS chunk's eos decision)
+        k = 0
+        while k < n and chunk[k] in _OPENING:
+            k += 1
+        opens_upper = k < n and unicodedata.category(chunk[k]) in ("Lu", "Lt")
+        e = memo[chunk] = (tuple(spans), len(spans), cand, eos_chr, prev_tok, opens_upper)
+    return e
+
 
 def tokenize_sentences(text: str, lang: str = "en") -> list:
     """Tokenize + sentence-segment one text.
@@ -302,6 +361,82 @@ def tokenize_sentences(text: str, lang: str = "en") -> list:
                 net, segment=segment, allow_spaces=allow_spaces
             )
         return tok.tokenize(text)
+    memo = _CHUNK_MEMOS.get(lang)
+    if memo is None:
+        return _tokenize_scan(text, lang)
+
+    abbreviations = _LANGS[lang][2]
+    chunks = _CHUNK_RE.finditer(text)
+    entries = []  # (start, end, entry)
+    for m in chunks:
+        e = _chunk_entry(m.group(), lang, memo)
+        if e is _CHUNK_BAIL:
+            return _tokenize_scan(text, lang)
+        entries.append((m.start(), m.end(), e))
+
+    n = len(text)
+    sentences: list = []
+    tokens: list = []
+    prev_end = 0
+    find = text.find
+    for ci, (s, e, ent) in enumerate(entries):
+        # whitespace run before this chunk: blank line ends the sentence
+        if (
+            tokens
+            and (find("\n", prev_end, s) >= 0 or find("\r", prev_end, s) >= 0)
+            and len(EOL_RE.findall(text[prev_end:s])) >= 2
+        ):
+            sentences.append(tokens)
+            tokens = []
+        spans, ntok, cand, eos_chr, prev_tok, _ou = ent
+        if len(tokens) + ntok >= 400:
+            # emergency thresholds could engage: replay the exact scanner
+            return _tokenize_scan(text, lang)
+        fire = (
+            cand is not None
+            and e < n
+            and ci + 1 < len(entries)
+            and entries[ci + 1][2][5]
+        )
+        if fire:
+            # sentence-break decision (unicode_tokenizer.cpp:69-87): the
+            # token preceding the eos char — inside this chunk, or the last
+            # token of the running sentence when the eos starts the chunk
+            if cand > 0:
+                last = prev_tok
+            else:
+                last = text[tokens[-1][0] : tokens[-1][0] + tokens[-1][1]] if tokens else None
+            brk = True
+            if eos_chr == "." and last is not None:
+                if len(last) == 1 and unicodedata.category(last) in ("Lu", "Lt"):
+                    brk = False
+                elif last.lower() in abbreviations:
+                    brk = False
+            if ntok == 1:
+                a, bl = spans[0]
+                tokens.append((s + a, bl))
+            else:
+                tokens.extend((s + a, b) for (a, b) in spans)
+            if brk:
+                sentences.append(tokens)
+                tokens = []
+        else:
+            if ntok == 1:
+                a, bl = spans[0]
+                tokens.append((s + a, bl))
+            else:
+                tokens.extend((s + a, b) for (a, b) in spans)
+        prev_end = e
+    # trailing whitespace cannot end a sentence beyond the final flush
+    if tokens:
+        sentences.append(tokens)
+    return sentences
+
+
+def _tokenize_scan(text: str, lang: str) -> list:
+    """The reference-shaped character scanner (the semantic definition).
+    tokenize_sentences routes through the chunk memo and falls back here
+    verbatim whenever a chunk is not provably context-free."""
     word_re, num_re, abbreviations, split_clitics = _LANGS[lang]
     n = len(text)
     i = 0
