@@ -113,3 +113,34 @@ def test_synth_roundtrip():
         assert r.sent_idx < len(sents)
         span = sents[r.sent_idx][r.tok_start : r.tok_start + r.tok_len]
         assert " ".join(span) == r.surface
+
+
+def test_chunk_memo_fast_path_matches_scanner():
+    """The chunk-memoized fast path is span-identical to the reference-shaped
+    character scanner across randomized ws/eos/abbreviation/URL mixtures."""
+    import random
+
+    from nametag_spark.tokenizer import rules
+
+    rng = random.Random(42)
+    words = ["Praha", "pila", "dr", "Dr", "St", "A", "B.", "voda", "can't",
+             "cannot", "3.14", "1,000", "42", "e.g", "i.e",
+             "http://example.com/a(b)", "x@a.com", "…", "?!", ".", "..",
+             "...", '"Hello"', "(He", "said)", "Karel!", "co.", "žena",
+             "Čtyři", "İstanbul", "'quote'", "a-b", "x--y", "+5", "-3", ")",
+             "max.", "End.", "“Quoted”", "‘tis", "M."]
+    seps = [" ", "  ", "\n", "\n\n", " \n ", "\t", "\r\n", "\n \n", "   ", "\r"]
+    for _trial in range(800):
+        k = rng.randint(1, 14)
+        parts = []
+        for _ in range(k):
+            parts.append(rng.choice(words))
+            parts.append(rng.choice(seps))
+        text = "".join(parts)
+        if rng.random() < 0.3:
+            text = rng.choice(seps) + text
+        for lang in ("en", "cs", "generic"):
+            assert rules.tokenize_sentences(text, lang) == rules._tokenize_scan(text, lang), (lang, text)
+    # emergency-split fallback stays byte-identical
+    for t in (" ".join(["."] * 600), "." * 600, " ".join(["w"] * 450)):
+        assert rules.tokenize_sentences(t, "en") == rules._tokenize_scan(t, "en")
