@@ -105,6 +105,7 @@ def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf, sf: float
 
     timings: dict = {}
     spreads: dict = {}
+    query_fns: dict = {}
     reps_default = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def timed(name, fn, reps=None, reset=None):
@@ -125,6 +126,7 @@ def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf, sf: float
         med = ts[len(ts) // 2]
         timings[name] = round(med, 3)
         spreads[name] = round((ts[-1] - ts[0]) / med, 3) if med > 0 and reps > 1 else 0.0
+        query_fns[name] = (fn, reps, reset)
         log(f"  {name}: median {med:.2f}s over {reps} (spread {spreads[name]}) ({out})")
         return med
 
@@ -170,6 +172,23 @@ def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf, sf: float
     timed("pricing_summary", lambda: entry.q_pricing_summary(spark, sf_dir).count())
     timed("top_orders_per_customer", lambda: entry.q_top_orders_per_customer(spark, sf_dir).count())
     timed("events_turn_order", lambda: entry.q_events_turn_order(spark, sf_dir).count())
+
+    # retry-on-contamination (round-4 verdict #3): a query whose >=2s median
+    # spread exceeds 10% was sampled in a dirty window — re-measure it ONCE
+    # and keep whichever sample set is cleaner, so the artifact converges to
+    # a clean window without hand-picking
+    flagged = [
+        n for n, s in spreads.items() if timings.get(n, 0) >= 2.0 and s > 0.10
+    ]
+    for name in flagged:
+        fn, reps, reset = query_fns[name]
+        old_t, old_s = timings[name], spreads[name]
+        if reset is not None:
+            reset()
+        timed(name, fn, reps=reps, reset=reset)
+        if spreads[name] > old_s:  # the retry was dirtier: keep the original
+            timings[name], spreads[name] = old_t, old_s
+        log(f"  retry {name}: spread {old_s} -> kept {spreads[name]} (median {timings[name]}s)")
 
     transcripts.unpersist()
     return timings, spreads, n_turns
@@ -311,6 +330,49 @@ def kg_stage_breakdown(cores: int, model_dir: str, paths: list) -> list:
         spark.stop()
 
 
+def widevocab_surface_stats(corpus_path: str, model_dir: str) -> dict:
+    """Distinct-surface and capped-bucket counts for the wide-vocab corpus
+    at resolve_entities' default LSH parameters — evidence that growing the
+    surface vocabulary does not blow past the oversized-bucket cap."""
+    from pyspark.sql import functions as F
+
+    from nametag_spark.kg.resolution import (
+        canonicalize_mentions,
+        minhash_signatures,
+    )
+    from nametag_spark.ner.pipeline import recognize_df
+
+    spark = make_spark(CPUS)
+    try:
+        df = spark.read.parquet(corpus_path).repartition(CPUS).persist()
+        mentions = recognize_df(df, model_dir)
+        m = canonicalize_mentions(mentions).where(F.length("norm") > 0)
+        surfaces = m.groupBy("type", "norm").count()
+        typed = surfaces.select(F.concat_ws("|", "type", "norm").alias("key_text"))
+        sig = minhash_signatures(typed, "key_text", "key_text", n_hashes=12, k=3)
+        rows = 12 // 4
+        band_cols = [
+            F.md5(F.concat_ws("_", *[F.col(f"mh{h}").cast("string") for h in range(b * rows, (b + 1) * rows)]))
+            for b in range(4)
+        ]
+        buckets = sig.select(F.explode(F.array(*band_cols)).alias("sig"))
+        sizes = buckets.groupBy("sig").count()
+        n_surf = surfaces.count()
+        agg = sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("count") > 200).cast("int")).alias("oversized"),
+            F.max("count").alias("max_bucket_size"),
+        ).collect()[0]
+        return {
+            "n_surfaces": n_surf,
+            "n_buckets": int(agg["n_buckets"]),
+            "oversized_buckets": int(agg["oversized"] or 0),
+            "max_bucket_size": int(agg["max_bucket_size"] or 0),
+        }
+    finally:
+        spark.stop()
+
+
 def _pure_worker(args):
     """Module-level for multiprocessing pickling."""
     texts, model_dir = args
@@ -418,6 +480,22 @@ def main() -> None:
     kg_stages_lo = kg_stage_breakdown(SCALE_BASE, model_dir, kg_paths)
     kg_stages_hi = kg_stage_breakdown(SCALE_BASE * 4, model_dir, kg_paths)
 
+    # wide-vocab point (round-4 verdict #5): the kg corpus sizes above grow
+    # turns at near-constant distinct surfaces, so the resolve phase is
+    # "constant by construction". This corpus scales the SURFACE vocabulary
+    # 10x instead, giving the LSH/CC stages a measured slope of their own;
+    # bucket-cap behavior is recorded alongside (oversized buckets dropped
+    # by the capped-bucket join, resolution._banded_ok_buckets).
+    wv_scale = int(os.environ.get("SPARK_GRAFT_WIDEVOCAB_SCALE", "10"))
+    wv_conv = int(os.environ.get("SPARK_GRAFT_WIDEVOCAB_CONV", str(kg_sizes[-1])))
+    wv_pdf, _ = synth_transcripts(n_conversations=wv_conv, seed=23, vocab_scale=wv_scale)
+    wv_path = corpus_parquet(wv_pdf, sf, 23)
+    log(f"wide-vocab corpus: {len(wv_pdf)} turns at vocab_scale={wv_scale}")
+    wv_stages_lo = kg_stage_breakdown(SCALE_BASE, model_dir, [wv_path])
+    wv_stages_hi = kg_stage_breakdown(SCALE_BASE * 4, model_dir, [wv_path])
+    wv_stats = widevocab_surface_stats(wv_path, model_dir)
+    log(f"wide-vocab surfaces: {wv_stats}")
+
     # hardware ceiling: the same kernel via plain multiprocessing — what
     # this (noisy, SMT-limited) host can deliver at each level at all
     hw_texts = list(scale_pdf["text"].iloc[: min(len(scale_pdf), 30000)])
@@ -462,6 +540,15 @@ def main() -> None:
             "kg_raw_efficiency": round(kg_raw_efficiency, 3),
             "kg_stages_base": kg_stages_lo,
             "kg_stages_scaled": kg_stages_hi,
+            # the surface-vocabulary axis: same pipeline over a corpus whose
+            # DISTINCT surfaces are ~10x wider, so resolve gets its own slope
+            "kg_widevocab": {
+                "vocab_scale": wv_scale,
+                "n_turns": len(wv_pdf),
+                "stages_base": wv_stages_lo,
+                "stages_scaled": wv_stages_hi,
+                **wv_stats,
+            },
             # per-stage marginal efficiency from the breakdowns:
             # (Δt_base / Δt_scaled) / 4 across the two corpus sizes. At
             # 10^12 turns the marginal cost IS the cost, and ner dominates

@@ -94,17 +94,41 @@ def _sentence_templates(rng: random.Random):
     return toks, mentions
 
 
+def _scaled_pool(pool, scale: int):
+    """Expand a name pool by deterministic letter-suffixed variants
+    ("Alicea", "Aliceb", ...) — still single word tokens under the
+    tokenizer's grammar, still capitalized, all surfaces distinct."""
+    if scale <= 1:
+        return pool
+    out = list(pool)
+    for i in range(1, scale):
+        suf = ""
+        j = i - 1
+        while True:
+            suf = chr(ord("a") + j % 26) + suf
+            j = j // 26 - 1
+            if j < 0:
+                break
+        out.extend(f"{w}{suf}" for w in pool)
+    return out
+
+
 def synth_transcripts(
     n_conversations: int = 50,
     seed: int = 42,
     avg_turns: int = 6,
     mega_conversation: bool = False,
     vocab_split: str | None = None,
+    vocab_scale: int = 1,
 ):
     """-> (transcripts_df, gold_df) as pandas DataFrames.
 
     gold columns: conv_id, turn_idx, sent_idx, tok_start, tok_len, type,
     surface (mention token spans are sentence-local).
+
+    vocab_scale multiplies the entity-name pools (letter-suffixed variants)
+    so the DISTINCT-surface population grows with the corpus — the axis the
+    resolve phase (LSH + connected components) actually scales on.
     """
     rng = random.Random(seed)
     base_ts = dt.datetime(2025, 1, 1, 0, 0, 0)
@@ -120,6 +144,11 @@ def synth_transcripts(
     elif vocab_split == "eval":
         FIRST_NAMES, LAST_NAMES, ORG_FIRST, LOCATIONS = (
             v[len(v) // 2 :] for v in saved
+        )
+    if vocab_scale > 1:
+        FIRST_NAMES, LAST_NAMES, ORG_FIRST, LOCATIONS = (
+            _scaled_pool(v, vocab_scale)
+            for v in (FIRST_NAMES, LAST_NAMES, ORG_FIRST, LOCATIONS)
         )
 
     rows = []

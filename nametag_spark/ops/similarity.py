@@ -120,18 +120,24 @@ def rp_lsh_buckets(
     seed: int = 99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH bucket per vector: bucket id packs the
     sign bit of the dot product with n_planes seeded Gaussian hyperplanes.
     Cosine-similar vectors collide with probability (1 - theta/pi)^n.
     Hyperplanes are driver-generated (deterministic) literal arrays — tiny,
-    so they inline into the plan; no shuffle until the bucket groupBy."""
+    so they inline into the plan; no shuffle until the bucket groupBy.
+
+    dim: embedding dimensionality. Pass it to keep this fully lazy; when
+    None a one-row probe job runs once to learn it (library-API wart noted
+    in round 4 — callers on the hot path should thread dim through)."""
     import numpy as np
 
-    first = corpus.select(vec_col).first()
-    if first is None:
-        return corpus.select(F.col(id_col), F.lit(0).cast("long").alias("bucket"))
-    dim = len(first[vec_col])
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        if first is None:
+            return corpus.select(F.col(id_col), F.lit(0).cast("long").alias("bucket"))
+        dim = len(first[vec_col])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
 
@@ -162,10 +168,19 @@ def rp_lsh_topk(
     path when the corpus is bucketed+persisted once and queried many times;
     each table is one (table, bucket) join key, so candidates stay
     posting-list-bounded."""
+    # learn the dimensionality ONCE (was: a first() probe per table per
+    # side — 2*n_tables one-row jobs); queries share the corpus dim
+    probe = corpus.select(vec_col).first()
+    if probe is None:
+        empty = corpus.sparkSession.createDataFrame(
+            [], f"query_id string, rank int, vec_id string, cosine double"
+        )
+        return empty
+    dim = len(probe[vec_col])
     tables = []
     qtables = []
     for t in range(n_tables):
-        cb = rp_lsh_buckets(corpus, n_planes, seed + 7919 * t, id_col, vec_col).select(
+        cb = rp_lsh_buckets(corpus, n_planes, seed + 7919 * t, id_col, vec_col, dim=dim).select(
             F.col(id_col), F.lit(t).alias("table"), F.col("bucket")
         )
         qb = rp_lsh_buckets(
@@ -174,6 +189,7 @@ def rp_lsh_topk(
             seed + 7919 * t,
             id_col,
             vec_col,
+            dim=dim,
         ).select(F.col(id_col).alias("query_id"), F.lit(t).alias("table"), F.col("bucket"))
         tables.append(cb)
         qtables.append(qb)

@@ -97,7 +97,11 @@ class NametagService:
         forms = [[text[a : a + b] for (a, b) in s] for s in spans]
         return text, spans, forms
 
-    BATCH_SENTENCES = 64
+    # per-batch sentence budget: large enough that the batch recognizer's
+    # flat-array machinery dominates (recognize_batch internally re-chunks
+    # at 150k tokens), small enough that multi-MB documents still stream
+    # fragment-by-fragment with bounded latency
+    BATCH_SENTENCES = 1024
 
     def _decoded_batches(self, rid: str, spans, forms):
         """Lazily decode sentences in bounded batches -> yields
