@@ -128,7 +128,7 @@ _BROWN_TSV = (
 _GAZ_LOC = "Prague\nBerlin\nLondon\nParis\nVienna\nMadrid\nRome\nDublin\n"
 
 
-_MODEL_FINGERPRINT = "entry-model-v4-shape-morpho"
+_MODEL_FINGERPRINT = "entry-model-v5-cli-shape-morpho"
 
 
 def _entry_tagger():
@@ -165,8 +165,8 @@ def _model_dir() -> str:
                     if f.read() == _MODEL_FINGERPRINT:
                         _MODEL_DIR = d  # trained by an earlier process; reuse
                         return _MODEL_DIR
+            from nametag_spark.cli import main_train
             from nametag_spark.data.synth import gold_to_conll, synth_transcripts
-            from nametag_spark.train.trainer import train_ner
 
             base = tempfile.mkdtemp(prefix="nametag_spark_entry_fixtures_")
             with open(os.path.join(base, "brown_clusters.tsv"), "w", encoding="utf-8") as f:
@@ -176,12 +176,26 @@ def _model_dir() -> str:
 
             tdf, gdf = synth_transcripts(n_conversations=40, seed=1)
             hdf, hgdf = synth_transcripts(n_conversations=10, seed=2)
-            model = train_ner(
-                _TEMPLATES, gold_to_conll(tdf, gdf), gold_to_conll(hdf, hgdf), stages=2,
-                params={"iterations": 6}, base_dir=base, tagger=_entry_tagger(),
-            )
+            # R1 under the oracle hash: the flagship model is trained through
+            # the train CLI (same parameter surface as the reference
+            # train_ner.cpp), so every query decoding with it pins the CLI
+            # argument parsing + tagger-spec path, not just train_ner()
+            feats_path = os.path.join(base, "features.txt")
+            with open(feats_path, "w", encoding="utf-8") as f:
+                f.write(_TEMPLATES)
+            train_path = os.path.join(base, "train.conll")
+            with open(train_path, "w", encoding="utf-8") as f:
+                f.write(gold_to_conll(tdf, gdf))
+            heldout_path = os.path.join(base, "heldout.conll")
+            with open(heldout_path, "w", encoding="utf-8") as f:
+                f.write(gold_to_conll(hdf, hgdf))
             build = tempfile.mkdtemp(prefix="nametag_spark_entry_model_build_")
-            model.save(build)
+            rc = main_train([
+                "english", "shape", feats_path, "2", "6", "-0.2", "0.1",
+                "0.01", "0.5", "0", train_path, build, heldout_path,
+            ])
+            if rc != 0:
+                raise RuntimeError("entry-model CLI training failed")
             with open(os.path.join(build, "_fingerprint"), "w", encoding="utf-8") as f:
                 f.write(_MODEL_FINGERPRINT)
             try:
@@ -877,10 +891,22 @@ def q_binary_model_mentions(spark, sf_dir):
 
     def fn(batches):
         import io
+        import tempfile
 
         from nametag_spark.model.binary_reader import load_binary_ner
+        from nametag_spark.model.binary_writer import save_binary_ner
 
         model = load_binary_ner(io.BytesIO(blob))
+        # S8 under the oracle hash: round-trip the loaded model through the
+        # exact-framing binary WRITER and recognize with the RELOADED copy —
+        # any framing/serialization defect would change these rows
+        fd, tmp = tempfile.mkstemp(suffix=".ner")
+        os.close(fd)
+        try:
+            save_binary_ner(model, tmp)
+            model = load_binary_ner(tmp)
+        finally:
+            os.unlink(tmp)
         for pdf in batches:
             rows = {"sent_id": [], "tok_start": [], "tok_len": [], "type": []}
             for sid, forms in zip(pdf["sent_id"], pdf["forms"]):
@@ -1174,10 +1200,22 @@ def _q_morphodita_ner(spark, ner_file, sentences):
 
     def fn(batches):
         import io
+        import tempfile
 
         from nametag_spark.model.binary_reader import load_binary_ner
+        from nametag_spark.model.binary_writer import save_binary_ner
 
         model = load_binary_ner(io.BytesIO(blob))
+        # S8 under the oracle hash: round-trip the loaded model through the
+        # exact-framing binary WRITER and recognize with the RELOADED copy —
+        # any framing/serialization defect would change these rows
+        fd, tmp = tempfile.mkstemp(suffix=".ner")
+        os.close(fd)
+        try:
+            save_binary_ner(model, tmp)
+            model = load_binary_ner(tmp)
+        finally:
+            os.unlink(tmp)
         for pdf in batches:
             rows = {"sent_id": [], "tok_start": [], "tok_len": [], "type": []}
             for sid, forms in zip(pdf["sent_id"], pdf["forms"]):
@@ -1554,6 +1592,54 @@ def _deep_tag_cases(n_sentences=8):
     return out
 
 
+# G3 (external tagger): 'form[ raw_lemma[ tag]]' space-separated analyses
+# parsed exactly like the reference external tagger (external_tagger.cpp:
+# 32-63) — 1/2/3-part tokens plus the >3-part tail-drop quirk.
+EXTERNAL_TAG_SENTS = [
+    (101, ["Praha Praha NNP", "je", "mesto mesto NN", "."]),
+    (102, ["Alice Alice", "saw see VBD extra", "Boba Bob NNP"]),
+    (103, ["x", "y yy", "z zz ZT"]),
+]
+EXTERNAL_TAG_GOLD = [
+    (101, 0, "Praha", "Praha", "NNP"),
+    (101, 1, "je", "je", ""),
+    (101, 2, "mesto", "mesto", "NN"),
+    (101, 3, ".", ".", ""),
+    (102, 0, "Alice", "Alice", ""),
+    (102, 1, "saw", "see", "VBD"),
+    (102, 2, "Boba", "Bob", "NNP"),
+    (103, 0, "x", "x", ""),
+    (103, 1, "y", "yy", ""),
+    (103, 2, "z", "zz", "ZT"),
+]
+
+
+def _q_external_tag(spark):
+    """G3 distributed: Sentence.from_external over tagged-token rows."""
+    import pandas as pd
+
+    _ensure_shipped(spark)
+    df = spark.createDataFrame(EXTERNAL_TAG_SENTS, ["sent_id", "toks"])
+
+    def fn(batches):
+        from nametag_spark.features.templates import Sentence
+
+        for pdf in batches:
+            rows = {"sent_id": [], "tok_idx": [], "form": [], "lemma": [], "tag": []}
+            for sid, toks in zip(pdf["sent_id"], pdf["toks"]):
+                s = Sentence.from_external(list(toks))
+                raws, tags = s.get_raw_lemmas(), s.get_tags()
+                for i in range(s.size):
+                    rows["sent_id"].append(sid)
+                    rows["tok_idx"].append(i)
+                    rows["form"].append(s.forms[i])
+                    rows["lemma"].append(raws[i])
+                    rows["tag"].append(tags[i])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, "sent_id long, tok_idx int, form string, lemma string, tag string")
+
+
 def q_morphodita_tag_fixture(spark, sf_dir):
     """G4-G6 via the REAL MorphoDiTa serialized formats: the four morpho
     families (generic / czech / english / conllu) PLUS the deep decoding
@@ -1574,6 +1660,13 @@ def q_morphodita_tag_fixture(spark, sf_dir):
                 F.lit(fam).alias("family"), "sent_id", "tok_idx", "form", "lemma", "tag"
             )
         )
+    # G3 rides this fixture as its own family: external analyses are a
+    # tagger family in the reference (ner::tagger spec 'external')
+    dfs.append(
+        _q_external_tag(spark).select(
+            F.lit("external").alias("family"), "sent_id", "tok_idx", "form", "lemma", "tag"
+        )
+    )
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -2313,7 +2406,8 @@ def oracle_sql() -> dict[str, str]:
                 (fam,) + row
                 for fam, _f, _s, gold in _deep_tag_cases()
                 for row in gold
-            ],
+            ]
+            + [("external",) + row for row in EXTERNAL_TAG_GOLD],
             ["family", "sent_id", "tok_idx", "form", "lemma", "tag"],
         ),
         "morphodita_ner_mentions": "SELECT * FROM "

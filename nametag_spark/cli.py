@@ -1,7 +1,7 @@
 """spark-submit entry points mirroring the reference CLIs.
 
 train (reference: src/train_ner.cpp:50-84, same parameter set;
-tagger = trivial | morphodita:<tagger_file>):
+tagger = trivial | shape | morphodita:<tagger_file>):
   python -m nametag_spark.cli train <ner_id> <tagger> <features_file> \
       <stages> <iterations> <missing_weight> <initial_lr> <final_lr> \
       <gaussian_sigma> <hidden_layer> <train.conll> <model_dir> [heldout.conll]
@@ -36,8 +36,19 @@ def main_train(argv) -> int:
         from .morpho.morphodita import MorphoditaTagger
 
         tagger_obj = MorphoditaTagger.load(tagger.split(":", 1)[1])
+    elif tagger == "shape":
+        # engine-specific deterministic shape tagger: empty dictionary +
+        # suffix rule guesser decoded with zero perceptron weights — makes
+        # RawLemma*/Lemma/Tag templates live without a trained morphology
+        from .morpho.dictionary import Morpho, MorphoDictionary, SuffixRuleGuesser
+        from .morpho.tagger import MorphoTagger, PerceptronTagger
+
+        tagger_obj = MorphoTagger(
+            Morpho(MorphoDictionary(), SuffixRuleGuesser(), unknown_tag="UNK"),
+            PerceptronTagger(),
+        )
     elif tagger != "trivial":
-        print("unsupported tagger spec (trivial | morphodita:<file>)", file=sys.stderr)
+        print("unsupported tagger spec (trivial | shape | morphodita:<file>)", file=sys.stderr)
         return 1
     if ner_id not in ("czech", "english", "generic"):
         print(f"unknown ner_id {ner_id!r} (czech|english|generic)", file=sys.stderr)
