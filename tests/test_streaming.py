@@ -142,3 +142,72 @@ def test_incremental_kg_matches_batch(spark, tiny_model_dir, stream_src, tmp_pat
     )
     q2.awaitTermination(120)
     assert rows(compact_triples(spark, out_dir)) == incremental
+
+
+def test_incremental_kg_bench_scale_with_kill_restart(spark, tiny_model_dir, tmp_path):
+    """Round-5 scale run (verdict #7): the incremental KG over the
+    bench-shaped corpus (sf0.1 synth: 800 conversations, ~4.9k turns) split
+    into ~20 micro-batches, with a mid-stream KILL + checkpoint restart —
+    the compacted triple table must EXACTLY equal the batch pipeline's.
+    Per-batch latency is read off the query progress (BENCH.md records a
+    representative run)."""
+    import json
+
+    from nametag_spark.data.synth import synth_transcripts
+    from nametag_spark.kg.resolution import release_persisted, resolve_entities
+    from nametag_spark.kg.triples import extract_triples
+    from nametag_spark.ner.pipeline import recognize_df
+    from nametag_spark.streaming.stream import compact_triples, run_incremental_kg
+
+    tdf, _ = synth_transcripts(n_conversations=800, seed=42)
+    src = str(tmp_path / "src")
+    # ~20 files -> ~20 micro-batches at maxFilesPerTrigger=1
+    spark.createDataFrame(tdf).repartition(20).write.mode("overwrite").parquet(src)
+    out_dir = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: start draining, kill mid-stream after a few micro-batches
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = run_incremental_kg(stream, tiny_model_dir, out_dir, ckpt)
+    import time
+
+    for _ in range(600):
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(done) >= 3:
+            break
+        time.sleep(0.1)
+    q.stop()  # kill mid-stream
+    q.awaitTermination(60)
+
+    # phase 2: restart from the same checkpoint, drain the rest
+    q2 = run_incremental_kg(
+        read_transcript_stream(spark, src, max_files_per_trigger=1),
+        tiny_model_dir, out_dir, ckpt,
+    )
+    q2.awaitTermination(600)
+    progress = [json.loads(p.json) for p in q2.recentProgress]
+    batch_secs = [
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in progress
+        if p.get("numInputRows", 0) > 0
+    ]
+    assert batch_secs, "restart should have processed remaining micro-batches"
+    print(f"\nper-batch latency after restart: n={len(batch_secs)} "
+          f"median={sorted(batch_secs)[len(batch_secs)//2]:.2f}s max={max(batch_secs):.2f}s")
+
+    def rows(df):
+        pdf = df.toPandas()
+        cols = ["subj", "pred", "obj", "subj_type", "obj_type",
+                "subj_norm", "obj_norm", "n_evidence", "n_cooccur"]
+        return sorted(map(tuple, pdf[cols].itertuples(index=False)))
+
+    incremental = rows(compact_triples(spark, out_dir))
+
+    batch_input = spark.createDataFrame(tdf)
+    mentions = recognize_df(batch_input, tiny_model_dir)
+    me, _ = resolve_entities(mentions)
+    batch = rows(extract_triples(me, batch_input))
+    release_persisted()
+
+    assert len(incremental) > 100
+    assert incremental == batch
