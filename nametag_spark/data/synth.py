@@ -94,22 +94,35 @@ def _sentence_templates(rng: random.Random):
     return toks, mentions
 
 
+_NAME_SYLLABLES = (
+    "ba re mo li ka ve zo ti na den dur fel gim hos jat kren lum pol sor "
+    "vik wen yor bran crest dolm"
+).split()
+
+
 def _scaled_pool(pool, scale: int):
-    """Expand a name pool by deterministic letter-suffixed variants
-    ("Alicea", "Aliceb", ...) — still single word tokens under the
-    tokenizer's grammar, still capitalized, all surfaces distinct."""
+    """Expand a name pool with deterministic pseudo-names built from
+    syllables — single capitalized word tokens that are mutually DISSIMILAR
+    (distinct shingle sets), so a scaled vocabulary grows the resolve
+    phase's entity population instead of a near-duplicate cloud. (A first
+    cut used letter-suffixed variants — "Alicea", "Aliceb" — but those are
+    ~0.8 Jaccard to each other, which legitimately collapses them into few
+    entities and floods the LSH bucket cap; that shape is a useful
+    stress test, not a wide vocabulary.)"""
     if scale <= 1:
         return pool
     out = list(pool)
+    seen = {w.lower() for w in pool}
     for i in range(1, scale):
-        suf = ""
-        j = i - 1
-        while True:
-            suf = chr(ord("a") + j % 26) + suf
-            j = j // 26 - 1
-            if j < 0:
-                break
-        out.extend(f"{w}{suf}" for w in pool)
+        for w in pool:
+            r = random.Random(f"namegen:{w}:{i}")
+            name = "".join(
+                r.choice(_NAME_SYLLABLES) for _ in range(r.randint(2, 4))
+            ).capitalize()
+            while name.lower() in seen:
+                name += r.choice("bcdfglmnprst")
+            seen.add(name.lower())
+            out.append(name)
     return out
 
 

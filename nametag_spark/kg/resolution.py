@@ -126,16 +126,26 @@ def minhash_signatures(df: DataFrame, text_col: str, key_col: str, n_hashes: int
 
 
 def _banded_ok_buckets(
-    sig: DataFrame, carry: list, n_hashes: int, bands: int, max_bucket: int
+    sig: DataFrame, carry: list, n_hashes: int, bands: int, max_bucket: int,
+    block_cols=(),
 ) -> DataFrame:
     """Shared LSH banding: signature rows (mh0..mh{n-1} + carry columns) ->
-    (*carry, band, sig) bucket rows with oversized buckets removed.
+    (*carry, band, sig) bucket rows with oversized buckets SPLIT, then
+    capped.
 
-    Buckets larger than max_bucket are dropped (degenerate surfaces would
-    make the downstream self-join quadratic); the oversized-bucket set is a
-    tiny aggregate -> broadcast anti-join. Single definition so the fused
+    A bucket larger than max_bucket would make the downstream self-join
+    quadratic. Populations with long shared substrings (email domains,
+    name morphemes) produce such buckets SYSTEMATICALLY at scale — a few
+    percent of rows land in buckets whose band minima come entirely from
+    the shared shingles — so dropping them wholesale costs real recall.
+    Instead, members of an oversized bucket are re-keyed by two sub-band
+    signatures over the FULL n-hash signature (rows 0..n/2 and n/2..n):
+    high-similarity pairs survive with probability 1-(1-J^(n/2))^2 while
+    the degenerate bucket fragments. Sub-buckets still over the cap are
+    dropped (logged by bench's widevocab stats). The oversized sets are
+    tiny aggregates -> broadcast joins. Single definition so the fused
     (lsh_similarity_edges) and staged (lsh_candidate_pairs) paths can never
-    diverge on banding or capping policy."""
+    diverge on banding, splitting, or capping policy."""
     rows = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -143,13 +153,35 @@ def _banded_ok_buckets(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
         )
-    buckets = sig.select(*carry, F.explode(F.array(*band_cols)).alias("bk")).select(
-        *carry, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    half = n_hashes // 2
+    sub1 = F.md5(F.concat_ws("_", *[F.col(f"mh{h}").cast("string") for h in range(half)]))
+    sub2 = F.md5(F.concat_ws("_", *[F.col(f"mh{h}").cast("string") for h in range(half, n_hashes)]))
+    buckets = sig.select(
+        *carry, sub1.alias("_s1"), sub2.alias("_s2"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(*carry, "_s1", "_s2", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    bucket_key = list(block_cols) + ["band", "sig"]
+    oversized = (
+        buckets.groupBy(*bucket_key).count().where(F.col("count") > max_bucket).select(*bucket_key)
     )
-    oversized = buckets.groupBy("band", "sig").count().where(F.col("count") > max_bucket)
-    return buckets.join(
-        F.broadcast(oversized.select("band", "sig")), ["band", "sig"], "left_anti"
+    ok = buckets.join(F.broadcast(oversized), bucket_key, "left_anti").drop("_s1", "_s2")
+    split = (
+        buckets.join(F.broadcast(oversized), bucket_key, "left_semi")
+        .select(
+            *carry,
+            "band",
+            F.explode(
+                F.array(
+                    F.concat(F.col("sig"), F.lit("#1:"), F.col("_s1")),
+                    F.concat(F.col("sig"), F.lit("#2:"), F.col("_s2")),
+                )
+            ).alias("sig"),
+        )
     )
+    still_over = (
+        split.groupBy(*bucket_key).count().where(F.col("count") > max_bucket).select(*bucket_key)
+    )
+    split_ok = split.join(F.broadcast(still_over), bucket_key, "left_anti")
+    return ok.unionByName(split_ok)
 
 
 def lsh_candidate_pairs(
@@ -191,6 +223,7 @@ def lsh_similarity_edges(
     k: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 200,
+    block_col: str | None = None,
 ) -> DataFrame:
     """LSH candidate generation with the exact-Jaccard verify FUSED into the
     bucket self-join: the shingle set rides along with the band rows, so the
@@ -200,9 +233,20 @@ def lsh_similarity_edges(
     Returns (src, dst) with src < dst. Used by resolve_entities, where the
     surface table is small relative to the mention table and per-stage
     latency dominates; the un-fused building blocks remain for callers that
-    want candidates and verification separately."""
+    want candidates and verification separately.
+
+    block_col: optional hard-blocking column (e.g. entity type) joined as
+    part of the bucket key INSTEAD of being baked into the shingled text.
+    Prefixing the text itself poisons the minhash at scale: the shared
+    prefix shingles dominate a band's row-minima for a few percent of
+    surfaces, producing systematic 10^4-member buckets that the cap must
+    then drop (measured on the 240k-surface wide-vocab corpus:
+    485 oversized buckets, max 12,895)."""
     sh = shingles(text_col, k)
-    src = df.select(F.col(key_col).alias("_k"), sh.alias("_sh")).withColumn(
+    carry0 = [F.col(key_col).alias("_k")]
+    if block_col is not None:
+        carry0.append(F.col(block_col).alias("_blk"))
+    src = df.select(*carry0, sh.alias("_sh")).withColumn(
         "_h", F.transform("_sh", lambda s: _hash28(s))
     )
     consts = minhash_affine_constants(n_hashes)
@@ -212,17 +256,23 @@ def lsh_similarity_edges(
         ).alias(f"mh{i}")
         for i, (a, b) in enumerate(consts)
     ]
-    sig = src.select("_k", "_sh", *mins)
-    ok = _banded_ok_buckets(sig, ["_k", "_sh"], n_hashes, bands, max_bucket)
+    carry = ["_k", "_sh"] + (["_blk"] if block_col is not None else [])
+    sig = src.select(*carry, *mins)
+    ok = _banded_ok_buckets(
+        sig, carry, n_hashes, bands, max_bucket,
+        block_cols=["_blk"] if block_col is not None else (),
+    )
     l, r = ok.alias("l"), ok.alias("r")
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.sig") == F.col("r.sig"))
+        & (F.col("l._k") < F.col("r._k"))
+    )
+    if block_col is not None:
+        cond = cond & (F.col("l._blk") == F.col("r._blk"))
     jac = F.size(F.array_intersect("l._sh", "r._sh")) / F.size(F.array_union("l._sh", "r._sh"))
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l._k") < F.col("r._k")),
-        )
+        l.join(r, cond)
         .where(jac >= threshold)
         .select(F.col("l._k").alias("src"), F.col("r._k").alias("dst"))
         .distinct()
@@ -399,18 +449,19 @@ def resolve_entities(
     # stable surface key: deterministic hash of (type, norm)
     surfaces = surfaces.withColumn("sid", _hash64(F.concat_ws("\t", "type", "norm"), 0))
 
-    # candidate pairs within the same entity type only (the type prefix in
-    # the key text keeps cross-type pairs out of both blocking and verify);
-    # fused LSH + jaccard verify — see lsh_similarity_edges
-    typed = surfaces.select("sid", F.concat_ws("|", "type", "norm").alias("key_text"))
+    # candidate pairs within the same entity type only: the type is a hard
+    # BLOCKING column on the bucket key (not a prefix baked into the
+    # shingled text, which poisons band minima at scale — see
+    # lsh_similarity_edges); Jaccard verifies over the norm alone
     edges = lsh_similarity_edges(
-        typed,
-        "key_text",
+        surfaces.select("sid", "type", "norm"),
+        "norm",
         "sid",
         n_hashes=lsh_hashes,
         bands=lsh_bands,
         k=shingle_k,
         threshold=jaccard_threshold,
+        block_col="type",
     )
 
     comp = connected_components(edges)

@@ -167,17 +167,18 @@ def compact_triples(
         .persist()
     )
     # same blocking/verify parameters as resolve_entities' defaults, so the
-    # compacted clustering equals the batch pipeline's
-    typed = surfaces.select("sid", F.concat_ws("|", "type", "norm").alias("key_text"))
+    # compacted clustering equals the batch pipeline's (type as a hard
+    # blocking column, Jaccard over the norm alone)
     comp = connected_components(
         lsh_similarity_edges(
-            typed,
-            "key_text",
+            surfaces.select("sid", "type", "norm"),
+            "norm",
             "sid",
             n_hashes=lsh_hashes,
             bands=lsh_bands,
             k=shingle_k,
             threshold=jaccard_threshold,
+            block_col="type",
         )
     )
     assign = surfaces.join(comp, surfaces["sid"] == comp["node"], "left").select(
