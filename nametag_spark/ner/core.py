@@ -294,25 +294,31 @@ def viterbi_decode_batch(local: np.ndarray, ent: np.ndarray, lengths: np.ndarray
         le = ent[idx]
         prev_bi_ent = gent[pidx, bi_arg]
 
-        glob[idx, BILOU_B] = lou_n * loc[:, BILOU_B]
-        gent[idx, BILOU_B] = le[:, BILOU_B]
-        prev[idx, BILOU_B] = lou_arg
+        # one fancy scatter per destination array instead of five: build the
+        # full (a, 5) rows first (identical values, fewer index passes)
+        g_rows = np.empty((a, 5), dtype=glob.dtype)
+        g_rows[:, BILOU_B] = lou_n * loc[:, BILOU_B]
+        g_rows[:, BILOU_I] = bi_n * loc[:, BILOU_I]
+        g_rows[:, BILOU_L] = bi_n * loc[:, BILOU_L]
+        g_rows[:, BILOU_O] = lou_n * loc[:, BILOU_O]
+        g_rows[:, BILOU_U] = lou_n * loc[:, BILOU_U]
+        glob[idx] = g_rows
 
-        glob[idx, BILOU_I] = bi_n * loc[:, BILOU_I]
-        gent[idx, BILOU_I] = prev_bi_ent
-        prev[idx, BILOU_I] = bi_arg
+        e_rows = np.empty((a, 5), dtype=gent.dtype)
+        e_rows[:, BILOU_B] = le[:, BILOU_B]
+        e_rows[:, BILOU_I] = prev_bi_ent
+        e_rows[:, BILOU_L] = prev_bi_ent
+        e_rows[:, BILOU_O] = le[:, BILOU_O]
+        e_rows[:, BILOU_U] = le[:, BILOU_U]
+        gent[idx] = e_rows
 
-        glob[idx, BILOU_L] = bi_n * loc[:, BILOU_L]
-        gent[idx, BILOU_L] = prev_bi_ent
-        prev[idx, BILOU_L] = bi_arg
-
-        glob[idx, BILOU_O] = lou_n * loc[:, BILOU_O]
-        gent[idx, BILOU_O] = le[:, BILOU_O]
-        prev[idx, BILOU_O] = lou_arg
-
-        glob[idx, BILOU_U] = lou_n * loc[:, BILOU_U]
-        gent[idx, BILOU_U] = le[:, BILOU_U]
-        prev[idx, BILOU_U] = lou_arg
+        p_rows = np.empty((a, 5), dtype=prev.dtype)
+        p_rows[:, BILOU_B] = lou_arg
+        p_rows[:, BILOU_I] = bi_arg
+        p_rows[:, BILOU_L] = bi_arg
+        p_rows[:, BILOU_O] = lou_arg
+        p_rows[:, BILOU_U] = lou_arg
+        prev[idx] = p_rows
 
     # backtrace: last-token best among L,O,U, then follow prev[]
     best = np.empty(len(local), dtype=np.int64)
