@@ -366,21 +366,70 @@ def tokenize_sentences(text: str, lang: str = "en") -> list:
         return _tokenize_scan(text, lang)
 
     abbreviations = _LANGS[lang][2]
-    chunks = _CHUNK_RE.finditer(text)
-    entries = []  # (start, end, entry)
-    for m in chunks:
-        e = _chunk_entry(m.group(), lang, memo)
-        if e is _CHUNK_BAIL:
-            return _tokenize_scan(text, lang)
-        entries.append((m.start(), m.end(), e))
-
     n = len(text)
     sentences: list = []
     tokens: list = []
     prev_end = 0
     find = text.find
-    for ci, (s, e, ent) in enumerate(entries):
-        # whitespace run before this chunk: blank line ends the sentence
+    append = None  # (start, end, entry) of the chunk awaiting its successor
+    memo_get = memo.get
+    for m in _CHUNK_RE.finditer(text):
+        chunk = m.group()
+        ent2 = memo_get(chunk)
+        if ent2 is None:
+            ent2 = _chunk_entry(chunk, lang, memo)
+        if ent2 is _CHUNK_BAIL:
+            return _tokenize_scan(text, lang)
+        if append is not None:
+            s, e, ent = append
+            # whitespace run before the pending chunk: blank line break
+            if (
+                tokens
+                and (find("\n", prev_end, s) >= 0 or find("\r", prev_end, s) >= 0)
+                and len(EOL_RE.findall(text[prev_end:s])) >= 2
+            ):
+                sentences.append(tokens)
+                tokens = []
+            spans, ntok, cand, eos_chr, prev_tok, _ou = ent
+            if len(tokens) + ntok >= 400:
+                # emergency thresholds could engage: replay the exact scanner
+                return _tokenize_scan(text, lang)
+            if cand is not None and ent2[5]:
+                # sentence-break decision (unicode_tokenizer.cpp:69-87): the
+                # token preceding the eos char — inside this chunk, or the
+                # last token of the running sentence when the eos starts it
+                if cand > 0:
+                    last = prev_tok
+                else:
+                    last = (
+                        text[tokens[-1][0] : tokens[-1][0] + tokens[-1][1]]
+                        if tokens
+                        else None
+                    )
+                brk = True
+                if eos_chr == "." and last is not None:
+                    if len(last) == 1 and unicodedata.category(last) in ("Lu", "Lt"):
+                        brk = False
+                    elif last.lower() in abbreviations:
+                        brk = False
+                if ntok == 1:
+                    a, bl = spans[0]
+                    tokens.append((s + a, bl))
+                else:
+                    tokens.extend((s + a, b) for (a, b) in spans)
+                if brk:
+                    sentences.append(tokens)
+                    tokens = []
+            elif ntok == 1:
+                a, bl = spans[0]
+                tokens.append((s + a, bl))
+            else:
+                tokens.extend((s + a, b) for (a, b) in spans)
+            prev_end = e
+        append = (m.start(), m.end(), ent2)
+    if append is not None:
+        # final chunk: no successor, so its trailing eos can never fire
+        s, e, ent = append
         if (
             tokens
             and (find("\n", prev_end, s) >= 0 or find("\r", prev_end, s) >= 0)
@@ -388,45 +437,14 @@ def tokenize_sentences(text: str, lang: str = "en") -> list:
         ):
             sentences.append(tokens)
             tokens = []
-        spans, ntok, cand, eos_chr, prev_tok, _ou = ent
+        spans, ntok, _cand, _eos, _pt, _ou = ent
         if len(tokens) + ntok >= 400:
-            # emergency thresholds could engage: replay the exact scanner
             return _tokenize_scan(text, lang)
-        fire = (
-            cand is not None
-            and e < n
-            and ci + 1 < len(entries)
-            and entries[ci + 1][2][5]
-        )
-        if fire:
-            # sentence-break decision (unicode_tokenizer.cpp:69-87): the
-            # token preceding the eos char — inside this chunk, or the last
-            # token of the running sentence when the eos starts the chunk
-            if cand > 0:
-                last = prev_tok
-            else:
-                last = text[tokens[-1][0] : tokens[-1][0] + tokens[-1][1]] if tokens else None
-            brk = True
-            if eos_chr == "." and last is not None:
-                if len(last) == 1 and unicodedata.category(last) in ("Lu", "Lt"):
-                    brk = False
-                elif last.lower() in abbreviations:
-                    brk = False
-            if ntok == 1:
-                a, bl = spans[0]
-                tokens.append((s + a, bl))
-            else:
-                tokens.extend((s + a, b) for (a, b) in spans)
-            if brk:
-                sentences.append(tokens)
-                tokens = []
+        if ntok == 1:
+            a, bl = spans[0]
+            tokens.append((s + a, bl))
         else:
-            if ntok == 1:
-                a, bl = spans[0]
-                tokens.append((s + a, bl))
-            else:
-                tokens.extend((s + a, b) for (a, b) in spans)
-        prev_end = e
+            tokens.extend((s + a, b) for (a, b) in spans)
     # trailing whitespace cannot end a sentence beyond the final flush
     if tokens:
         sentences.append(tokens)
