@@ -527,14 +527,23 @@ def main() -> None:
     # bucket-cap behavior is recorded alongside (oversized buckets dropped
     # by the capped-bucket join, resolution._banded_ok_buckets).
     wv_scale = int(os.environ.get("SPARK_GRAFT_WIDEVOCAB_SCALE", "10"))
-    wv_conv = int(os.environ.get("SPARK_GRAFT_WIDEVOCAB_CONV", str(kg_sizes[-1])))
-    wv_pdf, _ = synth_transcripts(n_conversations=wv_conv, seed=23, vocab_scale=wv_scale)
-    wv_path = corpus_parquet(wv_pdf, sf, 23)
-    log(f"wide-vocab corpus: {len(wv_pdf)} turns at vocab_scale={wv_scale}")
-    wv_stages_lo = kg_stage_breakdown(SCALE_BASE, model_dir, [wv_path])
-    wv_stages_hi = kg_stage_breakdown(SCALE_BASE * 4, model_dir, [wv_path])
-    wv_stats = widevocab_surface_stats(wv_path, model_dir)
-    log(f"wide-vocab surfaces: {wv_stats}")
+    wv_sizes = [
+        int(x)
+        for x in os.environ.get(
+            "SPARK_GRAFT_WIDEVOCAB_CONV", f"{kg_sizes[-1] // 2},{kg_sizes[-1]}"
+        ).split(",")
+    ]
+    wv_paths = []
+    wv_n = []
+    for i, conv in enumerate(wv_sizes):
+        wv_pdf, _ = synth_transcripts(n_conversations=conv, seed=23 + i, vocab_scale=wv_scale)
+        wv_paths.append(corpus_parquet(wv_pdf, sf, 23 + i))
+        wv_n.append(len(wv_pdf))
+    log(f"wide-vocab corpora: {wv_n} turns at vocab_scale={wv_scale}")
+    wv_stages_lo = kg_stage_breakdown(SCALE_BASE, model_dir, wv_paths)
+    wv_stages_hi = kg_stage_breakdown(SCALE_BASE * 4, model_dir, wv_paths)
+    wv_stats = widevocab_surface_stats(wv_paths[-1], model_dir)
+    log(f"wide-vocab surfaces (largest corpus): {wv_stats}")
 
     # hardware ceiling: the same kernel via plain multiprocessing — what
     # this (noisy, SMT-limited) host can deliver at each level at all
@@ -584,7 +593,7 @@ def main() -> None:
             # DISTINCT surfaces are ~10x wider, so resolve gets its own slope
             "kg_widevocab": {
                 "vocab_scale": wv_scale,
-                "n_turns": len(wv_pdf),
+                "n_turns": wv_n,
                 "stages_base": wv_stages_lo,
                 "stages_scaled": wv_stages_hi,
                 **wv_stats,
