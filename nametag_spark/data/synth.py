@@ -47,14 +47,20 @@ FILLER = (
 DOMAINS = ["acme.com", "globex.org", "initech.net", "example.com", "hooli.io"]
 
 
-def _sentence_templates(rng: random.Random):
-    """Yield (tokens, mentions) where mentions are (tok_start, tok_len, type)."""
-    first = rng.choice(FIRST_NAMES)
-    last = rng.choice(LAST_NAMES)
-    first2 = rng.choice(FIRST_NAMES)
-    last2 = rng.choice(LAST_NAMES)
-    org = [rng.choice(ORG_FIRST), rng.choice(ORG_SECOND)]
-    loc = rng.choice(LOCATIONS)
+def _sentence_templates(rng: random.Random, pools=None):
+    """Yield (tokens, mentions) where mentions are (tok_start, tok_len, type).
+    pools: optional (first, last, org_first, locations) override — used by
+    the distributed generator, which cannot swap module globals."""
+    if pools is None:
+        firsts, lasts, orgf, locs = FIRST_NAMES, LAST_NAMES, ORG_FIRST, LOCATIONS
+    else:
+        firsts, lasts, orgf, locs = pools
+    first = rng.choice(firsts)
+    last = rng.choice(lasts)
+    first2 = rng.choice(firsts)
+    last2 = rng.choice(lasts)
+    org = [rng.choice(orgf), rng.choice(ORG_SECOND)]
+    loc = rng.choice(locs)
     year = str(rng.randint(1990, 2030))
     day = str(rng.randint(1, 28))
     domain = rng.choice(DOMAINS)
@@ -217,6 +223,7 @@ def synth_transcripts_dist(
     n_conversations: int,
     seed: int = 42,
     avg_turns: int = 6,
+    vocab_scale: int = 1,
 ):
     """Distributed synthetic corpus (no gold): `spark.range` over
     conversation ids -> per-conversation generation inside mapInPandas, so
@@ -229,6 +236,15 @@ def synth_transcripts_dist(
     Statistically identical to `synth_transcripts` (same templates/vocab),
     not byte-identical (different rng stream layout).
     """
+
+    pools = (
+        tuple(
+            _scaled_pool(v, vocab_scale)
+            for v in (FIRST_NAMES, LAST_NAMES, ORG_FIRST, LOCATIONS)
+        )
+        if vocab_scale > 1
+        else None
+    )
 
     def gen(batches):
         base_ts = dt.datetime(2025, 1, 1, 0, 0, 0)
@@ -244,7 +260,7 @@ def synth_transcripts_dist(
                     tool = rng.choice(TOOLS[:-1]) if role == "tool" else ""
                     words = []
                     for _s in range(rng.randint(1, 3)):
-                        toks, _m = _sentence_templates(rng)
+                        toks, _m = _sentence_templates(rng, pools)
                         words.extend(toks)
                     rows.append(
                         (

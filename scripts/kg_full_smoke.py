@@ -7,8 +7,10 @@ The corpus is generated ON THE EXECUTORS (synth_transcripts_dist) and
 persisted to parquet once, so every timed stage consumes a table scan —
 the honest 100-TB input path — and driver RSS stays flat.
 
-Usage: python scripts/kg_full_smoke.py [n_conversations] [cores_csv]
-       (defaults: 850_000 conversations ~= 5.1M turns; cores 8,32)
+Usage: python scripts/kg_full_smoke.py [n_conversations] [cores_csv] [vocab_scale]
+       (defaults: 850_000 conversations ~= 5.1M turns; cores 8,32;
+        vocab_scale 1 — raise it to stress the resolve phase with a
+        genuinely growing distinct-surface population)
 Prints one JSON line.
 """
 
@@ -28,18 +30,19 @@ def rss_gb() -> float:
 def main() -> None:
     n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 850_000
     cores_list = [int(c) for c in (sys.argv[2] if len(sys.argv) > 2 else "8,32").split(",")]
+    vocab_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     import __spark_entry__ as entry
     from nametag_spark.data.synth import synth_transcripts_dist
     from nametag_spark.session import get_spark
 
     model_dir = entry._model_dir()
-    corpus_path = f"/tmp/nametag_spark_bench/kg_full_smoke_{n_conv}.parquet"
+    corpus_path = f"/tmp/nametag_spark_bench/kg_full_smoke_{n_conv}_v{vocab_scale}.parquet"
 
     if not os.path.exists(corpus_path):
         spark = get_spark(app_name="kg_full_smoke_gen")
         t0 = time.time()
-        df = synth_transcripts_dist(spark, n_conv, seed=42)
+        df = synth_transcripts_dist(spark, n_conv, seed=42, vocab_scale=vocab_scale)
         df.write.mode("overwrite").parquet(corpus_path)
         gen_s = time.time() - t0
         spark.stop()
@@ -67,6 +70,7 @@ def main() -> None:
         me = me.persist()
         me.count()
         n_entities = ents.count()
+        n_surfaces = me.selectExpr("type", "norm").distinct().count()
         t2 = time.time()
         n_triples = extract_triples(me, df).count()
         t3 = time.time()
@@ -78,6 +82,7 @@ def main() -> None:
                 "n_turns": n_turns,
                 "n_mentions": n_mentions,
                 "n_entities": n_entities,
+                "n_surfaces": n_surfaces,
                 "n_triples": n_triples,
                 "ner": round(t1 - t0, 1),
                 "resolve": round(t2 - t1, 1),
@@ -89,7 +94,7 @@ def main() -> None:
         )
         print(json.dumps(points[-1]), file=sys.stderr, flush=True)
 
-    print(json.dumps({"n_conversations": n_conv, "gen_seconds": round(gen_s, 1), "points": points}))
+    print(json.dumps({"n_conversations": n_conv, "vocab_scale": vocab_scale, "gen_seconds": round(gen_s, 1), "points": points}))
 
 
 if __name__ == "__main__":
