@@ -173,28 +173,63 @@ def bench_queries(spark, sf_dir: str, model_dir: str, transcripts_pdf, sf: float
     timed("top_orders_per_customer", lambda: entry.q_top_orders_per_customer(spark, sf_dir).count())
     timed("events_turn_order", lambda: entry.q_events_turn_order(spark, sf_dir).count())
 
-    # retry-on-contamination (round-4 verdict #3): a query whose >=2s median
-    # spread exceeds 10% was sampled in a dirty window — re-measure it ONCE
-    # and keep whichever sample set is cleaner, so the artifact converges to
-    # a clean window without hand-picking
+    # retry-on-contamination (round-4 verdict #3, iterated per round-5 #1):
+    # a query whose >=2s median spread exceeds 10% was sampled in a dirty
+    # window — re-measure it up to TWICE and keep the sample set with the
+    # LOWER SPREAD. Spread measures the window's cleanliness directly;
+    # keeping the lower MEDIAN instead (the r5 rule) is a best-of-N
+    # statistic that biases the artifact downward even on a clean host
+    # (cache warming between sets), per the r5 advisor note.
     flagged = [
         n for n, s in spreads.items() if timings.get(n, 0) >= 2.0 and s > 0.10
     ]
     for name in flagged:
         fn, reps, reset = query_fns[name]
-        old_t, old_s = timings[name], spreads[name]
-        if reset is not None:
-            reset()
-        timed(name, fn, reps=reps, reset=reset)
-        # host contention only INFLATES times, so the lower-median run is
-        # the less-contaminated one; its own spread feeds the flag (a still-
-        # dirty retry keeps the artifact honestly flagged)
-        if timings[name] > old_t:
-            timings[name], spreads[name] = old_t, old_s
-        log(f"  retry {name}: median {old_t}s/{old_s} -> kept {timings[name]}s/{spreads[name]}")
+        for _attempt in range(2):
+            if spreads[name] <= 0.10:
+                break
+            old_t, old_s = timings[name], spreads[name]
+            if reset is not None:
+                reset()
+            timed(name, fn, reps=reps, reset=reset)
+            if spreads[name] > old_s:
+                timings[name], spreads[name] = old_t, old_s
+            log(f"  retry {name}: median {old_t}s/{old_s} -> kept {timings[name]}s/{spreads[name]}")
 
     transcripts.unpersist()
     return timings, spreads, n_turns
+
+
+def rest_doc_bench(model_dir: str, texts, reps: int = 3) -> tuple[float, float]:
+    """S9 measured gate (round-5 verdict #4): a ~1k-sentence document
+    through the REST /recognize endpoint (chunked streaming response),
+    wall-clock median-of-N + spread. Server and client share the process
+    (loopback); the decode itself batches 1024 sentences per call."""
+    import urllib.parse
+    import urllib.request
+
+    from nametag_spark.rest.server import NametagService, serve
+
+    svc = NametagService({"entry": model_dir})
+    server, _thread = serve(svc)
+    url = f"http://127.0.0.1:{server.server_address[1]}/recognize"
+    doc = " ".join(texts)
+    body = urllib.parse.urlencode({"data": doc, "output": "vertical"}).encode()
+    ts = []
+    try:
+        for i in range(reps + 1):  # first request is the warm-up
+            t0 = time.time()
+            with urllib.request.urlopen(url, data=body) as r:
+                json.load(r)
+            if i:
+                ts.append(time.time() - t0)
+    finally:
+        server.shutdown()
+    ts.sort()
+    med = ts[len(ts) // 2]
+    spread = round((ts[-1] - ts[0]) / med, 3) if med > 0 and reps > 1 else 0.0
+    log(f"  rest_1k_doc: median {med:.2f}s over {reps} (spread {spread})")
+    return round(med, 3), spread
 
 
 def _timed(fn) -> float:
@@ -401,6 +436,23 @@ def widevocab_surface_stats(corpus_path: str, model_dir: str) -> dict:
         )
         buckets.unpersist()
         sizes.unpersist()
+        # post-policy histogram from the library's OWN banding pipeline
+        # (_banded_ok_buckets via lsh_bucket_histogram) — the round-5
+        # verdict #3 evidence that the cap, not the policy, bounds the
+        # in-bucket join mass
+        from nametag_spark.kg.resolution import lsh_bucket_histogram, release_persisted
+
+        hist = lsh_bucket_histogram(
+            surfaces.selectExpr("concat(type, '\\t', norm) AS k", "norm", "type"),
+            "norm",
+            "k",
+            n_hashes=12,
+            bands=4,
+            k=3,
+            max_bucket=200,
+            block_col="type",
+        )
+        release_persisted()
         return {
             "n_surfaces": n_surf,
             "n_buckets": int(agg["n_buckets"]),
@@ -408,6 +460,7 @@ def widevocab_surface_stats(corpus_path: str, model_dir: str) -> dict:
             "max_bucket_size": int(agg["max_bucket_size"] or 0),
             "dropped_after_split": int(agg2["dropped"] or 0),
             "max_bucket_after_split": int(agg2["max_after_split"] or 0),
+            "post_policy": hist,
         }
     finally:
         spark.stop()
@@ -464,8 +517,12 @@ def main() -> None:
     spark = make_spark(CPUS)
     t0 = time.time()
     timings, spreads, n_turns = bench_queries(spark, SF_DIR, model_dir, transcripts_pdf, sf)
-    total = time.time() - t0
     spark.stop()
+
+    # REST document latency rides the headline queries (S9's measured gate)
+    rest_texts = list(transcripts_pdf["text"].iloc[: min(len(transcripts_pdf), 1000)])
+    timings["rest_1k_doc"], spreads["rest_1k_doc"] = rest_doc_bench(model_dir, rest_texts)
+    total = time.time() - t0
 
     # scaling: same job at two parallelism levels (no real cluster available
     # in this sandbox). Uses a larger fixed input so the measured region is
@@ -556,7 +613,7 @@ def main() -> None:
     # headline value = sum of per-query MEDIANS — comparable to earlier
     # rounds' single-run totals (raw wall time now includes the median-of-N
     # repetitions and is reported separately)
-    result = {
+    detail = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "wall_seconds": round(total, 3),
@@ -623,7 +680,60 @@ def main() -> None:
             ),
         },
     }
-    print(json.dumps(result))
+
+    # resolve cost normalized per distinct surface (the quantity that must
+    # stay flat as the vocabulary grows — round-5 verdict #3), from the
+    # wide-vocab largest corpus at the scaled level
+    wv_resolve_ms = round(
+        wv_stages_hi[-1]["resolve"] * (SCALE_BASE * 4) * 1000.0 / max(wv_stats["n_surfaces"], 1), 2
+    )
+
+    # Output protocol (round-5 verdict #1: BENCH_r05.json lost its headline
+    # medians because ONE giant JSON line outgrew the driver's stdout tail
+    # window). Bulky payloads — per-stage tables, widevocab axis, spreads —
+    # are printed FIRST (and mirrored to a file); the LAST stdout line is a
+    # compact <=1 KB JSON carrying every headline median plus the scaling
+    # scalars, so the tail window always contains the authoritative summary.
+    detail_path = "/tmp/nametag_spark_bench/bench_detail.json"
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    log(f"detail JSON mirrored to {detail_path}")
+
+    s = detail["scaling"]
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": detail["value"],
+        "wall_seconds": detail["wall_seconds"],
+        "unit": "sec",
+        "queries": timings,
+        "window_contaminated": detail["window_contaminated"],
+        "sf": sf,
+        "n_turns": n_turns,
+        "scaling": {
+            "base_cores": SCALE_BASE,
+            "scaled_cores": SCALE_BASE * 4,
+            "turns_per_sec_base": s["turns_per_sec_base"],
+            "turns_per_sec_scaled": s["turns_per_sec_scaled"],
+            "efficiency": s["efficiency"],
+            "kg_marginal_efficiency": s["kg_marginal_efficiency"],
+            "kg_raw_efficiency": s["kg_raw_efficiency"],
+            "hardware_ceiling_efficiency": s["hardware_ceiling_efficiency"],
+            "efficiency_vs_hardware": s["efficiency_vs_hardware"],
+            "kg_marginal_eff_vs_hardware": s["kg_marginal_eff_vs_hardware"],
+            "widevocab_resolve_core_ms_per_surface": wv_resolve_ms,
+            "widevocab_n_surfaces": wv_stats["n_surfaces"],
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # hard budget: the compact line must survive any reasonable tail window
+    for drop in ("kg_raw_efficiency", "efficiency_vs_hardware", "kg_marginal_eff_vs_hardware"):
+        if len(line) <= 1024:
+            break
+        compact["scaling"].pop(drop, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -145,8 +145,10 @@ def synth_transcripts(
     gold columns: conv_id, turn_idx, sent_idx, tok_start, tok_len, type,
     surface (mention token spans are sentence-local).
 
-    vocab_scale multiplies the entity-name pools (letter-suffixed variants)
-    so the DISTINCT-surface population grows with the corpus — the axis the
+    vocab_scale multiplies the entity-name pools with syllable-built
+    pseudo-names (mutually DISSIMILAR — see _scaled_pool; letter-suffixed
+    variants were rejected because they form a near-duplicate cloud) so the
+    DISTINCT-surface population grows with the corpus — the axis the
     resolve phase (LSH + connected components) actually scales on.
     """
     rng = random.Random(seed)

@@ -671,8 +671,16 @@ class GazetteersEnhanced(FeatureProcessor):
         """feature_processor_instances.cpp:708-755: casing flags come from
         the FORM; the recased match text depends on the match mode
         (form / rawlemma / rawlemmas)."""
-        any_lower = any(_cat(c) == "Ll" for c in form)
-        first_uc = bool(form) and _cat(form[0]) in ("Lu", "Lt")
+        if form.islower():
+            # C-speed fast path: has cased chars, all lowercase -> no Lu/Lt
+            any_lower, first_uc = True, False
+        elif form.isascii():
+            # ASCII: Ll == str.islower, Lu == str.isupper (no Lt in ASCII)
+            any_lower = any(c.islower() for c in form)
+            first_uc = bool(form) and form[0].isupper()
+        else:
+            any_lower = any(_cat(c) == "Ll" for c in form)
+            first_uc = bool(form) and _cat(form[0]) in ("Lu", "Lt")
         texts = texts if texts is not None else (form,)
         out = []
         for perform in (0, 1, 2):  # LOWER, TITLE, UPPER
@@ -695,6 +703,10 @@ class GazetteersEnhanced(FeatureProcessor):
     def _build_trie(self):
         # node: {"children": {str: [node_ids]}, "features": [], "mode": SOFT, "entity": -1}
         self._has_hard_post = any(lst["mode"] == self.HARD_POST for lst in self.lists)
+        # the per-token caches hold node ids / reachability of the PREVIOUS
+        # trie — a rebuild (e.g. load_state on a used instance) must drop them
+        self._tok_cache = {}
+        self._hp_reach_flags = None
         self.trie = [{"children": {}, "features": [], "mode": self.SOFT, "entity": -1}]
         prefixes = {}
         for lst in self.lists:

@@ -159,10 +159,24 @@ def _banded_ok_buckets(
     buckets = sig.select(
         *carry, sub1.alias("_s1"), sub2.alias("_s2"), F.explode(F.array(*band_cols)).alias("bk")
     ).select(*carry, "_s1", "_s2", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    # persist: without it the bucket lineage (shingling + n_hashes affine
+    # mins over every surface) is recomputed by the oversized aggregate, the
+    # anti/semi probes, AND both sides of the downstream bucket self-join —
+    # a 4-6x recompute multiplier measured on the 1.4M-surface corpus. The
+    # cached set is bounded by surfaces x bands (vocabulary-, not
+    # corpus-sized); registered for release_persisted().
+    buckets = buckets.persist()
+    _register_persisted(buckets)
     bucket_key = list(block_cols) + ["band", "sig"]
     oversized = (
         buckets.groupBy(*bucket_key).count().where(F.col("count") > max_bucket).select(*bucket_key)
-    )
+    ).persist()
+    _register_persisted(oversized)
+    # tiny aggregate, computed eagerly: when NO bucket is oversized (every
+    # fixture-vocabulary corpus) the split/still-over branch would add four
+    # plan stages of pure overhead — skip it entirely
+    if oversized.count() == 0:
+        return buckets.drop("_s1", "_s2")
     ok = buckets.join(F.broadcast(oversized), bucket_key, "left_anti").drop("_s1", "_s2")
     split = (
         buckets.join(F.broadcast(oversized), bucket_key, "left_semi")
@@ -214,6 +228,75 @@ def lsh_candidate_pairs(
     )
 
 
+def _surface_signatures(
+    df: DataFrame, text_col: str, key_col: str, n_hashes: int, k: int, block_col: str | None
+):
+    """(sig, carry) for the fused LSH path: one row per key with the shingle
+    array riding along plus mh0..mh{n-1} computed via array transforms (one
+    md5 per shingle, n affine permutations — no explode/shuffle)."""
+    sh = shingles(text_col, k)
+    carry0 = [F.col(key_col).alias("_k")]
+    if block_col is not None:
+        carry0.append(F.col(block_col).alias("_blk"))
+    src = df.select(*carry0, sh.alias("_sh")).withColumn(
+        "_h", F.transform("_sh", lambda s: _hash28(s))
+    )
+    consts = minhash_affine_constants(n_hashes)
+    mins = [
+        F.array_min(
+            F.transform("_h", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    carry = ["_k", "_sh"] + (["_blk"] if block_col is not None else [])
+    return src.select(*carry, *mins), carry
+
+
+def lsh_bucket_histogram(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int = 200,
+    block_col: str | None = None,
+) -> dict:
+    """Post-policy bucket-size histogram of the EXACT banding/split/cap
+    pipeline lsh_similarity_edges runs (same _banded_ok_buckets call), plus
+    the in-bucket candidate-pair mass the downstream self-join will pay.
+
+    Returns {"hist_log2": {bin: n_buckets}, "n_buckets", "max_bucket_size",
+    "candidate_pairs"} where hist_log2 bins buckets by floor(log2(size)) and
+    candidate_pairs = sum over buckets of size*(size-1)/2 — the quantity
+    that must stay linear-ish in surfaces for the resolve phase to scale."""
+    sig, carry = _surface_signatures(df, text_col, key_col, n_hashes, k, block_col)
+    ok = _banded_ok_buckets(
+        sig, carry, n_hashes, bands, max_bucket,
+        block_cols=["_blk"] if block_col is not None else (),
+    )
+    key = (["_blk"] if block_col is not None else []) + ["band", "sig"]
+    sizes = ok.groupBy(*key).count().persist()
+    _register_persisted(sizes)
+    hist_rows = (
+        sizes.select(F.floor(F.log2("count")).cast("int").alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    agg = sizes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("count").alias("mx"),
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
+    ).collect()[0]
+    return {
+        "hist_log2": {int(r["b"]): int(r["count"]) for r in sorted(hist_rows, key=lambda r: r["b"])},
+        "n_buckets": int(agg["n"]),
+        "max_bucket_size": int(agg["mx"] or 0),
+        "candidate_pairs": int(agg["pairs"] or 0),
+    }
+
+
 def lsh_similarity_edges(
     df: DataFrame,
     text_col: str,
@@ -242,22 +325,7 @@ def lsh_similarity_edges(
     surfaces, producing systematic 10^4-member buckets that the cap must
     then drop (measured on the 240k-surface wide-vocab corpus:
     485 oversized buckets, max 12,895)."""
-    sh = shingles(text_col, k)
-    carry0 = [F.col(key_col).alias("_k")]
-    if block_col is not None:
-        carry0.append(F.col(block_col).alias("_blk"))
-    src = df.select(*carry0, sh.alias("_sh")).withColumn(
-        "_h", F.transform("_sh", lambda s: _hash28(s))
-    )
-    consts = minhash_affine_constants(n_hashes)
-    mins = [
-        F.array_min(
-            F.transform("_h", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)))
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(consts)
-    ]
-    carry = ["_k", "_sh"] + (["_blk"] if block_col is not None else [])
-    sig = src.select(*carry, *mins)
+    sig, carry = _surface_signatures(df, text_col, key_col, n_hashes, k, block_col)
     ok = _banded_ok_buckets(
         sig, carry, n_hashes, bands, max_bucket,
         block_cols=["_blk"] if block_col is not None else (),
@@ -424,6 +492,7 @@ def resolve_entities(
     lsh_bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.6,
+    max_bucket: int = 200,
 ) -> tuple[DataFrame, DataFrame]:
     """Mentions -> (mention_entities, entities).
 
@@ -461,6 +530,7 @@ def resolve_entities(
         bands=lsh_bands,
         k=shingle_k,
         threshold=jaccard_threshold,
+        max_bucket=max_bucket,
         block_col="type",
     )
 

@@ -496,6 +496,10 @@ def _casing_variants(form: str):
     """casing_variants.h — (form_uclc, form_lc), empty when == form."""
     if not form:
         return "", ""
+    if form.islower():
+        # has cased characters and every one is lowercase -> no Lu/Lt
+        # anywhere -> both variants empty (C-speed early out)
+        return "", ""
     cats = [unicodedata.category(c) for c in form]
     first_lut = cats[0] in ("Lu", "Lt")
     rest_has_lut = any(c in ("Lu", "Lt") for c in cats[1:])
@@ -512,6 +516,11 @@ def _casing_variants(form: str):
 def _analyze_special(form: str, number_tag, punctuation_tag, symbol_tag, out: list):
     """generic_morpho.cpp:127-175 number/punct/symbol analyzer."""
     if not form:
+        return
+    if form.isalpha():
+        # purely-alphabetic forms (the overwhelming case) contain no
+        # N-category codepoint (so the number FSM can't set any_digit) and
+        # are neither all-punctuation nor all-symbol — C-speed early out
         return
     n = len(form)
 
@@ -1833,12 +1842,14 @@ class MorphoditaTagger:
 
     # ------------------------------------------------------------ analysis
     def _analyses(self, form: str, mode=None) -> list:
+        # normalize mode BEFORE keying: when use_guesser is on, mode=None
+        # and mode=GUESSER are the same analysis — two cache keys would run
+        # the whole dictionary+guesser walk twice per unseen form
+        mode = (GUESSER if self.use_guesser else NO_GUESSER) if mode is None else mode
         key = (form, mode)
         a = self._analysis_cache.get(key)
         if a is None:
-            m = self.morpho.analyze(
-                form, (GUESSER if self.use_guesser else NO_GUESSER) if mode is None else mode
-            )
+            m = self.morpho.analyze(form, mode)
             a = self._analysis_cache[key] = m
             if len(self._analysis_cache) > 500_000:
                 self._analysis_cache.clear()

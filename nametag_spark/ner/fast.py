@@ -208,6 +208,106 @@ class FastFeaturizer:
         sent._fast_token_keys = keys  # morphology is fixed across stages
         return keys
 
+    def _compile_events(self):
+        """Fuse every pure processor's per-token body into ONE generated
+        function (same technique as FeatureSequences._compile_group): the
+        per-key event generation was ~13 dispatched calls + list merges per
+        unseen form, which dominated the wide-vocabulary miss path. Bodies
+        mirror _token_feature_ids exactly — same processor order, same
+        per-processor event order, same None filtering."""
+        src = [
+            "def _events_fn(form, raw, lid, tag, comments):",
+            " fs = []; ws = []",
+            " _af = fs.append; _aw = ws.append",
+        ]
+        ns = {"_cat": T._cat, "_cn": T._case_normalize}
+        for i, p in enumerate(self.pure):
+            mv, w = f"_m{i}", int(p.window)
+            ns[mv] = p.map
+            if isinstance(p, T.CzechLemmaTerm):
+                src += [
+                    " for _pos in range(len(comments) - 2):",
+                    "  if comments[_pos] == '_' and comments[_pos + 1] == ';':",
+                    f"   _v = {mv}.get(comments[_pos + 2])",
+                    f"   if _v is not None: _af(_v); _aw({w})",
+                ]
+            elif isinstance(p, T.BrownClusters):
+                ns[f"_c{i}"] = p.clusters
+                src += [
+                    f" _v = {mv}.get(raw)",
+                    " if _v is not None:",
+                    f"  for _f in _c{i}[_v]: _af(_f); _aw({w})",
+                ]
+            elif isinstance(p, (T.FormCapitalization, T.RawLemmaCapitalization)):
+                s = "raw" if isinstance(p, T.RawLemmaCapitalization) else "form"
+                src += [
+                    " _u = _l = False",
+                    f" for _k, _ch in enumerate({s}):",
+                    "  _c = _cat(_ch)",
+                    "  _u = _u or _c in ('Lu', 'Lt')",
+                    "  _l = _l or _c == 'Ll'",
+                    "  if _k == 0 and _u:",
+                    f"   _v = {mv}.get('f')",
+                    f"   if _v is not None: _af(_v); _aw({w})",
+                    f" if _u and not _l:",
+                    f"  _v = {mv}.get('a')",
+                    f"  if _v is not None: _af(_v); _aw({w})",
+                    " if _u and _l:",
+                    f"  _v = {mv}.get('m')",
+                    f"  if _v is not None: _af(_v); _aw({w})",
+                ]
+            elif isinstance(p, T.Suffix):
+                s = "raw" if isinstance(p, (T.RawLemmaSuffix, T.RawLemmaCaseNormalizedSuffix)) else "form"
+                expr = f"_cn({s})" if p.normalized else s
+                src += [
+                    f" _f = {expr}",
+                    " _n = len(_f)",
+                    f" for _s in range({int(p.shortest)}, min({int(p.longest)}, _n) + 1):",
+                    f"  _v = {mv}.get(_f[_n - _s:][::-1])",
+                    f"  if _v is not None: _af(_v); _aw({w})",
+                ]
+            elif isinstance(p, T.NumericTimeValue):
+                src += [
+                    " _k = 0",
+                    " _num = 0",
+                    " _n = len(form)",
+                    " while _k < _n and '0' <= form[_k] <= '9':",
+                    "  _num = _num * 10 + ord(form[_k]) - 48",
+                    "  _k += 1",
+                    " _digit = _k > 0",
+                    " if _digit and _k == _n:",
+                    f"  for _ch, _ok in (('H', _num < 24), ('M', _num < 60), ('d', 1 <= _num <= 31), ('m', 1 <= _num <= 12), ('y', 1000 <= _num <= 2200)):",
+                    "   if _ok:",
+                    f"    _v = {mv}.get(_ch)",
+                    f"    if _v is not None: _af(_v); _aw({w})",
+                    " if _digit and _num < 24 and _k < _n and form[_k] in '.:':",
+                    "  _k += 1",
+                    "  _start = _k",
+                    "  _num = 0",
+                    "  while _k < _n and '0' <= form[_k] <= '9':",
+                    "   _num = _num * 10 + ord(form[_k]) - 48",
+                    "   _k += 1",
+                    "  if _k > _start and _k == _n and _num < 60:",
+                    f"   _v = {mv}.get('t')",
+                    f"   if _v is not None: _af(_v); _aw({w})",
+                ]
+            else:
+                arg = {
+                    T.Tag: "tag",
+                    T.RawLemmaCaseNormalized: "_cn(raw)",
+                    T.FormCaseNormalized: "_cn(form)",
+                    T.RawLemma: "raw",
+                    T.Lemma: "lid",
+                }.get(type(p), "form")
+                src += [
+                    f" _v = {mv}.get({arg})",
+                    f" if _v is not None: _af(_v); _aw({w})",
+                ]
+        src.append(" return fs, ws")
+        exec("\n".join(src), ns)
+        fn = self._events_fn = ns["_events_fn"]
+        return fn
+
     def _form_events(self, key):
         ev = self.form_cache.get(key)
         if ev is None:
@@ -215,16 +315,11 @@ class FastFeaturizer:
                 form, raw, lid, tag, comments = key
             else:
                 form, raw, lid, tag, comments = key, key, key, "", ""
-            pairs = []
-            for p in self.pure:
-                pairs.extend(_token_feature_ids(p, form, raw, lid, tag, comments))
-            if pairs:
-                fids = np.array([f for f, _ in pairs], dtype=np.int64)
-                ws = np.array([w for _, w in pairs], dtype=np.int64)
-            else:
-                fids = np.empty(0, dtype=np.int64)
-                ws = np.empty(0, dtype=np.int64)
-            ev = (fids, ws, len(pairs))
+            fn = getattr(self, "_events_fn", None) or self._compile_events()
+            fs, ws_l = fn(form, raw, lid, tag, comments)
+            fids = np.array(fs, dtype=np.int64)
+            ws = np.array(ws_l, dtype=np.int64)
+            ev = (fids, ws, len(fs))
             self.form_cache[key] = ev
         return ev
 
@@ -424,8 +519,6 @@ class FastFeaturizer:
             else np.empty(0, dtype=np.int64)
         )
         return state, entries, hp_arr, (vals_flat, val_off[:-1], val_len, hp_ent)
-
-    _TRIVIAL_MEMO = (None, np.empty(0, dtype=np.int64), None, None)
 
     def pins_batch(self, live, batch):
         """Stage-invariant pin effects for the whole batch over FLAT arrays.
@@ -786,6 +879,81 @@ class StagePartialScorer:
             self.cache[form] = ent
         return ent
 
+    def _form_partials_batch(self, keys):
+        """Partial sums for MANY uncached form keys in one flat pass.
+
+        On wide-vocabulary (fresh web text) input most token keys are
+        cache misses; computing each miss via _form_partial costs
+        ~(2m+1) tiny-array gathers per form, and that per-form Python
+        overhead — not the morpho dictionary — dominated the miss path
+        (measured 8-10k tok/s/core at ~50% unique keys). Here all misses'
+        feature events concatenate into one flat (form_idx, fid, window)
+        array; each window offset then does ONE range-guarded weight
+        gather and per-column bincount scatter-adds. Per-bin accumulation
+        follows occurrence order (sequential), matching the per-form
+        path's small-array sums; parity is pinned by the fuzz goldens."""
+        fz = self.fz
+        cache = fz.form_cache
+        fn = getattr(fz, "_events_fn", None) or fz._compile_events()
+        flat_f: list = []
+        flat_w: list = []
+        len_l = []
+        miss = []  # (key, start, n) -> form_cache backfill from the flat arrays
+        for key in keys:
+            ev = cache.get(key)
+            if ev is not None:
+                fids, ws, n = ev
+                flat_f.extend(fids.tolist())
+                flat_w.extend(ws.tolist())
+                len_l.append(n)
+            else:
+                if isinstance(key, tuple):
+                    form, raw, lid, tag, comments = key
+                else:
+                    form, raw, lid, tag, comments = key, key, key, "", ""
+                s0 = len(flat_f)
+                fs, ws_out = fn(form, raw, lid, tag, comments)
+                flat_f.extend(fs)
+                flat_w.extend(ws_out)
+                len_l.append(len(fs))
+                miss.append((key, s0, len(fs)))
+        m = self.maxw
+        width = self.net.n_out + self.nh
+        nloc = len(keys)
+        S = np.zeros((nloc, 2 * m + 1, width), dtype=np.float64)
+        C = np.zeros((nloc, 2 * m + 1), dtype=np.int64)
+        if flat_f or miss:
+            fids_f = np.asarray(flat_f, dtype=np.int64)
+            ws_f = np.asarray(flat_w, dtype=np.int64)
+            fi = np.repeat(np.arange(nloc, dtype=np.int64), len_l)
+            for key, s0, n in miss:
+                cache[key] = (fids_f[s0 : s0 + n], ws_f[s0 : s0 + n], n)
+            net = self.net
+            nf = net.w_adj.shape[0]
+            for off in range(-m, m + 1):
+                sel = ws_f >= abs(off)
+                if not sel.any():
+                    continue
+                rows = fids_f[sel] + off
+                f_loc = fi[sel]
+                C[:, off + m] = np.bincount(f_loc, minlength=nloc)
+                ok = rows < nf
+                G = net.w_adj[np.where(ok, rows, 0)]
+                if not ok.all():
+                    G[~ok] = 0.0
+                if self.nh:
+                    nh = net.hidden_w0.shape[0]
+                    okh = rows < nh
+                    H = net.hidden_w0[np.where(okh, rows, 0)]
+                    if not okh.all():
+                        H[~okh] = 0.0
+                    G = np.concatenate([G, H], axis=1)
+                tgt = S[:, off + m, :]
+                for c in range(width):
+                    tgt[:, c] = np.bincount(f_loc, weights=G[:, c], minlength=nloc)
+        for j, key in enumerate(keys):
+            self.cache[key] = (S[j], C[j])
+
     def _ps_table(self, proc):
         """Dense PreviousStage fid table: [bilou 0..4, ent -1..n_ent-1] ->
         base fid or -1. Built once per (scorer, processor)."""
@@ -868,12 +1036,17 @@ class StagePartialScorer:
                     epos_arrs.append(p_all[sel] + d)
                     efid_arrs.append(fids[sel] + d)
 
-        # form partial sums, one per distinct form in the batch
+        # form partial sums, one per distinct form in the batch; cache
+        # misses are computed together in one flat vectorized pass (the
+        # per-form loop was the wide-vocabulary bottleneck)
         U = len(uniques)
         S_all = np.empty((U, 2 * m + 1, n_out + self.nh), dtype=np.float64)
         C_all = np.empty((U, 2 * m + 1), dtype=np.int64)
+        miss = [k for k, form in enumerate(uniques) if form not in self.cache]
+        if miss:
+            self._form_partials_batch([uniques[k] for k in miss])
         for k, form in enumerate(uniques):
-            S, C = self._form_partial(form)
+            S, C = self.cache[form]
             S_all[k] = S
             C_all[k] = C
 

@@ -147,6 +147,7 @@ def compact_triples(
     lsh_bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.6,
+    max_bucket: int = 200,
 ):
     """Compaction over the accumulated evidence log: resolve entities across
     ALL surfaces seen so far (LSH blocking + connected components on the
@@ -178,6 +179,7 @@ def compact_triples(
             bands=lsh_bands,
             k=shingle_k,
             threshold=jaccard_threshold,
+            max_bucket=max_bucket,
             block_col="type",
         )
     )

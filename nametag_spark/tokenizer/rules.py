@@ -304,6 +304,21 @@ def _chunk_entry(chunk: str, lang: str, memo: dict):
     if e is None:
         if len(memo) > 200_000:
             memo.clear()
+        # ASCII-letter chunks (the dominant case on fresh-vocabulary text)
+        # are a single word token in every rule grammar: no digits, no
+        # apostrophe/hyphen (so no suffix/hyphen clitics), no EOS or
+        # opening/closing punctuation. English irregular clitics (cannot,
+        # gonna, ...) are the one all-letter exception — checked explicitly.
+        # Parity with _tokenize_scan is pinned by the chunk-memo fuzz test.
+        if (
+            chunk.isascii()
+            and chunk.isalpha()
+            and (lang != "en" or chunk.lower() not in _IRREGULAR_CLITICS)
+        ):
+            e = memo[chunk] = (
+                ((0, len(chunk)),), 1, None, "", None, chunk[0].isupper()
+            )
+            return e
         sents = _tokenize_scan(chunk, lang)
         if len(sents) != 1:  # emergency split inside one chunk: not safe
             e = memo[chunk] = _CHUNK_BAIL

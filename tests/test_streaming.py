@@ -211,3 +211,69 @@ def test_incremental_kg_bench_scale_with_kill_restart(spark, tiny_model_dir, tmp
 
     assert len(incremental) > 100
     assert incremental == batch
+
+
+def test_incremental_kg_widevocab_split_path_matches_batch(
+    spark, tiny_model_dir, tmp_path
+):
+    """Round-5 verdict #5: compaction == batch over a WIDE-VOCABULARY corpus
+    (vocab_scale=10) with a max_bucket small enough that the oversized-bucket
+    SPLIT policy actually executes on both sides — the r5 kill-restart test
+    only covered the fixture vocabulary, where no bucket is ever oversized
+    and the split branch is skipped entirely."""
+    from nametag_spark.kg.resolution import (
+        lsh_bucket_histogram,
+        release_persisted,
+        resolve_entities,
+    )
+    from nametag_spark.kg.triples import extract_triples
+    from nametag_spark.streaming.stream import compact_triples, run_incremental_kg
+
+    cap = 8
+    tdf, _ = synth_transcripts(n_conversations=150, seed=9, vocab_scale=10)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(tdf).repartition(4).write.mode("overwrite").parquet(src)
+    out_dir = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "kg_ckpt")
+
+    q = run_incremental_kg(
+        read_transcript_stream(spark, src, max_files_per_trigger=2),
+        tiny_model_dir, out_dir, ckpt,
+    )
+    q.awaitTermination(180)
+
+    def rows(df):
+        pdf = df.toPandas()
+        pdf["evidence"] = pdf["evidence"].map(lambda v: tuple(v))
+        cols = ["subj", "pred", "obj", "subj_type", "obj_type",
+                "subj_norm", "obj_norm", "n_evidence", "evidence", "n_cooccur"]
+        return sorted(map(tuple, pdf[cols].itertuples(index=False)))
+
+    incremental = rows(compact_triples(spark, out_dir, max_bucket=cap))
+
+    batch_input = spark.createDataFrame(tdf)
+    from nametag_spark.ner.pipeline import recognize_df
+
+    mentions = recognize_df(batch_input, tiny_model_dir)
+    me, _ = resolve_entities(mentions, max_bucket=cap)
+    batch = rows(extract_triples(me, batch_input))
+
+    # prove the split path actually fired: at an uncapped policy the same
+    # surface table contains buckets beyond `cap` members
+    from nametag_spark.kg.resolution import canonicalize_mentions
+    from pyspark.sql import functions as F
+
+    surfaces = (
+        canonicalize_mentions(mentions)
+        .where(F.length("norm") > 0)
+        .groupBy("type", "norm")
+        .count()
+        .selectExpr("concat(type, '\t', norm) AS k", "norm", "type")
+    )
+    uncapped = lsh_bucket_histogram(
+        surfaces, "norm", "k", max_bucket=10**9, block_col="type"
+    )
+    release_persisted()
+    assert uncapped["max_bucket_size"] > cap, "corpus must produce oversized buckets"
+    assert incremental == batch
+    assert len(incremental) > 0

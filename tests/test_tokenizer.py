@@ -128,7 +128,10 @@ def test_chunk_memo_fast_path_matches_scanner():
              "http://example.com/a(b)", "x@a.com", "…", "?!", ".", "..",
              "...", '"Hello"', "(He", "said)", "Karel!", "co.", "žena",
              "Čtyři", "İstanbul", "'quote'", "a-b", "x--y", "+5", "-3", ")",
-             "max.", "End.", "“Quoted”", "‘tis", "M."]
+             "max.", "End.", "“Quoted”", "‘tis", "M.",
+             # ASCII-alpha chunks exercise the single-token fast path,
+             # including the irregular-clitic exceptions
+             "bamre", "Zelkrova", "xyzzy", "Gonna", "gimme", "Cannot"]
     seps = [" ", "  ", "\n", "\n\n", " \n ", "\t", "\r\n", "\n \n", "   ", "\r"]
     for _trial in range(800):
         k = rng.randint(1, 14)
@@ -144,3 +147,30 @@ def test_chunk_memo_fast_path_matches_scanner():
     # emergency-split fallback stays byte-identical
     for t in (" ".join(["."] * 600), "." * 600, " ".join(["w"] * 450)):
         assert rules.tokenize_sentences(t, "en") == rules._tokenize_scan(t, "en")
+
+
+def test_chunk_memo_clear_preserves_parity():
+    """The 200k-entry memo clear (rules._chunk_entry) must be invisible:
+    tokenization before, during (the wipe fires mid-corpus), and after the
+    clear stays identical to the character scanner (round-5 verdict #7)."""
+    from nametag_spark.tokenizer import rules
+
+    memo = rules._CHUNK_MEMOS["cs"]
+    saved = dict(memo)
+    try:
+        texts = [
+            "Praha pila vodu dr. Nováka . OK",
+            "Žena šla do Brna a B. řekl ahoj.",
+            "bamre Zelkrova kupala 3.14 vodu!",
+        ]
+        before = [rules.tokenize_sentences(t, "cs") for t in texts]
+        # push the memo past its bound so the NEXT miss wipes it mid-stream
+        memo.update({f"__pad{i}": rules._CHUNK_BAIL for i in range(200_001)})
+        during = [rules.tokenize_sentences(t + " novaforma", "cs") for t in texts]
+        assert len(memo) < 200_001  # the wipe fired
+        assert [rules.tokenize_sentences(t, "cs") for t in texts] == before
+        for t, d in zip(texts, during):
+            assert d == rules._tokenize_scan(t + " novaforma", "cs")
+    finally:
+        memo.clear()
+        memo.update(saved)
