@@ -64,6 +64,7 @@ class Sentence:
         "_gaz_sources",  # per-processor recased match sources (stage-invariant)
         "_gaz_hp_skip",  # proc ids whose hard_post walk provably can't match
         "_shared_memo",  # content-keyed memo store shared across instances
+        "_raw_all_src",  # tagger supplying raw_lemmas_all lazily (raw_all_of)
     )
 
     def __init__(self, forms, lemma_comments=None, raw_lemmas=None, lemma_ids=None,
@@ -155,6 +156,9 @@ class Sentence:
     def get_raw_lemmas_all(self, i):
         if self.raw_lemmas_all is not None:
             return self.raw_lemmas_all[i]
+        src = getattr(self, "_raw_all_src", None)
+        if src is not None:
+            return src.raw_all_of(self.forms[i])
         return (self.forms[i],)
 
     def clear_features(self):

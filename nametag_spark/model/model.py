@@ -109,15 +109,15 @@ class NerModel:
                 # MorphoDiTa tagger: full per-token morphology incl. the
                 # sorted-unique raw lemmas of ALL analyses
                 # (morphodita_tagger.cpp:40-80), column-oriented
-                fs, comments, raws, lids, tags, raw_all, keys, shared = self.tagger.ner_tag_columns(forms)
+                fs, comments, raws, lids, tags, _none, keys, shared = self.tagger.ner_tag_columns(forms)
                 sent = Sentence(
                     fs,
                     lemma_comments=comments,
                     raw_lemmas=raws,
                     lemma_ids=lids,
                     tags=tags,
-                    raw_lemmas_all=raw_all,
                 )
+                sent._raw_all_src = self.tagger  # lazy raw_lemmas_all
                 sent._fast_token_keys = keys
                 # content-determined memo stores shared across Sentence
                 # instances of the same cached text (gazetteer walks, pins)

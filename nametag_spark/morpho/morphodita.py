@@ -500,6 +500,19 @@ def _casing_variants(form: str):
         # has cased characters and every one is lowercase -> no Lu/Lt
         # anywhere -> both variants empty (C-speed early out)
         return "", ""
+    if form.isascii():
+        # ASCII: Lu == A-Z (no Lt), simple lowercase == str.lower
+        first_lut = form[0].isupper()
+        rest = form[1:]
+        rest_lc = rest.lower()
+        rest_has_lut = rest != rest_lc
+        if first_lut and not rest_has_lut:
+            return "", form[0].lower() + rest
+        if not first_lut and rest_has_lut:
+            return "", form[0] + rest_lc
+        if first_lut and rest_has_lut:
+            return form[0] + rest_lc, form[0].lower() + rest_lc
+        return "", ""
     cats = [unicodedata.category(c) for c in form]
     first_lut = cats[0] in ("Lu", "Lt")
     rest_has_lut = any(c in ("Lu", "Lt") for c in cats[1:])
@@ -832,6 +845,10 @@ class CzechMorpho:
         self.unknown_tag = unknown_tag
         self.number_tag = number_tag
         self.punctuation_tag = punctuation_tag
+        # devirtualized hot helpers (the one-line delegating methods cost
+        # ~3us of pure call dispatch per lemma on the unseen-form path)
+        self.raw_lemma_len = _czech_raw_lemma_len
+        self.lemma_id_len = _czech_lemma_id_len
 
     @classmethod
     def load(cls, f) -> "CzechMorpho":
@@ -1798,10 +1815,13 @@ class MorphoditaTagger:
         self._analysis_cache: dict = {}
         self._lemma_split_cache: dict = {}
         self._raw_all_cache: dict = {}
-        self._raw_form_cache: dict = {}
         self._sentence_cache: dict = {}
         self._token_col_cache: dict = {}
-        self._an_none_cache: dict = {}  # default-mode view of _analyses
+        # form -> (raw_form, default-mode analyses): ONE dict layer for the
+        # two per-token lookups the ner columns path does (raw-form slice +
+        # analysis) — the split caches cost a second map/fixup pass per
+        # sentence, which the wide-vocabulary miss path paid per token
+        self._form_an_cache: dict = {}
 
     # ------------------------------------------------------------- loading
     @classmethod
@@ -1998,25 +2018,24 @@ class MorphoditaTagger:
         if v is not None:
             return v
         m = self.morpho
-        an_of = self._analyses
-        # C-speed map over the per-form caches; misses (rare after warmup)
-        # fixed up individually
-        rc = self._raw_form_cache
-        raw_forms = list(map(rc.get, forms))
-        for pos, r in enumerate(raw_forms):
-            if r is None:
-                if len(rc) > 200_000:
-                    rc.clear()
+        # C-speed map over the fused per-form cache; misses (rare after
+        # warmup) fixed up individually in ONE pass. morpho.analyze is
+        # called directly (same normalized mode as _analyses) — this cache
+        # IS the memo for the columns path, the (form, mode)-keyed
+        # _analysis_cache layer would only duplicate it
+        fa = self._form_an_cache
+        vals = list(map(fa.get, forms))
+        mode = GUESSER if self.use_guesser else NO_GUESSER
+        analyze = m.analyze
+        for pos, fv in enumerate(vals):
+            if fv is None:
+                if len(fa) > 200_000:
+                    fa.clear()
                 f = forms[pos]
-                raw_forms[pos] = rc[f] = f[: m.raw_form_len(f)]
-        ac = self._an_none_cache
-        analyses = list(map(ac.get, raw_forms))
-        for pos, a in enumerate(analyses):
-            if a is None:
-                if len(ac) > 200_000:
-                    ac.clear()
-                rf = raw_forms[pos]
-                analyses[pos] = ac[rf] = an_of(rf)
+                rf = f[: m.raw_form_len(f)]
+                vals[pos] = fa[f] = (rf, analyze(rf, mode))
+        raw_forms = [fv[0] for fv in vals]
+        analyses = [fv[1] for fv in vals]
         idx = self._decode(raw_forms, analyses)
         # fused per-(form, chosen-analysis) column cache: the whole output
         # row (comment, raw, lid, tag, raw_lemmas_all, fast-token-key) is a
@@ -2038,34 +2057,44 @@ class MorphoditaTagger:
                     sp = self._lemma_split_cache[lemma] = (
                         lemma[:raw_len], lemma[:id_len], lemma[id_len:],
                     )
-                all_raw = self._raw_all_cache.get(form)
-                if all_raw is None:
-                    if len(self._raw_all_cache) > 200_000:
-                        self._raw_all_cache.clear()
-                    all_raw = self._raw_all_cache[form] = sorted(
-                        {a_lemma[: m.raw_lemma_len(a_lemma)] for a_lemma, _t in an_of(form, GUESSER)}
-                    )
                 r, l, c = sp
-                # ner.fast token memo key (fast.py _token_keys contract)
+                # ner.fast token memo key (fast.py _token_keys contract).
+                # raw_lemmas_all is NOT materialized here: it is consumed
+                # only by GazetteersEnhanced match=rawlemmas, so Sentence
+                # computes it lazily via raw_all_of (most models never ask)
                 tk = rf if (r == rf and l == rf and tag == "" and not c) else (rf, r, l, tag, c or "")
-                entries[pos] = tok_cache[(form, k)] = (c, r, l, tag, all_raw, tk)
-        comments, raws, lids, tags, raw_all, keys = (
-            map(list, zip(*entries)) if entries else ([], [], [], [], [], [])
+                entries[pos] = tok_cache[(form, k)] = (c, r, l, tag, tk)
+        comments, raws, lids, tags, keys = (
+            map(list, zip(*entries)) if entries else ([], [], [], [], [])
         )
         # shared per-content memo store: gazetteer sources/pins are pure
         # functions of the sentence's morphology, so Sentence instances
         # rebuilt from this cache entry share their computed walks
         # ({"gaz": {...}} filled by templates._sentence_sources, "pins" by
         # ner.fast.apply_pins)
-        v = (raw_forms, comments, raws, lids, tags, raw_all, keys, {"gaz": {}})
+        v = (raw_forms, comments, raws, lids, tags, None, keys, {"gaz": {}})
         if len(cache) > 100_000:
             cache.clear()
         cache[key] = v
         return v
 
+    def raw_all_of(self, form: str):
+        """Sorted unique raw lemmas over ALL (guesser-mode) analyses of the
+        form — morphodita_tagger.cpp:61-66. Cached; computed lazily because
+        only GazetteersEnhanced match=rawlemmas ever consumes it."""
+        all_raw = self._raw_all_cache.get(form)
+        if all_raw is None:
+            if len(self._raw_all_cache) > 200_000:
+                self._raw_all_cache.clear()
+            m = self.morpho
+            all_raw = self._raw_all_cache[form] = sorted(
+                {a_lemma[: m.raw_lemma_len(a_lemma)] for a_lemma, _t in self._analyses(form, GUESSER)}
+            )
+        return all_raw
+
     def ner_tag_sentence(self, forms):
         """Row-oriented view of ner_tag_columns (compat API)."""
-        fs, comments, raws, lids, tags, raw_all, _keys, _shared = self.ner_tag_columns(forms)
+        fs, comments, raws, lids, tags, _none, _keys, _shared = self.ner_tag_columns(forms)
         return [
             {
                 "form": f,
@@ -2073,9 +2102,9 @@ class MorphoditaTagger:
                 "lemma_id": l,
                 "lemma_comments": c,
                 "tag": t,
-                "raw_lemmas_all": a,
+                "raw_lemmas_all": self.raw_all_of(f),
             }
-            for f, c, r, l, t, a in zip(fs, comments, raws, lids, tags, raw_all)
+            for f, c, r, l, t in zip(fs, comments, raws, lids, tags)
         ]
 
     # ------------------------------------------------------------- pickling

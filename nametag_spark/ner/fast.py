@@ -861,24 +861,6 @@ class StagePartialScorer:
             g = np.concatenate([g, hg], axis=1)
         return g
 
-    def _form_partial(self, form):
-        ent = self.cache.get(form)
-        if ent is None:
-            fids, ws, _n = self.fz._form_events(form)
-            m = self.maxw
-            width = self.net.n_out + self.nh
-            S = np.zeros((2 * m + 1, width), dtype=np.float64)
-            C = np.zeros(2 * m + 1, dtype=np.int64)
-            for off in range(-m, m + 1):
-                sel = ws >= abs(off)
-                if sel.any():
-                    rows = fids[sel] + off
-                    C[off + m] = len(rows)
-                    S[off + m] = self._gather(rows).sum(axis=0)
-            ent = (S, C)
-            self.cache[form] = ent
-        return ent
-
     def _form_partials_batch(self, keys):
         """Partial sums for MANY uncached form keys in one flat pass.
 
@@ -894,19 +876,19 @@ class StagePartialScorer:
         path's small-array sums; parity is pinned by the fuzz goldens."""
         fz = self.fz
         cache = fz.form_cache
-        fn = getattr(fz, "_events_fn", None) or fz._compile_events()
-        flat_f: list = []
-        flat_w: list = []
-        len_l = []
-        miss = []  # (key, start, n) -> form_cache backfill from the flat arrays
-        for key in keys:
-            ev = cache.get(key)
-            if ev is not None:
-                fids, ws, n = ev
-                flat_f.extend(fids.tolist())
-                flat_w.extend(ws.tolist())
-                len_l.append(n)
-            else:
+        evs = list(map(cache.get, keys))
+        if not all(evs):
+            # events for all uncached keys in two flat pylists -> ONE
+            # asarray each, backfilled into the events cache as slices
+            # (np.asarray per tiny list costs ~8us; extend costs ~0.1us/el)
+            fn = getattr(fz, "_events_fn", None) or fz._compile_events()
+            flat_f: list = []
+            flat_w: list = []
+            spans = []
+            for j, ev in enumerate(evs):
+                if ev is not None:
+                    continue
+                key = keys[j]
                 if isinstance(key, tuple):
                     form, raw, lid, tag, comments = key
                 else:
@@ -915,19 +897,21 @@ class StagePartialScorer:
                 fs, ws_out = fn(form, raw, lid, tag, comments)
                 flat_f.extend(fs)
                 flat_w.extend(ws_out)
-                len_l.append(len(fs))
-                miss.append((key, s0, len(fs)))
+                spans.append((j, key, s0, len(fs)))
+            mf = np.asarray(flat_f, dtype=np.int64)
+            mw = np.asarray(flat_w, dtype=np.int64)
+            for j, key, s0, n in spans:
+                evs[j] = cache[key] = (mf[s0 : s0 + n], mw[s0 : s0 + n], n)
         m = self.maxw
         width = self.net.n_out + self.nh
         nloc = len(keys)
         S = np.zeros((nloc, 2 * m + 1, width), dtype=np.float64)
         C = np.zeros((nloc, 2 * m + 1), dtype=np.int64)
-        if flat_f or miss:
-            fids_f = np.asarray(flat_f, dtype=np.int64)
-            ws_f = np.asarray(flat_w, dtype=np.int64)
+        len_l = [ev[2] for ev in evs]
+        if nloc:
+            fids_f = np.concatenate([ev[0] for ev in evs])
+            ws_f = np.concatenate([ev[1] for ev in evs])
             fi = np.repeat(np.arange(nloc, dtype=np.int64), len_l)
-            for key, s0, n in miss:
-                cache[key] = (fids_f[s0 : s0 + n], ws_f[s0 : s0 + n], n)
             net = self.net
             nf = net.w_adj.shape[0]
             for off in range(-m, m + 1):
@@ -953,6 +937,7 @@ class StagePartialScorer:
                     tgt[:, c] = np.bincount(f_loc, weights=G[:, c], minlength=nloc)
         for j, key in enumerate(keys):
             self.cache[key] = (S[j], C[j])
+        return S, C
 
     def _ps_table(self, proc):
         """Dense PreviousStage fid table: [bilou 0..4, ent -1..n_ent-1] ->
@@ -1042,13 +1027,20 @@ class StagePartialScorer:
         U = len(uniques)
         S_all = np.empty((U, 2 * m + 1, n_out + self.nh), dtype=np.float64)
         C_all = np.empty((U, 2 * m + 1), dtype=np.int64)
-        miss = [k for k, form in enumerate(uniques) if form not in self.cache]
+        vals = list(map(self.cache.get, uniques))
+        miss = [k for k, v in enumerate(vals) if v is None]
         if miss:
-            self._form_partials_batch([uniques[k] for k in miss])
-        for k, form in enumerate(uniques):
-            S, C = self.cache[form]
-            S_all[k] = S
-            C_all[k] = C
+            # one vectorized scatter instead of U per-key dict hashes +
+            # small-array copies (on wide-vocabulary input every form is a
+            # miss, and the copy loop was ~2x the numpy work it fed)
+            S_m, C_m = self._form_partials_batch([uniques[k] for k in miss])
+            mi = np.asarray(miss, dtype=np.int64)
+            S_all[mi] = S_m
+            C_all[mi] = C_m
+        for k, v in enumerate(vals):
+            if v is not None:
+                S_all[k] = v[0]
+                C_all[k] = v[1]
 
         p = np.arange(total, dtype=np.int64)
         for off in range(-m, m + 1):

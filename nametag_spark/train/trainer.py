@@ -85,9 +85,10 @@ def _load_data(conll_sentences, entities, add_entities, tagger=None):
             # MorphoDiTa tagger: train over the SAME per-token morphology
             # inference sees (raw_lemmas_all etc. — bilou_ner_trainer.cpp
             # tags training data with the model tagger)
-            fs, comments, raws, lids, tags, raw_all, keys, _shared = tagger.ner_tag_columns(forms)
+            fs, comments, raws, lids, tags, _none, keys, _shared = tagger.ner_tag_columns(forms)
             s = Sentence(fs, lemma_comments=comments, raw_lemmas=raws,
-                         lemma_ids=lids, tags=tags, raw_lemmas_all=raw_all)
+                         lemma_ids=lids, tags=tags)
+            s._raw_all_src = tagger  # lazy raw_lemmas_all (raw_all_of)
             s._fast_token_keys = keys
         elif tagger is not None:
             lemmas, tags = tagger.tag_sentence(forms)

@@ -74,6 +74,26 @@ def main() -> None:
         t2 = time.time()
         n_triples = extract_triples(me, df).count()
         t3 = time.time()
+        hist = None
+        if cores == cores_list[-1]:
+            # post-policy bucket-size histogram + candidate-pair mass at the
+            # production LSH parameters (round-5 verdict #3: show whether
+            # the cap or the policy carries the in-bucket join cost)
+            from pyspark.sql import functions as F
+
+            from nametag_spark.kg.resolution import (
+                canonicalize_mentions,
+                lsh_bucket_histogram,
+            )
+
+            surfaces = (
+                canonicalize_mentions(mentions)
+                .where(F.length("norm") > 0)
+                .groupBy("type", "norm")
+                .count()
+                .selectExpr("concat(type, '\\t', norm) AS k", "norm", "type")
+            )
+            hist = lsh_bucket_histogram(surfaces, "norm", "k", block_col="type")
         release_persisted()
         spark.stop()
         points.append(
@@ -89,7 +109,11 @@ def main() -> None:
                 "triples": round(t3 - t2, 1),
                 "total": round(t3 - t0, 1),
                 "turns_per_sec": round(n_turns / (t3 - t0), 1),
+                "resolve_core_ms_per_surface": round(
+                    (t2 - t1) * cores * 1000.0 / max(n_surfaces, 1), 2
+                ),
                 "driver_peak_rss_gb": round(rss_gb(), 2),
+                **({"bucket_histogram": hist} if hist else {}),
             }
         )
         print(json.dumps(points[-1]), file=sys.stderr, flush=True)
