@@ -248,8 +248,16 @@ def _surface_signatures(
         ).alias(f"mh{i}")
         for i, (a, b) in enumerate(consts)
     ]
-    carry = ["_k", "_sh"] + (["_blk"] if block_col is not None else [])
-    return src.select(*carry, *mins), carry
+    # distinct-shingle count per SURFACE: lets the downstream in-bucket
+    # Jaccard use |A∪B| = |A|+|B|−|A∩B| instead of materializing
+    # array_union per candidate pair (the pair population is ~60-70x the
+    # surface population at production LSH parameters)
+    names0 = ["_k"] + (["_blk"] if block_col is not None else [])
+    carry = ["_k", "_sh", "_n"] + (["_blk"] if block_col is not None else [])
+    return (
+        src.select(*names0, "_sh", F.size(F.array_distinct("_sh")).alias("_n"), *mins),
+        carry,
+    )
 
 
 def lsh_bucket_histogram(
@@ -338,7 +346,11 @@ def lsh_similarity_edges(
     )
     if block_col is not None:
         cond = cond & (F.col("l._blk") == F.col("r._blk"))
-    jac = F.size(F.array_intersect("l._sh", "r._sh")) / F.size(F.array_union("l._sh", "r._sh"))
+    inter = F.size(F.array_intersect("l._sh", "r._sh"))
+    # |A∪B| = |A|+|B|−|A∩B| over DISTINCT shingle counts carried per
+    # surface — identical value to size(array_union), without building the
+    # union array for every candidate pair
+    jac = inter / (F.col("l._n") + F.col("r._n") - inter)
     return (
         l.join(r, cond)
         .where(jac >= threshold)

@@ -862,18 +862,20 @@ class StagePartialScorer:
         return g
 
     def _form_partials_batch(self, keys):
-        """Partial sums for MANY uncached form keys in one flat pass.
+        """Partial sums for MANY uncached form keys in one flat pass;
+        returns the stacked (S, C) arrays in key order (rows are also
+        cached as views, so the caller's next batch hits the cache).
 
         On wide-vocabulary (fresh web text) input most token keys are
-        cache misses; computing each miss via _form_partial costs
-        ~(2m+1) tiny-array gathers per form, and that per-form Python
-        overhead — not the morpho dictionary — dominated the miss path
-        (measured 8-10k tok/s/core at ~50% unique keys). Here all misses'
-        feature events concatenate into one flat (form_idx, fid, window)
-        array; each window offset then does ONE range-guarded weight
-        gather and per-column bincount scatter-adds. Per-bin accumulation
-        follows occurrence order (sequential), matching the per-form
-        path's small-array sums; parity is pinned by the fuzz goldens."""
+        cache misses; a per-key loop costs ~(2m+1) tiny-array gathers per
+        form, and that per-form Python overhead — not the morpho
+        dictionary — dominated the miss path (measured 8-10k tok/s/core at
+        ~50% unique keys). Here all keys' feature events concatenate into
+        one flat (form_idx, fid, window) array; each window offset then
+        does ONE range-guarded weight gather and per-column bincount
+        scatter-adds. Per-bin accumulation follows occurrence order
+        (sequential), matching the per-form path's small-array sums;
+        parity is pinned by the fuzz goldens."""
         fz = self.fz
         cache = fz.form_cache
         evs = list(map(cache.get, keys))
