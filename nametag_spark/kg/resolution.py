@@ -248,14 +248,23 @@ def _surface_signatures(
         ).alias(f"mh{i}")
         for i, (a, b) in enumerate(consts)
     ]
-    # distinct-shingle count per SURFACE: lets the downstream in-bucket
-    # Jaccard use |A∪B| = |A|+|B|−|A∩B| instead of materializing
-    # array_union per candidate pair (the pair population is ~60-70x the
-    # surface population at production LSH parameters)
+    # per-SURFACE extras that make the per-PAIR verify cheap (the pair
+    # population is ~60-70x the surface population at production LSH
+    # parameters): _n = distinct-shingle count, so Jaccard uses
+    # |A∪B| = |A|+|B|−|A∩B| instead of materializing array_union per pair;
+    # _hd = distinct 28-bit shingle hashes, so a SOUND int-array prefilter
+    # (hash Jaccard is always >= exact Jaccard — a collision can only merge
+    # distinct shingles) rejects most pairs before the string intersect
     names0 = ["_k"] + (["_blk"] if block_col is not None else [])
-    carry = ["_k", "_sh", "_n"] + (["_blk"] if block_col is not None else [])
+    carry = ["_k", "_sh", "_hd", "_n"] + (["_blk"] if block_col is not None else [])
     return (
-        src.select(*names0, "_sh", F.size(F.array_distinct("_sh")).alias("_n"), *mins),
+        src.select(
+            *names0,
+            "_sh",
+            F.array_distinct("_h").alias("_hd"),
+            F.size(F.array_distinct("_sh")).alias("_n"),
+            *mins,
+        ),
         carry,
     )
 
@@ -278,7 +287,13 @@ def lsh_bucket_histogram(
     "candidate_pairs"} where hist_log2 bins buckets by floor(log2(size)) and
     candidate_pairs = sum over buckets of size*(size-1)/2 — the quantity
     that must stay linear-ish in surfaces for the resolve phase to scale."""
-    sig, carry = _surface_signatures(df, text_col, key_col, n_hashes, k, block_col)
+    sig, _carry = _surface_signatures(df, text_col, key_col, n_hashes, k, block_col)
+    # the histogram only counts bucket members — drop the per-surface verify
+    # payloads (shingle strings, hash arrays) so the persisted bucket table
+    # is keys-only (the fused edges path at the same scale holds ITS table
+    # in the same heap; carrying payloads twice OOMs an 8g local JVM)
+    carry = ["_k"] + (["_blk"] if block_col is not None else [])
+    sig = sig.select(*carry, *[f"mh{h}" for h in range(n_hashes)])
     ok = _banded_ok_buckets(
         sig, carry, n_hashes, bands, max_bucket,
         block_cols=["_blk"] if block_col is not None else (),
@@ -346,14 +361,23 @@ def lsh_similarity_edges(
     )
     if block_col is not None:
         cond = cond & (F.col("l._blk") == F.col("r._blk"))
+    # two-tier verify, exact-result-preserving:
+    #   1. hash prefilter — Jaccard over the distinct 28-bit shingle hashes
+    #      (int arrays, ~3x cheaper to intersect than the string arrays).
+    #      Hash Jaccard >= exact Jaccard always (a collision can only merge
+    #      distinct shingles: numerator can only gain, denominator only
+    #      shrink), so `hash-jac < t` soundly rejects; survivors (~8% at
+    #      t=0.6) proceed to the exact check.
+    #   2. exact Jaccard over the string shingles, |A∪B| = |A|+|B|−|A∩B|
+    #      with DISTINCT counts carried per surface — identical value to
+    #      size(array_union) without building the union per pair.
+    ih = F.size(F.array_intersect("l._hd", "r._hd"))
+    jac_h = ih / (F.size("l._hd") + F.size("r._hd") - ih)
     inter = F.size(F.array_intersect("l._sh", "r._sh"))
-    # |A∪B| = |A|+|B|−|A∩B| over DISTINCT shingle counts carried per
-    # surface — identical value to size(array_union), without building the
-    # union array for every candidate pair
     jac = inter / (F.col("l._n") + F.col("r._n") - inter)
     return (
         l.join(r, cond)
-        .where(jac >= threshold)
+        .where((jac_h >= threshold) & (jac >= threshold))
         .select(F.col("l._k").alias("src"), F.col("r._k").alias("dst"))
         .distinct()
     )
@@ -404,8 +428,51 @@ def _local_components(rows) -> list:
     return [(n, find(n)) for n in parent]
 
 
+def _forest_partition(batches):
+    """mapInPandas kernel: union-find over ONE partition's edges, emitting
+    the star forest (node -> partition-local min root) — same connectivity
+    as the partition's edge set with at most one output row per node."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in batches:
+        for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            a = int(a)
+            b = int(b)
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    out_n = []
+    out_r = []
+    for n in parent:
+        r = find(n)
+        if r != n:
+            out_n.append(n)
+            out_r.append(r)
+    yield pd.DataFrame({"src": pd.array(out_n, dtype="int64"), "dst": pd.array(out_r, dtype="int64")})
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, driver_threshold: int = 200_000
+    edges: DataFrame,
+    max_iterations: int = 20,
+    driver_threshold: int = 200_000,
+    contracted_driver_threshold: int = 8_000_000,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components.
 
@@ -414,12 +481,17 @@ def connected_components(
     (component, component) self-row). Isolated nodes that never appear in
     edges must be handled by the caller (left join + coalesce to self).
 
-    Hybrid execution: similarity graphs are usually tiny relative to the
-    mention table (edges live on distinct-surface pairs), so when the edge
-    count fits comfortably on the driver we run union-find locally instead
-    of paying ~8 shuffle rounds per star iteration; above the threshold the
-    fully-distributed star algorithm runs.
-    """
+    Hybrid execution, three tiers: similarity graphs are usually tiny
+    relative to the mention table (edges live on distinct-surface pairs),
+    so when the edge count fits comfortably on the driver we run union-find
+    locally instead of paying ~8 shuffle rounds per star iteration. Above
+    that, ONE partition-local union-find pass (mapInPandas) contracts each
+    partition's edges to its spanning star forest — at most one row per
+    node, connectivity-preserving — and the contracted graph (bounded by
+    the NODE count, i.e. distinct surfaces, not by the edge count) finishes
+    on the driver via an Arrow collect when it fits, else through the
+    fully-distributed star algorithm. The final (node -> min component id)
+    mapping is independent of partitioning."""
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).where(F.col("src") != F.col("dst"))
     e = e.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
@@ -427,14 +499,33 @@ def connected_components(
 
     e0 = e = e.persist()
     n_edges = e.count()
+    spark = edges.sparkSession
     if n_edges <= driver_threshold:
-        spark = edges.sparkSession
         rows = [(r["src"], r["dst"]) for r in e.collect()]
         e0.unpersist()
         comp = _local_components(rows)
         if not comp:
             return spark.createDataFrame([], "node long, component long")
         return spark.createDataFrame(comp, "node long, component long")
+
+    # contraction tier: local forests shrink |E| to <= |V|; (node, root)
+    # pairs keep src > dst (the root is the partition-local minimum)
+    contracted = e.mapInPandas(_forest_partition, schema="src long, dst long").persist()
+    n_contracted = contracted.count()
+    e0.unpersist()
+    e0 = e = contracted
+    if n_contracted <= contracted_driver_threshold:
+        import pandas as pd
+
+        pdf = contracted.toPandas()  # Arrow path, ~16 bytes/edge
+        e0.unpersist()
+        comp = _local_components(
+            zip(pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist())
+        )
+        if not comp:
+            return spark.createDataFrame([], "node long, component long")
+        out = pd.DataFrame(comp, columns=["node", "component"]).astype("int64")
+        return spark.createDataFrame(out)
 
     prev_checksum = None
     for _ in range(max_iterations):

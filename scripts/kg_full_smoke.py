@@ -78,7 +78,11 @@ def main() -> None:
         if cores == cores_list[-1]:
             # post-policy bucket-size histogram + candidate-pair mass at the
             # production LSH parameters (round-5 verdict #3: show whether
-            # the cap or the policy carries the in-bucket join cost)
+            # the cap or the policy carries the in-bucket join cost).
+            # Resolve's persisted tables are released FIRST — the histogram
+            # builds its own bucket table, and holding both OOMs the
+            # shared-heap local JVM at the 1.4M-surface scale.
+            release_persisted()
             from pyspark.sql import functions as F
 
             from nametag_spark.kg.resolution import (

@@ -35,23 +35,36 @@ def _uf_components(edges, nodes):
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
-def test_connected_components_matches_union_find(spark, driver_threshold):
-    """driver_threshold=0 forces the distributed star algorithm; the default
-    exercises the driver-side union-find fast path."""
+@_pytest.mark.parametrize(
+    "driver_threshold,contracted_driver_threshold",
+    [
+        (2_000_000, 8_000_000),  # tier 1: driver union-find
+        (0, 8_000_000),  # tier 2: partition-local contraction -> driver finish
+        (0, 0),  # tier 3: contraction -> distributed star rounds
+    ],
+)
+def test_connected_components_matches_union_find(
+    spark, driver_threshold, contracted_driver_threshold
+):
+    """All three hybrid tiers must agree exactly with reference union-find
+    (the thresholds only pick the execution strategy, never the result)."""
     import random
 
     rng = random.Random(4)
     # 10k edges over 3k nodes: dense enough for multi-round star convergence
-    # on the distributed path, and both paths must agree exactly
+    # on the distributed path, and all paths must agree exactly
     nodes = list(range(1, 3_000))
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(10_000)]
     edges = [(a, b) for a, b in edges if a != b]
 
-    df = spark.createDataFrame(edges, ["src", "dst"])
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(8)
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df, driver_threshold=driver_threshold).collect()
+        for r in connected_components(
+            df,
+            driver_threshold=driver_threshold,
+            contracted_driver_threshold=contracted_driver_threshold,
+        ).collect()
     }
 
     expect = _uf_components(edges, set([a for a, _ in edges] + [b for _, b in edges]))
