@@ -922,7 +922,6 @@ class StagePartialScorer:
                     continue
                 rows = fids_f[sel] + off
                 f_loc = fi[sel]
-                C[:, off + m] = np.bincount(f_loc, minlength=nloc)
                 ok = rows < nf
                 G = net.w_adj[np.where(ok, rows, 0)]
                 if not ok.all():
@@ -934,9 +933,16 @@ class StagePartialScorer:
                     if not okh.all():
                         H[~okh] = 0.0
                     G = np.concatenate([G, H], axis=1)
-                tgt = S[:, off + m, :]
-                for c in range(width):
-                    tgt[:, c] = np.bincount(f_loc, weights=G[:, c], minlength=nloc)
+                # f_loc is NON-DECREASING (events concatenate in key order),
+                # so each key's events form one contiguous run: one
+                # add.reduceat over the gathered rows replaces `width`
+                # per-column bincount passes. Within a run the reduction is
+                # sequential in occurrence order — the same order the
+                # bincount scan used (parity re-pinned by the fuzz goldens).
+                starts = np.flatnonzero(np.diff(f_loc, prepend=-1))
+                seg_keys = f_loc[starts]
+                S[seg_keys, off + m, :] = np.add.reduceat(G, starts, axis=0)
+                C[seg_keys, off + m] = np.diff(np.append(starts, len(f_loc)))
         for j, key in enumerate(keys):
             self.cache[key] = (S[j], C[j])
         return S, C
