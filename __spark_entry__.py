@@ -1440,7 +1440,7 @@ def q_model_driven_tokenize(spark, sf_dir):
             for tid, text in zip(pdf["text_id"], pdf["text"]):
                 spans = tokenize_sentences(text, lang)
                 forms = [[text[a : a + b] for (a, b) in s] for s in spans]
-                ents = rec.recognize_batch([model.make_sentence(f) for f in forms])
+                ents = rec.recognize_batch(model.make_sentence_batch(forms))
                 conll = render_conll(forms, ents)
                 for s_idx, block in enumerate(b for b in conll.split("\n\n") if b.strip()):
                     for t_idx, line in enumerate(block.rstrip("\n").split("\n")):

@@ -138,6 +138,31 @@ class NerModel:
             return Sentence.from_pdt(forms, lemmas, tags)
         return Sentence(list(forms))
 
+    def make_sentence_batch(self, forms_lists) -> list:
+        """Batched make_sentence: with a MorphoDiTa tagger the per-form /
+        per-token cache passes flatten across the whole batch
+        (ner_tag_columns_batch); other taggers fall back per-sentence.
+        Element-identical to [self.make_sentence(f) for f in forms_lists]."""
+        tagger = self.tagger
+        if tagger is None or not hasattr(tagger, "ner_tag_columns_batch"):
+            return [self.make_sentence(f) for f in forms_lists]
+        sents = []
+        for v in tagger.ner_tag_columns_batch(forms_lists):
+            fs, comments, raws, lids, tags, _none, keys, shared = v
+            sent = Sentence(
+                fs,
+                lemma_comments=comments,
+                raw_lemmas=raws,
+                lemma_ids=lids,
+                tags=tags,
+            )
+            sent._raw_all_src = tagger
+            sent._fast_token_keys = keys
+            sent._gaz_sources = shared["gaz"]
+            sent._shared_memo = shared
+            sents.append(sent)
+        return sents
+
     # ------------------------------------------------------- single sentence
     def recognize_sentence(self, forms):
         """Run the full multi-stage pipeline on one tokenized sentence.

@@ -2078,6 +2078,90 @@ class MorphoditaTagger:
         cache[key] = v
         return v
 
+    def ner_tag_columns_batch(self, sentences_forms):
+        """Batched ner_tag_columns over many sentences: the per-form and
+        per-(form, pick) cache passes run ONCE over the flattened token
+        stream instead of once per sentence (the per-sentence wrapper loops
+        are the dominant residual Python cost on distinct-form input). The
+        Viterbi stays sentence-scoped (`_decode` per slice; all-unambiguous
+        sentences short-circuit inside it). Output is element-identical to
+        `[self.ner_tag_columns(f) for f in sentences_forms]`, including the
+        shared-memo identity for duplicate sentences within the batch."""
+        cache = self._sentence_cache
+        out = [None] * len(sentences_forms)
+        miss_pos, miss_keys = [], []
+        for i, forms in enumerate(sentences_forms):
+            key = tuple(forms)
+            v = cache.get(key)
+            if v is not None:
+                out[i] = v
+            else:
+                miss_pos.append(i)
+                miss_keys.append(key)
+        if not miss_pos:
+            return out
+        m = self.morpho
+        mode = GUESSER if self.use_guesser else NO_GUESSER
+        analyze = m.analyze
+        raw_form_len = m.raw_form_len
+        flat = []
+        bounds = [0]
+        for key in miss_keys:
+            flat.extend(key)
+            bounds.append(len(flat))
+        fa = self._form_an_cache
+        vals = list(map(fa.get, flat))
+        for pos, fv in enumerate(vals):
+            if fv is None:
+                if len(fa) > 200_000:
+                    fa.clear()
+                f = flat[pos]
+                rf = f[: raw_form_len(f)]
+                vals[pos] = fa[f] = (rf, analyze(rf, mode))
+        flat_raw = [fv[0] for fv in vals]
+        flat_an = [fv[1] for fv in vals]
+        decode = self._decode
+        flat_idx: list = []
+        for si in range(len(miss_keys)):
+            a, b = bounds[si], bounds[si + 1]
+            flat_idx.extend(decode(flat_raw[a:b], flat_an[a:b]))
+        tok_cache = self._token_col_cache
+        entries = list(map(tok_cache.get, zip(flat, flat_idx)))
+        lemma_split = self._lemma_split_cache
+        for pos, e in enumerate(entries):
+            if e is None:
+                if len(tok_cache) > 200_000:
+                    tok_cache.clear()
+                form, rf, an, k = flat[pos], flat_raw[pos], flat_an[pos], flat_idx[pos]
+                lemma, tag = an[k]
+                sp = lemma_split.get(lemma)
+                if sp is None:
+                    if len(lemma_split) > 200_000:
+                        lemma_split.clear()
+                    raw_len = m.raw_lemma_len(lemma)
+                    id_len = m.lemma_id_len(lemma)
+                    sp = lemma_split[lemma] = (
+                        lemma[:raw_len], lemma[:id_len], lemma[id_len:],
+                    )
+                r, l, c = sp
+                tk = rf if (r == rf and l == rf and tag == "" and not c) else (rf, r, l, tag, c or "")
+                entries[pos] = tok_cache[(form, k)] = (c, r, l, tag, tk)
+        for si, i in enumerate(miss_pos):
+            key = miss_keys[si]
+            v = cache.get(key)
+            if v is None:
+                a, b = bounds[si], bounds[si + 1]
+                ents = entries[a:b]
+                comments, raws, lids, tags, keys = (
+                    map(list, zip(*ents)) if ents else ([], [], [], [], [])
+                )
+                v = (flat_raw[a:b], comments, raws, lids, tags, None, keys, {"gaz": {}})
+                if len(cache) > 100_000:
+                    cache.clear()
+                cache[key] = v
+            out[i] = v
+        return out
+
     def raw_all_of(self, form: str):
         """Sorted unique raw lemmas over ALL (guesser-mode) analyses of the
         form — morphodita_tagger.cpp:61-66. Cached; computed lazily because

@@ -324,14 +324,14 @@ def recognize_df(
         for pdf in batches:
             # tokenize the whole batch first, building Sentence workspaces
             sent_meta = []  # (row_pos, sent_idx, spans, text)
-            sentences = []
+            forms_lists = []
             texts = pdf[text_col]
             for pos in range(len(pdf)):
                 text = texts.iloc[pos] or ""
                 for s_idx, spans in enumerate(tokenize_sentences(text, eff_lang)):
-                    forms = [text[a : a + b] for (a, b) in spans]
-                    sentences.append(model.make_sentence(forms))
+                    forms_lists.append([text[a : a + b] for (a, b) in spans])
                     sent_meta.append((pos, s_idx, spans, text))
+            sentences = model.make_sentence_batch(forms_lists)
 
             results = rec.recognize_batch(sentences)
 
@@ -384,7 +384,9 @@ def recognize_local(model, texts, lang: str | None = None):
     out = []
     for text in texts:
         sents = tokenize_sentences(text, lang)
-        sentences = [model.make_sentence([text[a : a + b] for (a, b) in s]) for s in sents]
+        sentences = model.make_sentence_batch(
+            [[text[a : a + b] for (a, b) in s] for s in sents]
+        )
         results = rec.recognize_batch(sentences)
         mentions = []
         for s_idx, (spans, ents) in enumerate(zip(sents, results)):

@@ -114,7 +114,7 @@ class NametagService:
         B = self.BATCH_SENTENCES
         for i in range(0, len(forms), B):
             batch = forms[i : i + B]
-            sentences = [model.make_sentence(f) for f in batch]
+            sentences = model.make_sentence_batch(batch)
             entities = rec.recognize_batch(sentences)
             for j, ents in enumerate(entities):
                 yield spans[i + j], batch[j], ents

@@ -144,9 +144,8 @@ def render_df(df: DataFrame, model_dir: str, fmt: str = "conll", text_col: str =
             for text in pdf[text_col]:
                 text = text or ""
                 sent_spans = tokenize_sentences(text, eff_lang)
-                sentences = [model.make_sentence([text[a : a + b] for (a, b) in s]) for s in sent_spans]
-                ents = rec.recognize_batch(sentences)
                 forms = [[text[a : a + b] for (a, b) in s] for s in sent_spans]
+                ents = rec.recognize_batch(model.make_sentence_batch(forms))
                 if fmt == "conll":
                     rendered.append(render_conll(forms, ents))
                 elif fmt == "vertical":

@@ -91,11 +91,11 @@ def corpus(kind: str, n_sentences: int, seed: str):
 def _build_sentences(model, texts):
     from nametag_spark.tokenizer.rules import tokenize_sentences
 
-    out = []
+    forms_lists = []
     for t in texts:
         for spans in tokenize_sentences(t, "cs"):
-            out.append(model.make_sentence([t[a : a + b] for (a, b) in spans]))
-    return out
+            forms_lists.append([t[a : a + b] for (a, b) in spans])
+    return model.make_sentence_batch(forms_lists)
 
 
 def engine_rep(texts, warm_texts) -> tuple[float, int]:

@@ -110,3 +110,43 @@ def test_deep_order_tag_parity(model, lang):
         want = [tuple(l.split("\t")[1:3]) for l in block.split("\n") if l]
         got = [tuple(x) for x in t.tag(sent)]
         assert got == want, (model, sent, got, want)
+
+
+def test_ner_tag_columns_batch_parity():
+    """make_sentence_batch / ner_tag_columns_batch must be element-identical
+    to the per-sentence path — including shared-memo IDENTITY for duplicate
+    sentences within one batch (the gaz/pins memo dict is shared across
+    Sentence instances of the same text) and all-hit re-batches returning
+    the cached entries themselves."""
+    import random
+
+    from scripts.kernel_ab import corpus
+
+    m_batch = load_binary_ner(os.path.join(FIX, "tiny_cs.ner"))
+    m_ref = load_binary_ner(os.path.join(FIX, "tiny_cs.ner"))
+    rng = random.Random("batch-parity")
+    forms_lists = [t.split() for t in corpus("wide", 300, "t")]
+    forms_lists += [t.split() for t in corpus("fuzz", 300, "t")]
+    forms_lists += [rng.choice(forms_lists) for _ in range(40)]  # in-batch dups
+    got = m_batch.tagger.ner_tag_columns_batch(forms_lists)
+    want = [m_ref.tagger.ner_tag_columns(f) for f in forms_lists]
+    for g, w in zip(got, want):
+        assert g[:5] == w[:5] and g[6] == w[6]
+    # duplicate sentences share ONE cache entry (identity, not equality)
+    first_of = {}
+    for fl, g in zip(forms_lists, got):
+        k = tuple(fl)
+        assert first_of.setdefault(k, g) is g
+    # a warm re-batch returns the same objects
+    again = m_batch.tagger.ner_tag_columns_batch(forms_lists[:50])
+    assert all(a is b for a, b in zip(again, got[:50]))
+    # Sentence plumbing: batch-built sentences recognize identically
+    from nametag_spark.ner.pipeline import _BatchRecognizer
+
+    ents_b = _BatchRecognizer(m_batch).recognize_batch(
+        m_batch.make_sentence_batch(forms_lists[:200])
+    )
+    ents_r = _BatchRecognizer(m_ref).recognize_batch(
+        [m_ref.make_sentence(f) for f in forms_lists[:200]]
+    )
+    assert ents_b == ents_r
