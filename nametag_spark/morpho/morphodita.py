@@ -2113,11 +2113,16 @@ class MorphoditaTagger:
         vals = list(map(fa.get, flat))
         for pos, fv in enumerate(vals):
             if fv is None:
-                if len(fa) > 200_000:
-                    fa.clear()
                 f = flat[pos]
-                rf = f[: raw_form_len(f)]
-                vals[pos] = fa[f] = (rf, analyze(rf, mode))
+                # re-check: an earlier occurrence of the same form in THIS
+                # batch may have filled the cache after the snapshot above
+                fv = fa.get(f)
+                if fv is None:
+                    if len(fa) > 200_000:
+                        fa.clear()
+                    rf = f[: raw_form_len(f)]
+                    fv = fa[f] = (rf, analyze(rf, mode))
+                vals[pos] = fv
         flat_raw = [fv[0] for fv in vals]
         flat_an = [fv[1] for fv in vals]
         decode = self._decode
@@ -2130,9 +2135,14 @@ class MorphoditaTagger:
         lemma_split = self._lemma_split_cache
         for pos, e in enumerate(entries):
             if e is None:
+                form, k = flat[pos], flat_idx[pos]
+                e = tok_cache.get((form, k))
+                if e is not None:
+                    entries[pos] = e
+                    continue
                 if len(tok_cache) > 200_000:
                     tok_cache.clear()
-                form, rf, an, k = flat[pos], flat_raw[pos], flat_an[pos], flat_idx[pos]
+                rf, an = flat_raw[pos], flat_an[pos]
                 lemma, tag = an[k]
                 sp = lemma_split.get(lemma)
                 if sp is None:
