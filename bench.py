@@ -484,6 +484,22 @@ def _pure_worker(args):
     return len(texts)
 
 
+def calibration_probe(model_dir: str, texts) -> float:
+    """Fixed-work single-core speed of this host RIGHT NOW, in turns/s.
+
+    Per-query spread catches a spike hitting one query; a window that is
+    UNIFORMLY slow (frequency scaling, a noisy neighbor pinning every core)
+    leaves every spread low and window_contaminated false while every median
+    inflates together. Running the identical fixed kernel at the start and
+    end of the suite puts the window's absolute speed into the artifact, so
+    two rounds' medians can be compared like-for-like (the probe value is
+    host-dependent but round-invariant: same model, same corpus, one core)."""
+    _pure_worker((texts[:64], model_dir))  # load + JIT warm-up
+    t0 = time.perf_counter()
+    n = _pure_worker((texts, model_dir))
+    return n / (time.perf_counter() - t0)
+
+
 def hardware_ceiling(model_dir: str, texts, procs: int) -> float:
     """Pure-multiprocessing throughput of the identical kernel — what this
     host can physically deliver at `procs` processes (no Spark). The engine's
@@ -513,6 +529,10 @@ def main() -> None:
     n_conv = max(100, int(8000 * sf))
     transcripts_pdf, _ = synth_transcripts(n_conversations=n_conv, seed=42)
     log(f"synth transcripts: {len(transcripts_pdf)} turns / {n_conv} conversations")
+
+    calib_texts = list(transcripts_pdf["text"].iloc[: min(len(transcripts_pdf), 2000)])
+    calib_start = calibration_probe(model_dir, calib_texts)
+    log(f"calibration probe (suite start): {calib_start:.0f} turns/s single-core")
 
     spark = make_spark(CPUS)
     t0 = time.time()
@@ -610,6 +630,9 @@ def main() -> None:
     hw_eff = (hw_hi / hw_lo) / 4.0
     log(f"hardware ceiling: {hw_lo:.0f} -> {hw_hi:.0f} turns/s, eff {hw_eff:.3f}")
 
+    calib_end = calibration_probe(model_dir, calib_texts)
+    log(f"calibration probe (suite end): {calib_end:.0f} turns/s single-core")
+
     # headline value = sum of per-query MEDIANS — comparable to earlier
     # rounds' single-run totals (raw wall time now includes the median-of-N
     # repetitions and is reported separately)
@@ -632,6 +655,9 @@ def main() -> None:
         ),
         "sf": sf,
         "n_turns": n_turns,
+        # fixed-work single-core probe at suite start/end (turns/s): absolute
+        # window speed, so uniformly-slow windows are visible in the artifact
+        "calibration_turns_per_sec": [round(calib_start, 1), round(calib_end, 1)],
         "scaling": {
             "base_cores": SCALE_BASE,
             "scaled_cores": SCALE_BASE * 4,
@@ -711,6 +737,7 @@ def main() -> None:
         "window_contaminated": detail["window_contaminated"],
         "sf": sf,
         "n_turns": n_turns,
+        "calib_1core_turns_per_sec": [round(calib_start), round(calib_end)],
         "scaling": {
             "base_cores": SCALE_BASE,
             "scaled_cores": SCALE_BASE * 4,
