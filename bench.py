@@ -544,6 +544,12 @@ def main() -> None:
     timings["rest_1k_doc"], spreads["rest_1k_doc"] = rest_doc_bench(model_dir, rest_texts)
     total = time.time() - t0
 
+    # end probe HERE — brackets the headline query window. After the scaling
+    # section it would instead read the all-core ceiling run's turbo/settle
+    # dip (measured: 6.5k before vs 2.7k immediately after a 16-proc burst)
+    calib_end = calibration_probe(model_dir, calib_texts)
+    log(f"calibration probe (suite end): {calib_end:.0f} turns/s single-core")
+
     # scaling: same job at two parallelism levels (no real cluster available
     # in this sandbox). Uses a larger fixed input so the measured region is
     # compute- rather than fixed-overhead-dominated.
@@ -629,9 +635,6 @@ def main() -> None:
     hw_hi = hardware_ceiling(model_dir, hw_texts, SCALE_BASE * 4)
     hw_eff = (hw_hi / hw_lo) / 4.0
     log(f"hardware ceiling: {hw_lo:.0f} -> {hw_hi:.0f} turns/s, eff {hw_eff:.3f}")
-
-    calib_end = calibration_probe(model_dir, calib_texts)
-    log(f"calibration probe (suite end): {calib_end:.0f} turns/s single-core")
 
     # headline value = sum of per-query MEDIANS — comparable to earlier
     # rounds' single-run totals (raw wall time now includes the median-of-N
