@@ -58,7 +58,7 @@ def main() -> None:
         spark = get_spark(
             app_name=f"kg_full_smoke_{cores}",
             master=f"local[{cores}]",
-            shuffle_partitions=cores * 2,
+            shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SMOKE_SHUFFLE", cores * 2)),
         )
         df = spark.read.parquet(corpus_path).repartition(cores * 4).persist()
         n_turns = df.count()

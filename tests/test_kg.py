@@ -77,6 +77,55 @@ def test_connected_components_matches_union_find(
         assert n in got
 
 
+def test_numpy_components_matches_dict_union_find():
+    """_numpy_components (vectorized hook-and-compress) must agree exactly
+    with the dict-based _local_components on adversarial shapes: random
+    multigraphs, cliques, and a long chain (worst case for label
+    propagation — converges via pointer doubling, not via hooking)."""
+    import random
+
+    import numpy as np
+
+    from nametag_spark.kg.resolution import _local_components, _numpy_components
+
+    cases = []
+    rng = random.Random(7)
+    nodes = list(range(1, 500))
+    cases.append([(rng.choice(nodes), rng.choice(nodes)) for _ in range(2_000)])
+    cases.append([(i, j) for i in range(10, 30) for j in range(10, i)])  # clique
+    cases.append([(i, i + 1) for i in range(1, 5_000)])  # chain
+    cases.append([])  # empty
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        src = np.array([a for a, _ in edges], dtype=np.int64)
+        dst = np.array([b for _, b in edges], dtype=np.int64)
+        got_nodes, got_labels = _numpy_components(src, dst)
+        expect = dict(_local_components(edges))
+        assert len(got_nodes) == len(expect)
+        for n, c in zip(got_nodes.tolist(), got_labels.tolist()):
+            assert expect[n] == c, f"node {n}: got {c}, expect {expect[n]}"
+
+
+@_pytest.mark.parametrize("contracted_driver_threshold", [8_000_000, 0])
+def test_connected_components_chain_graph(spark, contracted_driver_threshold):
+    """Path graph = the adversarial case for keyed partition-local
+    contraction: one component spans EVERY partition, so no single local
+    pass can finish it — the alternating-endpoint passes (and, at
+    threshold 0, the star rounds after them) must still converge to the
+    one global minimum for every node."""
+    n = 20_001
+    edges = [(i, i + 1) for i in range(1, n)]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(16)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, driver_threshold=0, contracted_driver_threshold=contracted_driver_threshold
+        ).collect()
+    }
+    assert set(got.values()) == {1}
+    assert len(got) == n
+
+
 def test_minhash_similar_strings_collide(spark):
     rows = [
         (1, "acme corporation"),
