@@ -559,8 +559,11 @@ def main() -> None:
     log(f"scaling input: {len(scale_pdf)} turns")
     # the host's available throughput drifts minute-to-minute (noisy
     # neighbors); ALTERNATE the two levels and keep each level's best so a
-    # slow window hitting only one level cannot fake (or hide) scaling
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    # slow window hitting only one level cannot fake (or hide) scaling.
+    # 3 reps: a window that degrades monotonically through the section (the
+    # calibration pair regularly shows 20-40% in-suite drift) still gives
+    # each level one sample near the window's best
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     tps_lo = tps_hi = 0.0
     for _ in range(reps):
         tps_lo = max(tps_lo, ner_throughput(SCALE_BASE, model_dir, scale_path))
@@ -623,8 +626,18 @@ def main() -> None:
         wv_paths.append(corpus_parquet(wv_pdf, sf, 23 + i))
         wv_n.append(len(wv_pdf))
     log(f"wide-vocab corpora: {wv_n} turns at vocab_scale={wv_scale}")
-    wv_stages_lo = kg_stage_breakdown(SCALE_BASE, model_dir, wv_paths)
-    wv_stages_hi = kg_stage_breakdown(SCALE_BASE * 4, model_dir, wv_paths)
+
+    def _best_stages(level):
+        """best-of-2 per corpus point (lower total wins, rows kept whole so
+        the per-stage numbers stay from ONE coherent run) — the wide-vocab
+        resolve scalar in the compact line rides these and a single bad
+        window sample would otherwise own it"""
+        a = kg_stage_breakdown(level, model_dir, wv_paths)
+        b = kg_stage_breakdown(level, model_dir, wv_paths)
+        return [x if x["total"] <= y["total"] else y for x, y in zip(a, b)]
+
+    wv_stages_lo = _best_stages(SCALE_BASE)
+    wv_stages_hi = _best_stages(SCALE_BASE * 4)
     wv_stats = widevocab_surface_stats(wv_paths[-1], model_dir)
     log(f"wide-vocab surfaces (largest corpus): {wv_stats}")
 
