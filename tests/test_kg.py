@@ -38,9 +38,9 @@ import pytest as _pytest
 @_pytest.mark.parametrize(
     "driver_threshold,contracted_driver_threshold",
     [
-        (2_000_000, 8_000_000),  # tier 1: driver union-find
-        (0, 8_000_000),  # tier 2: partition-local contraction -> driver finish
-        (0, 0),  # tier 3: contraction -> distributed star rounds
+        (2_000_000, 8_000_000),  # tier 1: driver dict union-find
+        (0, 8_000_000),  # tier 2: direct collect -> vectorized numpy union-find
+        (0, 0),  # tier 3: keyed contraction passes -> distributed star rounds
     ],
 )
 def test_connected_components_matches_union_find(
