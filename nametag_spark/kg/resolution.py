@@ -33,6 +33,13 @@ import weakref
 
 _PERSISTED: list = []  # list[weakref.ref[DataFrame]]
 
+# Observability: connected_components records which execution tier the last
+# call took (driver-dict / driver-numpy / contraction->driver-numpy /
+# distributed-star), the edge count, and the memory-derived edge cap, so
+# scale smokes and the bench artifact can show the tier actually exercised
+# without re-deriving it from thresholds.
+LAST_CC_INFO: dict = {}
+
 
 def _register_persisted(df: DataFrame) -> None:
     _PERSISTED.append(weakref.ref(df))
@@ -252,9 +259,10 @@ def _surface_signatures(
     # population is ~60-70x the surface population at production LSH
     # parameters): _n = distinct-shingle count, so Jaccard uses
     # |A∪B| = |A|+|B|−|A∩B| instead of materializing array_union per pair;
-    # _hd = distinct 28-bit shingle hashes, so a SOUND int-array prefilter
-    # (hash Jaccard is always >= exact Jaccard — a collision can only merge
-    # distinct shingles) rejects most pairs before the string intersect
+    # _hd = distinct 28-bit shingle hashes for the int-array prefilter
+    # (sound only on collision-free surfaces — size(_hd) == _n on both
+    # sides, checked per pair in lsh_similarity_edges; colliding rows
+    # bypass straight to the exact string check)
     names0 = ["_k"] + (["_blk"] if block_col is not None else [])
     carry = ["_k", "_sh", "_hd", "_n"] + (["_blk"] if block_col is not None else [])
     return (
@@ -364,20 +372,32 @@ def lsh_similarity_edges(
     # two-tier verify, exact-result-preserving:
     #   1. hash prefilter — Jaccard over the distinct 28-bit shingle hashes
     #      (int arrays, ~3x cheaper to intersect than the string arrays).
-    #      Hash Jaccard >= exact Jaccard always (a collision can only merge
-    #      distinct shingles: numerator can only gain, denominator only
-    #      shrink), so `hash-jac < t` soundly rejects; survivors (~8% at
-    #      t=0.6) proceed to the exact check.
+    #      A prefilter rejection is trusted ONLY when BOTH surfaces are
+    #      internally collision-free (size(_hd) == _n): then the hash map is
+    #      injective within each set, so every distinct shared string
+    #      contributes a distinct shared hash (hash-∩ >= exact-∩) and the
+    #      hash union |A|+|B|−∩ can only shrink — hash-J >= exact-J, and
+    #      `hash-J < t` soundly rejects. WITHOUT that guard the claim is
+    #      false: two shingles inside A∩B colliding (h(a)=h(b), a,b ∈ A∩B)
+    #      shrink numerator and denominator by 1 each, pushing hash-J BELOW
+    #      exact-J (A={a,b,c}, B={a,b,d}: exact 1/2, hash 1/3). An
+    #      intra-surface collision is detectable per side from the carried
+    #      columns, so colliding rows (~1e-6-grade with 28-bit hashes over
+    #      short surfaces) simply bypass the prefilter to the exact check.
+    #      Survivors ~8% at t=0.6.
     #   2. exact Jaccard over the string shingles, |A∪B| = |A|+|B|−|A∩B|
     #      with DISTINCT counts carried per surface — identical value to
     #      size(array_union) without building the union per pair.
     ih = F.size(F.array_intersect("l._hd", "r._hd"))
     jac_h = ih / (F.size("l._hd") + F.size("r._hd") - ih)
+    collision_free = (F.size("l._hd") == F.col("l._n")) & (
+        F.size("r._hd") == F.col("r._n")
+    )
     inter = F.size(F.array_intersect("l._sh", "r._sh"))
     jac = inter / (F.col("l._n") + F.col("r._n") - inter)
     return (
         l.join(r, cond)
-        .where((jac_h >= threshold) & (jac >= threshold))
+        .where(((jac_h >= threshold) | ~collision_free) & (jac >= threshold))
         .select(F.col("l._k").alias("src"), F.col("r._k").alias("dst"))
         .distinct()
     )
@@ -515,11 +535,49 @@ def _forest_partition(batches):
     yield pd.DataFrame({"src": pd.array(out_n, dtype="int64"), "dst": pd.array(out_r, dtype="int64")})
 
 
+def _parse_mem_bytes(s: str) -> int:
+    """JVM memory string ('24g', '4096m', '512k', plain bytes) -> bytes."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _driver_edge_cap(spark) -> int:
+    """Memory-aware cap for the driver-collect CC tier, in edges.
+
+    The collect path is Arrow `toPandas` (two int64 columns): ~16 B/edge
+    in the final numpy arrays, but the Arrow batch + pandas DataFrame +
+    transient copies peak near ~48 B/edge on the PYTHON driver process,
+    with a comparable transient on the JVM side. Budget 1/8 of
+    `spark.driver.memory` at 48 B/edge so the tier choice ports to real
+    cluster drivers instead of assuming this sandbox's 128 GiB: a 4 GiB
+    driver caps at ~11M edges, the floor keeps small drivers on the (much
+    cheaper than star rounds) vectorized tier up to 2M edges, and the
+    32M ceiling is the largest scale the tier has been measured at.
+    Override per session with `spark.nametag.cc.driverEdgeCap` (edges) or
+    per call with an explicit `contracted_driver_threshold`.
+
+    Prerequisite note: without `spark.sql.execution.arrow.pyspark.enabled`
+    the collect degrades to row-based toPandas (far larger driver
+    footprint); the budget's 3x headroom covers that for the floor-sized
+    graphs, but sessions built by this package enable Arrow."""
+    conf_cap = spark.conf.get("spark.nametag.cc.driverEdgeCap", None)
+    if conf_cap:
+        return int(conf_cap)
+    try:
+        mem = _parse_mem_bytes(spark.conf.get("spark.driver.memory", "2g"))
+    except (ValueError, TypeError):
+        mem = 2 << 30
+    return max(2_000_000, min(32_000_000, mem // 8 // 48))
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
     driver_threshold: int = 200_000,
-    contracted_driver_threshold: int = 32_000_000,
+    contracted_driver_threshold: int | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components.
 
@@ -532,14 +590,16 @@ def connected_components(
     relative to the mention table (edges live on distinct-surface pairs),
     so when the edge count fits comfortably on the driver we run union-find
     locally instead of paying ~8 shuffle rounds per star iteration. Up to
-    contracted_driver_threshold edges (~16 bytes each via Arrow), the raw
-    pair list collects to the driver and the VECTORIZED min-label
-    union-find (_numpy_components, hook-and-compress) finishes in O(log n)
-    numpy rounds — 12M edges in ~2s. Only above that do distributed
-    endpoint-keyed contraction passes try to shrink the graph under the
-    threshold, falling back to the fully-distributed star algorithm when
-    they can't. The final (node -> min component id) mapping is
-    independent of partitioning and of the tier taken."""
+    contracted_driver_threshold edges (default: derived from
+    spark.driver.memory — see _driver_edge_cap — so the collect tier never
+    outgrows the actual driver), the raw pair list Arrow-collects to the
+    driver and the VECTORIZED min-label union-find (_numpy_components,
+    hook-and-compress) finishes in O(log n) numpy rounds — 12M edges in
+    ~2s. Only above that do distributed endpoint-keyed contraction passes
+    try to shrink the graph under the threshold, falling back to the
+    fully-distributed star algorithm when they can't. The final
+    (node -> min component id) mapping is independent of partitioning and
+    of the tier taken."""
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).where(F.col("src") != F.col("dst"))
     e = e.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
@@ -548,7 +608,13 @@ def connected_components(
     e0 = e = e.persist()
     n_edges = e.count()
     spark = edges.sparkSession
+    if contracted_driver_threshold is None:
+        contracted_driver_threshold = _driver_edge_cap(spark)
+    LAST_CC_INFO.update(
+        {"n_edges": n_edges, "edge_cap": contracted_driver_threshold, "tier": None}
+    )
     if n_edges <= driver_threshold:
+        LAST_CC_INFO["tier"] = "driver-dict"
         rows = [(r["src"], r["dst"]) for r in e.collect()]
         e0.unpersist()
         comp = _local_components(rows)
@@ -576,6 +642,7 @@ def connected_components(
         # needed (it exists to SHRINK a too-big graph, and on clique-shaped
         # similarity graphs it barely does: every dst-keyed star contracts
         # to itself — measured 12.34M -> 11.98M edges)
+        LAST_CC_INFO["tier"] = "driver-numpy"
         return _driver_finish(e, e0)
 
     # contraction tier before the distributed star rounds: alternating
@@ -605,10 +672,16 @@ def connected_components(
             break
     e0 = e = contracted
     if n_contracted <= contracted_driver_threshold:
+        LAST_CC_INFO["tier"] = "contraction->driver-numpy"
+        LAST_CC_INFO["n_contracted"] = n_contracted
         return _driver_finish(contracted, e0)
 
+    LAST_CC_INFO["tier"] = "distributed-star"
+    LAST_CC_INFO["n_contracted"] = n_contracted
+    star_rounds = 0
     prev_checksum = None
     for _ in range(max_iterations):
+        star_rounds += 1
         # large-star: for each u over undirected neighborhood, connect every
         # strictly-larger neighbor to the min of N(u) + {u}
         und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -662,6 +735,7 @@ def connected_components(
             break
         prev_checksum = cur
 
+    LAST_CC_INFO["star_rounds"] = star_rounds
     out = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     # include the representative itself (component, component)
     return out.union(

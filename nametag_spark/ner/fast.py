@@ -262,7 +262,10 @@ class FastFeaturizer:
                 src += [
                     f" _f = {expr}",
                     " _n = len(_f)",
-                    f" for _s in range({int(p.shortest)}, min({int(p.longest)}, _n) + 1):",
+                    # clamp to 1: the interpreted path builds the suffix
+                    # incrementally from s=1, so shortest=0 never yields an
+                    # s=0 (empty-suffix) lookup there — match it
+                    f" for _s in range({max(1, int(p.shortest))}, min({int(p.longest)}, _n) + 1):",
                     f"  _v = {mv}.get(_f[_n - _s:][::-1])",
                     f"  if _v is not None: _af(_v); _aw({w})",
                 ]
@@ -936,9 +939,11 @@ class StagePartialScorer:
                 # f_loc is NON-DECREASING (events concatenate in key order),
                 # so each key's events form one contiguous run: one
                 # add.reduceat over the gathered rows replaces `width`
-                # per-column bincount passes. Within a run the reduction is
-                # sequential in occurrence order — the same order the
-                # bincount scan used (parity re-pinned by the fuzz goldens).
+                # per-column bincount passes. reduceat sums each segment
+                # SEQUENTIALLY in occurrence order; the pre-r6 _form_partial
+                # used np.sum (pairwise summation), so partials for forms
+                # with many events can differ in the last ulp from that
+                # path. Current behavior is what the fuzz goldens pin.
                 starts = np.flatnonzero(np.diff(f_loc, prepend=-1))
                 seg_keys = f_loc[starts]
                 S[seg_keys, off + m, :] = np.add.reduceat(G, starts, axis=0)

@@ -51,7 +51,11 @@ def main() -> None:
 
     points = []
     for cores in cores_list:
-        from nametag_spark.kg.resolution import release_persisted, resolve_entities
+        from nametag_spark.kg.resolution import (
+            LAST_CC_INFO,
+            release_persisted,
+            resolve_entities,
+        )
         from nametag_spark.kg.triples import extract_triples
         from nametag_spark.ner.pipeline import recognize_df
 
@@ -60,6 +64,13 @@ def main() -> None:
             master=f"local[{cores}]",
             shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SMOKE_SHUFFLE", cores * 2)),
         )
+        # optional override of the memory-derived CC collect-tier cap, e.g.
+        # SPARK_GRAFT_CC_EDGE_CAP=0 forces the contraction + star tiers at
+        # a scale whose edge count would otherwise fit the driver
+        if os.environ.get("SPARK_GRAFT_CC_EDGE_CAP"):
+            spark.conf.set(
+                "spark.nametag.cc.driverEdgeCap", os.environ["SPARK_GRAFT_CC_EDGE_CAP"]
+            )
         df = spark.read.parquet(corpus_path).repartition(cores * 4).persist()
         n_turns = df.count()
         t0 = time.time()
@@ -116,6 +127,9 @@ def main() -> None:
                 "resolve_core_ms_per_surface": round(
                     (t2 - t1) * cores * 1000.0 / max(n_surfaces, 1), 2
                 ),
+                # which CC execution tier the resolve actually took
+                # (round-6 verdict #4: the artifact must identify the tier)
+                "cc": dict(LAST_CC_INFO),
                 "driver_peak_rss_gb": round(rss_gb(), 2),
                 **({"bucket_histogram": hist} if hist else {}),
             }

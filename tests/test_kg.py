@@ -126,6 +126,42 @@ def test_connected_components_chain_graph(spark, contracted_driver_threshold):
     assert len(got) == n
 
 
+def test_cc_driver_tier_is_memory_aware(spark):
+    """The collect-tier edge cap derives from spark.driver.memory (with a
+    session-conf override) instead of being an absolute constant, and a
+    low cap routes the SAME graph through the distributed tier with an
+    identical result."""
+    from nametag_spark.kg.resolution import _driver_edge_cap, _parse_mem_bytes
+
+    assert _parse_mem_bytes("24g") == 24 << 30
+    assert _parse_mem_bytes("4096m") == 4096 << 20
+    assert _parse_mem_bytes("1073741824") == 1 << 30
+    # derived cap: 1/8 of driver mem at 48 B/edge, clamped [2M, 32M]
+    assert _driver_edge_cap(spark) >= 2_000_000
+    try:
+        spark.conf.set("spark.nametag.cc.driverEdgeCap", "7")
+        assert _driver_edge_cap(spark) == 7
+        import random
+
+        rng = random.Random(11)
+        nodes = list(range(1, 400))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(1_500)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"]).repartition(8)
+        # cap 7 << 1500 edges: must take the distributed path, same answer
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, driver_threshold=0).collect()
+        }
+        expect = _uf_components(
+            edges, set([a for a, _ in edges] + [b for _, b in edges])
+        )
+        for n, c in got.items():
+            assert expect[n] == c
+    finally:
+        spark.conf.unset("spark.nametag.cc.driverEdgeCap")
+
+
 def test_minhash_similar_strings_collide(spark):
     rows = [
         (1, "acme corporation"),
@@ -145,6 +181,36 @@ def test_jaccard_filter(spark):
     pairs = spark.createDataFrame([(1, 2), (1, 3)], ["a", "b"])
     out = jaccard_filter(pairs, df, "norm", "id", threshold=0.5).collect()
     assert {(r["a"], r["b"]) for r in out} == {(1, 2)}
+
+
+def test_lsh_prefilter_intersection_collision_bypass(spark):
+    """Round-7 soundness guard for the two-tier verify: when two shingles
+    INSIDE the intersection share a 28-bit hash, hash-Jaccard drops BELOW
+    exact Jaccard ((i-1)/(u-1) < i/u), so an unguarded prefilter would
+    reject a pair whose exact Jaccard passes. The guard detects the
+    intra-surface collision (size(_hd) < _n) and bypasses the prefilter,
+    so the pair must survive."""
+    import hashlib
+
+    from nametag_spark.kg.resolution import lsh_similarity_edges
+
+    # two letters whose md5-prefix-28 hashes collide (found by scan)
+    ca, cb = "㣉", "\U000144c0"
+    h28 = lambda s: int(hashlib.md5(s.encode("utf8")).hexdigest()[:7], 16)
+    assert h28(ca) == h28(cb) == 112410888  # fixture precondition
+    common = "uvwxyz"
+    others = [*common, "q", "j"]
+    assert len({h28(c) for c in others} | {h28(ca)}) == len(others) + 1
+    # k=1 shingles = distinct chars. A∩B = {u..z, ca, cb} (8), A\B={q},
+    # B\A={j}: exact J = 8/10 = 0.8; hash sets collapse ca/cb into one
+    # hash: |Hd|=8 each, ∩=7, ∪=9 -> hash J = 7/9 ≈ 0.778 < 0.8.
+    s1 = common + ca + cb + "q"
+    s2 = common + ca + cb + "j"
+    df = spark.createDataFrame([(1, s1), (2, s2)], ["id", "norm"])
+    edges = lsh_similarity_edges(
+        df, "norm", "id", n_hashes=12, bands=6, k=1, threshold=0.8
+    )
+    assert {(r["src"], r["dst"]) for r in edges.collect()} == {(1, 2)}
 
 
 def test_resolve_entities_merges_variants(spark):
