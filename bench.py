@@ -359,6 +359,8 @@ def kg_stage_breakdown(cores: int, model_dir: str, paths: list) -> list:
             release_persisted()
             mentions.unpersist()
             me.unpersist()
+            from nametag_spark.kg.resolution import LAST_CC_INFO
+
             out.append(
                 {
                     "n_turns": n,
@@ -366,6 +368,9 @@ def kg_stage_breakdown(cores: int, model_dir: str, paths: list) -> list:
                     "resolve": round(t2 - t1, 2),
                     "triples": round(t3 - t2, 2),
                     "total": round(t3 - t0, 2),
+                    # which connected-components tier this resolve took
+                    "cc_tier": LAST_CC_INFO.get("tier"),
+                    "cc_edges": LAST_CC_INFO.get("n_edges"),
                 }
             )
             log(f"kg stages local[{cores}] n={n}: ner {t1-t0:.1f}s resolve {t2-t1:.1f}s triples {t3-t2:.1f}s")

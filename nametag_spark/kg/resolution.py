@@ -34,11 +34,16 @@ import weakref
 _PERSISTED: list = []  # list[weakref.ref[DataFrame]]
 
 # Observability: connected_components records which execution tier the last
-# call took (driver-dict / driver-numpy / contraction->driver-numpy /
-# distributed-star), the edge count, and the memory-derived edge cap, so
-# scale smokes and the bench artifact can show the tier actually exercised
-# without re-deriving it from thresholds.
+# call took (driver-dict / driver-numpy / driver-streaming /
+# contraction->driver-numpy / distributed-star), the edge count, and the
+# memory-derived caps, so scale smokes and the bench artifact can show the
+# tier actually exercised without re-deriving it from thresholds.
 LAST_CC_INFO: dict = {}
+
+# edges per driver-side Arrow batch in the streaming CC tier (~64 MB of
+# int64 pairs); module-level so tests can force multi-batch ingestion on
+# small graphs
+_STREAM_BATCH_EDGES = 4_000_000
 
 
 def _register_persisted(df: DataFrame) -> None:
@@ -448,27 +453,20 @@ def _local_components(rows) -> list:
     return [(n, find(n)) for n in parent]
 
 
-def _numpy_components(src, dst):
-    """Vectorized min-label connected components over raw edge arrays
-    (hook-and-compress, Shiloach-Vishkin shape): returns (nodes, labels)
-    with labels[i] = minimum node id of nodes[i]'s component.
-
-    Exact same result as _local_components (component = min id), but
-    numpy-vectorized: each round hooks every edge's larger endpoint-label
-    to the smaller (np.minimum.at handles duplicate targets) and fully
-    compresses by pointer doubling, converging in O(log n) rounds — ~2s
-    for a 12M-edge graph where the dict-based walk takes ~30s. Used by the
-    driver finish of connected_components; parity pinned by the
-    tier-equality tests."""
+def _uf_ingest(parent, si, di):
+    """Hook-and-compress a batch of index-space edges (si, di) into the
+    label array `parent` (parent[i] = current minimum-index label of node
+    i's component; must be fully path-compressed on entry). Each round
+    hooks every edge's larger endpoint-label to the smaller
+    (np.minimum.at handles duplicate targets), fully compresses by pointer
+    doubling, then shrinks the frontier to the still-crossing contracted
+    edges — clique-ish clusters (the dominant similarity-graph shape)
+    vanish after one round, long chains halve per round. On exit every
+    ingested edge's endpoints share a label and `parent` is fully
+    compressed, so batches can be ingested incrementally in any order
+    (union-find is order-insensitive; each batch sees root labels)."""
     import numpy as np
 
-    nodes = np.unique(np.concatenate([src, dst]))
-    n_nodes = len(nodes)
-    if n_nodes == 0:
-        return nodes, nodes
-    si = np.searchsorted(nodes, src)
-    di = np.searchsorted(nodes, dst)
-    parent = np.arange(n_nodes, dtype=np.int64)
     while len(si):
         ps, pd_ = parent[si], parent[di]
         hi = np.maximum(ps, pd_)
@@ -483,15 +481,33 @@ def _numpy_components(src, dst):
                 break
             parent = p2
         # frontier shrink: re-express the remaining work as the CONTRACTED
-        # graph (edges between current labels that still differ). Clique-ish
-        # clusters — the dominant similarity-graph shape — vanish after one
-        # round, so later rounds' unbuffered minimum.at touches only the
-        # unconverged remainder; long chains halve per round. Without this
-        # the hook pass re-scans all |E| every round (measured 29.5s for a
-        # 12.3M-edge surface graph; ~6s with it).
+        # graph (edges between current labels that still differ). Without
+        # this the hook pass re-scans all |E| every round (measured 29.5s
+        # for a 12.3M-edge surface graph; ~6s with it).
         es, ed = parent[si], parent[di]
         keep = es != ed
         si, di = es[keep], ed[keep]
+    return parent
+
+
+def _numpy_components(src, dst):
+    """Vectorized min-label connected components over raw edge arrays
+    (hook-and-compress, Shiloach-Vishkin shape): returns (nodes, labels)
+    with labels[i] = minimum node id of nodes[i]'s component.
+
+    Exact same result as _local_components (component = min id), but
+    numpy-vectorized via _uf_ingest — ~2s for a 12M-edge graph where the
+    dict-based walk takes ~30s. Used by the driver finish of
+    connected_components; parity pinned by the tier-equality tests."""
+    import numpy as np
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return nodes, nodes
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    parent = _uf_ingest(np.arange(n_nodes, dtype=np.int64), si, di)
     return nodes, nodes[parent]
 
 
@@ -573,6 +589,23 @@ def _driver_edge_cap(spark) -> int:
     return max(2_000_000, min(32_000_000, mem // 8 // 48))
 
 
+def _driver_node_cap(spark) -> int:
+    """Node cap for the STREAMING driver tier (edges exceed the collect
+    cap but the node set fits): persistent driver state is just the sorted
+    node-id array + the label array (16 B/node); per-batch buffers are
+    bounded by the batch size, not the graph. Budget 1/8 of
+    `spark.driver.memory` at 64 B/node (4x headroom for searchsorted /
+    unique transients). Override with `spark.nametag.cc.driverNodeCap`."""
+    conf_cap = spark.conf.get("spark.nametag.cc.driverNodeCap", None)
+    if conf_cap is not None and conf_cap != "":
+        return int(conf_cap)
+    try:
+        mem = _parse_mem_bytes(spark.conf.get("spark.driver.memory", "2g"))
+    except (ValueError, TypeError):
+        mem = 2 << 30
+    return max(1_000_000, min(256_000_000, mem // 8 // 64))
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
@@ -586,20 +619,26 @@ def connected_components(
     (component, component) self-row). Isolated nodes that never appear in
     edges must be handled by the caller (left join + coalesce to self).
 
-    Hybrid execution, three tiers: similarity graphs are usually tiny
+    Hybrid execution, four tiers: similarity graphs are usually tiny
     relative to the mention table (edges live on distinct-surface pairs),
     so when the edge count fits comfortably on the driver we run union-find
-    locally instead of paying ~8 shuffle rounds per star iteration. Up to
-    contracted_driver_threshold edges (default: derived from
-    spark.driver.memory — see _driver_edge_cap — so the collect tier never
-    outgrows the actual driver), the raw pair list Arrow-collects to the
-    driver and the VECTORIZED min-label union-find (_numpy_components,
-    hook-and-compress) finishes in O(log n) numpy rounds — 12M edges in
-    ~2s. Only above that do distributed endpoint-keyed contraction passes
-    try to shrink the graph under the threshold, falling back to the
-    fully-distributed star algorithm when they can't. The final
-    (node -> min component id) mapping is independent of partitioning and
-    of the tier taken."""
+    locally instead of paying ~8 shuffle rounds per star iteration.
+      1. driver-dict: <= driver_threshold edges, plain dict union-find.
+      2. driver-numpy: up to contracted_driver_threshold edges (default
+         derived from spark.driver.memory — _driver_edge_cap — so the
+         collect tier never outgrows the actual driver), the raw pair
+         list Arrow-collects and the VECTORIZED min-label union-find
+         (_numpy_components, hook-and-compress) finishes in O(log n)
+         numpy rounds — 12M edges in ~2s.
+      3. driver-streaming: edges exceed the collect cap but the NODE set
+         fits (_driver_node_cap): edges spill to parquet once and stream
+         through a fixed driver label array in bounded batches — driver
+         memory O(nodes + batch), not O(edges).
+      4. distributed: endpoint-keyed contraction passes try to shrink the
+         graph under the collect threshold, falling back to the
+         fully-distributed alternating-star algorithm when they can't.
+    The final (node -> min component id) mapping is independent of
+    partitioning and of the tier taken."""
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).where(F.col("src") != F.col("dst"))
     e = e.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
@@ -644,6 +683,52 @@ def connected_components(
         # to itself — measured 12.34M -> 11.98M edges)
         LAST_CC_INFO["tier"] = "driver-numpy"
         return _driver_finish(e, e0)
+
+    # STREAMING driver tier: the edge list is too big to collect, but
+    # union-find only needs per-NODE state — and similarity graphs have far
+    # fewer nodes (distinct surfaces) than edges. The edges spill to
+    # parquet once (executors write in parallel; on a cluster this is the
+    # shared FS the checkpoint dir already requires) and stream through
+    # the driver's fixed label array in bounded batches: driver memory is
+    # O(nodes + batch), not O(edges). Incremental ingest is exact —
+    # union-find is order-insensitive and each batch is hooked against
+    # fully-compressed root labels (_uf_ingest).
+    node_cap = _driver_node_cap(spark)
+    nd = e.select("src").union(e.select("dst")).distinct().persist()
+    n_nodes = nd.count()
+    LAST_CC_INFO["n_nodes"] = n_nodes
+    if n_nodes <= node_cap:
+        LAST_CC_INFO["tier"] = "driver-streaming"
+        import os
+        import shutil
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.dataset as pads
+
+        nodes = np.sort(nd.toPandas().iloc[:, 0].to_numpy())
+        nd.unpersist()
+        tmp = tempfile.mkdtemp(prefix="nametag_cc_stream_")
+        try:
+            path = os.path.join(tmp, "edges.parquet")
+            e.write.mode("overwrite").parquet(path)
+            e0.unpersist()
+            parent = np.arange(len(nodes), dtype=np.int64)
+            for batch in pads.dataset(path).to_batches(
+                columns=["src", "dst"], batch_size=_STREAM_BATCH_EDGES
+            ):
+                s = batch.column("src").to_numpy(zero_copy_only=False)
+                d = batch.column("dst").to_numpy(zero_copy_only=False)
+                parent = _uf_ingest(
+                    parent, np.searchsorted(nodes, s), np.searchsorted(nodes, d)
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            pd.DataFrame({"node": nodes, "component": nodes[parent]})
+        )
+    nd.unpersist()
 
     # contraction tier before the distributed star rounds: alternating
     # endpoint-keyed partition-local union-find forests. Keying co-locates

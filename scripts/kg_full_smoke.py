@@ -64,12 +64,19 @@ def main() -> None:
             master=f"local[{cores}]",
             shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SMOKE_SHUFFLE", cores * 2)),
         )
-        # optional override of the memory-derived CC collect-tier cap, e.g.
-        # SPARK_GRAFT_CC_EDGE_CAP=0 forces the contraction + star tiers at
-        # a scale whose edge count would otherwise fit the driver
+        # optional overrides of the memory-derived CC tier caps:
+        # SPARK_GRAFT_CC_EDGE_CAP forces past the collect tier, and
+        # SPARK_GRAFT_CC_NODE_CAP=0 additionally forces past the streaming
+        # tier into contraction + star, at a scale that would otherwise
+        # fit the driver
         if os.environ.get("SPARK_GRAFT_CC_EDGE_CAP"):
             spark.conf.set(
                 "spark.nametag.cc.driverEdgeCap", os.environ["SPARK_GRAFT_CC_EDGE_CAP"]
+            )
+        if os.environ.get("SPARK_GRAFT_CC_NODE_CAP") is not None:
+            spark.conf.set(
+                "spark.nametag.cc.driverNodeCap",
+                os.environ.get("SPARK_GRAFT_CC_NODE_CAP", ""),
             )
         df = spark.read.parquet(corpus_path).repartition(cores * 4).persist()
         n_turns = df.count()

@@ -35,20 +35,14 @@ def _uf_components(edges, nodes):
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize(
-    "driver_threshold,contracted_driver_threshold",
-    [
-        (2_000_000, 8_000_000),  # tier 1: driver dict union-find
-        (0, 8_000_000),  # tier 2: direct collect -> vectorized numpy union-find
-        (0, 0),  # tier 3: keyed contraction passes -> distributed star rounds
-    ],
-)
-def test_connected_components_matches_union_find(
-    spark, driver_threshold, contracted_driver_threshold
-):
-    """All three hybrid tiers must agree exactly with reference union-find
-    (the thresholds only pick the execution strategy, never the result)."""
+@_pytest.mark.parametrize("tier", ["dict", "numpy", "streaming", "star"])
+def test_connected_components_matches_union_find(spark, tier):
+    """All four hybrid tiers must agree exactly with reference union-find
+    (the thresholds only pick the execution strategy, never the result),
+    and LAST_CC_INFO must report the tier actually taken."""
     import random
+
+    from nametag_spark.kg.resolution import LAST_CC_INFO
 
     rng = random.Random(4)
     # 10k edges over 3k nodes: dense enough for multi-round star convergence
@@ -57,15 +51,30 @@ def test_connected_components_matches_union_find(
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(10_000)]
     edges = [(a, b) for a, b in edges if a != b]
 
+    kw = {
+        "dict": dict(driver_threshold=2_000_000),
+        "numpy": dict(driver_threshold=0, contracted_driver_threshold=8_000_000),
+        "streaming": dict(driver_threshold=0, contracted_driver_threshold=0),
+        "star": dict(driver_threshold=0, contracted_driver_threshold=0),
+    }[tier]
+    expect_tier = {
+        "dict": "driver-dict",
+        "numpy": "driver-numpy",
+        "streaming": "driver-streaming",
+        "star": "distributed-star",
+    }[tier]
     df = spark.createDataFrame(edges, ["src", "dst"]).repartition(8)
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(
-            df,
-            driver_threshold=driver_threshold,
-            contracted_driver_threshold=contracted_driver_threshold,
-        ).collect()
-    }
+    try:
+        if tier == "star":
+            # node set fits any real cap; force past the streaming tier
+            spark.conf.set("spark.nametag.cc.driverNodeCap", "0")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, **kw).collect()
+        }
+    finally:
+        spark.conf.unset("spark.nametag.cc.driverNodeCap")
+    assert LAST_CC_INFO["tier"] == expect_tier
 
     expect = _uf_components(edges, set([a for a, _ in edges] + [b for _, b in edges]))
     # engine returns only nodes appearing in edges; min-id representative
@@ -106,22 +115,30 @@ def test_numpy_components_matches_dict_union_find():
             assert expect[n] == c, f"node {n}: got {c}, expect {expect[n]}"
 
 
-@_pytest.mark.parametrize("contracted_driver_threshold", [8_000_000, 0])
-def test_connected_components_chain_graph(spark, contracted_driver_threshold):
-    """Path graph = the adversarial case for keyed partition-local
-    contraction: one component spans EVERY partition, so no single local
-    pass can finish it — the alternating-endpoint passes (and, at
-    threshold 0, the star rounds after them) must still converge to the
-    one global minimum for every node."""
+@_pytest.mark.parametrize("tier", ["numpy", "streaming", "star"])
+def test_connected_components_chain_graph(spark, tier):
+    """Path graph = the adversarial case for label propagation AND for
+    keyed partition-local contraction: one component spans EVERY partition
+    (and every streaming batch), so no single local pass can finish it —
+    pointer doubling (numpy/streaming) and the alternating-star rounds
+    must still converge to the one global minimum for every node."""
     n = 20_001
     edges = [(i, i + 1) for i in range(1, n)]
     df = spark.createDataFrame(edges, ["src", "dst"]).repartition(16)
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(
-            df, driver_threshold=0, contracted_driver_threshold=contracted_driver_threshold
-        ).collect()
-    }
+    kw = {
+        "numpy": dict(contracted_driver_threshold=8_000_000),
+        "streaming": dict(contracted_driver_threshold=0),
+        "star": dict(contracted_driver_threshold=0),
+    }[tier]
+    try:
+        if tier == "star":
+            spark.conf.set("spark.nametag.cc.driverNodeCap", "0")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, driver_threshold=0, **kw).collect()
+        }
+    finally:
+        spark.conf.unset("spark.nametag.cc.driverNodeCap")
     assert set(got.values()) == {1}
     assert len(got) == n
 
@@ -143,16 +160,20 @@ def test_cc_driver_tier_is_memory_aware(spark):
         assert _driver_edge_cap(spark) == 7
         import random
 
+        from nametag_spark.kg.resolution import LAST_CC_INFO
+
         rng = random.Random(11)
         nodes = list(range(1, 400))
         edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(1_500)]
         edges = [(a, b) for a, b in edges if a != b]
         df = spark.createDataFrame(edges, ["src", "dst"]).repartition(8)
-        # cap 7 << 1500 edges: must take the distributed path, same answer
+        # cap 7 << 1500 edges: must route past the collect tier (the node
+        # set still fits, so the streaming tier takes it), same answer
         got = {
             r["node"]: r["component"]
             for r in connected_components(df, driver_threshold=0).collect()
         }
+        assert LAST_CC_INFO["tier"] == "driver-streaming"
         expect = _uf_components(
             edges, set([a for a, _ in edges] + [b for _, b in edges])
         )
@@ -160,6 +181,34 @@ def test_cc_driver_tier_is_memory_aware(spark):
             assert expect[n] == c
     finally:
         spark.conf.unset("spark.nametag.cc.driverEdgeCap")
+
+
+def test_cc_streaming_tier_multi_batch(spark, monkeypatch):
+    """The streaming tier must be exact across BATCH boundaries: force
+    ~15 tiny Arrow batches so components span many ingests (the chain is
+    the adversarial case — every batch must hook into labels established
+    by earlier ones, and the final labels must be the global minimum)."""
+    import random
+
+    import nametag_spark.kg.resolution as R
+
+    monkeypatch.setattr(R, "_STREAM_BATCH_EDGES", 100)
+    rng = random.Random(5)
+    edges = [(i, i + 1) for i in range(1, 700)]  # one chain component
+    edges += [(rng.randrange(1000, 1200), rng.randrange(1000, 1200)) for _ in range(800)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(8)
+    got = {
+        r["node"]: r["component"]
+        for r in R.connected_components(
+            df, driver_threshold=0, contracted_driver_threshold=0
+        ).collect()
+    }
+    assert R.LAST_CC_INFO["tier"] == "driver-streaming"
+    expect = _uf_components(edges, set([a for a, _ in edges] + [b for _, b in edges]))
+    for n, c in got.items():
+        assert expect[n] == c
+    assert got[700] == 1  # chain collapsed to the global minimum
 
 
 def test_minhash_similar_strings_collide(spark):
