@@ -702,6 +702,7 @@ def connected_components(
         import os
         import shutil
         import tempfile
+        import uuid
 
         import numpy as np
         import pandas as pd
@@ -709,7 +710,15 @@ def connected_components(
 
         nodes = np.sort(nd.toPandas().iloc[:, 0].to_numpy())
         nd.unpersist()
-        tmp = tempfile.mkdtemp(prefix="nametag_cc_stream_")
+        # spill location: executors write it, the DRIVER reads it back, so
+        # on a real cluster it must be a shared filesystem — set
+        # spark.nametag.cc.spillDir (e.g. the same store the checkpoint
+        # dir lives on). Local mode defaults to a driver tempdir.
+        spill_root = spark.conf.get("spark.nametag.cc.spillDir", None)
+        if spill_root:
+            tmp = os.path.join(spill_root, f"nametag_cc_stream_{uuid.uuid4().hex}")
+        else:
+            tmp = tempfile.mkdtemp(prefix="nametag_cc_stream_")
         try:
             path = os.path.join(tmp, "edges.parquet")
             e.write.mode("overwrite").parquet(path)
