@@ -343,6 +343,7 @@ def lsh_similarity_edges(
     threshold: float = 0.5,
     max_bucket: int = 200,
     block_col: str | None = None,
+    dedupe: bool = True,
 ) -> DataFrame:
     """LSH candidate generation with the exact-Jaccard verify FUSED into the
     bucket self-join: the shingle set rides along with the band rows, so the
@@ -353,6 +354,12 @@ def lsh_similarity_edges(
     surface table is small relative to the mention table and per-stage
     latency dominates; the un-fused building blocks remain for callers that
     want candidates and verification separately.
+
+    dedupe=False skips the final distinct: a pair passing the verify in
+    several shared bands is then emitted once per band. Connectivity-only
+    consumers (connected_components normalizes and distincts its input
+    anyway) pass False to save a full exchange + aggregate over the edge
+    set; anything that treats the rows as a pair LIST keeps the default.
 
     block_col: optional hard-blocking column (e.g. entity type) joined as
     part of the bucket key INSTEAD of being baked into the shingled text.
@@ -400,12 +407,12 @@ def lsh_similarity_edges(
     )
     inter = F.size(F.array_intersect("l._sh", "r._sh"))
     jac = inter / (F.col("l._n") + F.col("r._n") - inter)
-    return (
+    out = (
         l.join(r, cond)
         .where(((jac_h >= threshold) | ~collision_free) & (jac >= threshold))
         .select(F.col("l._k").alias("src"), F.col("r._k").alias("dst"))
-        .distinct()
     )
+    return out.distinct() if dedupe else out
 
 
 def jaccard_filter(
@@ -652,37 +659,47 @@ def connected_components(
     LAST_CC_INFO.update(
         {"n_edges": n_edges, "edge_cap": contracted_driver_threshold, "tier": None}
     )
-    if n_edges <= driver_threshold:
-        LAST_CC_INFO["tier"] = "driver-dict"
-        rows = [(r["src"], r["dst"]) for r in e.collect()]
-        e0.unpersist()
-        comp = _local_components(rows)
-        if not comp:
-            return spark.createDataFrame([], "node long, component long")
-        return spark.createDataFrame(comp, "node long, component long")
+    def _maybe_broadcast(df, n_rows):
+        """Driver-built component tables are exact-size-known; hint them
+        broadcastable so the surface-assignment join downstream plans a
+        BroadcastHashJoin instead of shuffling both sides (a driver-local
+        list/pandas frame plans as an RDD scan with UNKNOWN stats, so the
+        auto-broadcast threshold never fires on its own). Values are
+        unchanged — it is a planner hint. Cap keeps huge component tables
+        off the executors' memory (conf `spark.nametag.cc.broadcastNodeCap`,
+        rows)."""
+        cap = int(spark.conf.get("spark.nametag.cc.broadcastNodeCap", "8000000"))
+        return F.broadcast(df) if n_rows <= cap else df
 
-    def _driver_finish(edge_df, cached):
+    def _driver_finish(edge_df, cached, tier_label):
         """Arrow-collect the (src, dst) pairs and run the vectorized
         min-label union-find — ~16 bytes/edge on the driver, O(log n)
-        numpy rounds (2s for 12M edges vs ~30s for the dict walk)."""
+        numpy rounds (2s for 12M edges vs ~30s for the dict walk). The
+        result is the same (component = min node id) for every tier, so
+        the <=driver_threshold band routes through here too (the label
+        keeps naming the ROUTING band, not the kernel)."""
         import pandas as pd
 
+        LAST_CC_INFO["tier"] = tier_label
         pdf = edge_df.toPandas()
         cached.unpersist()
         nodes, labels = _numpy_components(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
         if len(nodes) == 0:
             return spark.createDataFrame([], "node long, component long")
-        return spark.createDataFrame(
-            pd.DataFrame({"node": nodes, "component": labels})
+        return _maybe_broadcast(
+            spark.createDataFrame(pd.DataFrame({"node": nodes, "component": labels})),
+            len(nodes),
         )
+
+    if n_edges <= driver_threshold:
+        return _driver_finish(e, e0, "driver-dict")
 
     if n_edges <= contracted_driver_threshold:
         # the raw edge list already fits the driver: no contraction pass
         # needed (it exists to SHRINK a too-big graph, and on clique-shaped
         # similarity graphs it barely does: every dst-keyed star contracts
         # to itself — measured 12.34M -> 11.98M edges)
-        LAST_CC_INFO["tier"] = "driver-numpy"
-        return _driver_finish(e, e0)
+        return _driver_finish(e, e0, "driver-numpy")
 
     # STREAMING driver tier: the edge list is too big to collect, but
     # union-find only needs per-NODE state — and similarity graphs have far
@@ -734,8 +751,9 @@ def connected_components(
                 )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        return spark.createDataFrame(
-            pd.DataFrame({"node": nodes, "component": nodes[parent]})
+        return _maybe_broadcast(
+            spark.createDataFrame(pd.DataFrame({"node": nodes, "component": nodes[parent]})),
+            len(nodes),
         )
     nd.unpersist()
 
@@ -766,9 +784,8 @@ def connected_components(
             break
     e0 = e = contracted
     if n_contracted <= contracted_driver_threshold:
-        LAST_CC_INFO["tier"] = "contraction->driver-numpy"
         LAST_CC_INFO["n_contracted"] = n_contracted
-        return _driver_finish(contracted, e0)
+        return _driver_finish(contracted, e0, "contraction->driver-numpy")
 
     LAST_CC_INFO["tier"] = "distributed-star"
     LAST_CC_INFO["n_contracted"] = n_contracted
@@ -873,6 +890,9 @@ def resolve_entities(
     # BLOCKING column on the bucket key (not a prefix baked into the
     # shingled text, which poisons band minima at scale — see
     # lsh_similarity_edges); Jaccard verifies over the norm alone
+    # dedupe=False: connected_components normalizes + distincts its input
+    # anyway, so the edge list's own distinct would be a second full
+    # exchange + aggregate over the same pairs for identical components
     edges = lsh_similarity_edges(
         surfaces.select("sid", "type", "norm"),
         "norm",
@@ -883,6 +903,7 @@ def resolve_entities(
         threshold=jaccard_threshold,
         max_bucket=max_bucket,
         block_col="type",
+        dedupe=False,
     )
 
     comp = connected_components(edges)
@@ -893,6 +914,19 @@ def resolve_entities(
         surfaces["sid"],
         F.coalesce(comp["component"], surfaces["sid"]).alias("entity_id"),
     )
+    # connected_components already ran its jobs, so the persisted surface
+    # table is materialized and this count is a cache read. Under the cap,
+    # hint the (vocabulary-sized) assignment broadcastable: the
+    # mention_entities join then leaves the (corpus-sized) mention table
+    # unshuffled — the join posture that holds at 100 TB, where mentions
+    # outgrow surfaces by orders of magnitude. Above the cap both sides
+    # shuffle as before (conf `spark.nametag.resolve.broadcastSurfaceCap`).
+    bcast_cap = int(
+        mentions.sparkSession.conf.get("spark.nametag.resolve.broadcastSurfaceCap", "2000000")
+    )
+    assign_small = assign.select("type", "norm", "entity_id")
+    if surfaces.count() <= bcast_cap:
+        assign_small = F.broadcast(assign_small)
 
     # canonical surface = most frequent norm in the component (ties: lexical
     # ascending). One min_by aggregation — no window pass: min over the
@@ -912,7 +946,5 @@ def resolve_entities(
         "n_surfaces",
     )
 
-    mention_entities = m.join(
-        assign.select("type", "norm", "entity_id"), ["type", "norm"], "left"
-    )
+    mention_entities = m.join(assign_small, ["type", "norm"], "left")
     return mention_entities, entities

@@ -49,70 +49,150 @@ def minhash_dup_pairs(
     a cheap integer compare), and only the survivors pay the exact
     shingle-set verification (no false positives in the output).
 
-    The estimate uses its OWN signature of max(n_hashes, estimate_hashes)
-    functions — affine permutations of one md5 per shingle, so widening it
-    costs almost nothing — and a margin of 3 standard deviations of the
-    estimator at the threshold, 3*sqrt(t(1-t)/estimate_hashes). At the
-    default 48 hashes that is a tight cut (~0.53 for t=0.7) while a true
-    pair at exactly J=threshold is dropped with probability ~0.2% (the old
-    fixed 0.25 margin on a 12-hash estimate dropped ~4-9%). When bands ==
-    n_hashes (1-row bands: LSH recall is already governed by any-single-hash
-    collision) the prefilter is skipped entirely, since any extra filter
-    would be strictly tighter than the banding the caller asked for."""
-    from ..kg.resolution import minhash_signatures
+    Physical plan (optimization round 8): ONE explode->groupBy signature
+    pass computes all max(n_hashes, estimate_hashes) minhashes (the affine
+    family is prefix-stable, so mh0..mh{n_hashes-1} ARE the banding
+    signature and the full width is the estimate's — the previous
+    formulation ran the 12-hash and 48-hash passes separately, shingling
+    and md5-ing the corpus twice). The 2 MB-grade signature table persists
+    and serves both the banding and the estimate join; the exact-Jaccard
+    verify computes shingle ARRAYS only for docs that appear in a candidate
+    pair (semi-join prune — the previous jaccard_filter pass built the
+    arrays for the whole corpus). Kept codegen-friendly explode+aggregate
+    shape deliberately: an all-array-transform formulation (like the
+    resolve path's _surface_signatures, tuned for 10-30-shingle surfaces)
+    evaluates the 48 affine permutations as interpreted higher-order
+    functions — measured 2.3x SLOWER on 2-4k-shingle documents than the
+    whole-stage-codegen'd hash aggregate. Outputs are identical (same hash
+    family, same margin, same banding policy, same exact-Jaccard verify).
+
+    The estimate margin is 3 standard deviations of the estimator at the
+    threshold, 3*sqrt(t(1-t)/estimate_hashes): at the default 48 hashes a
+    tight cut (~0.53 for t=0.7) while a true pair at exactly J=threshold is
+    dropped with probability ~0.2%. When bands == n_hashes (1-row bands:
+    LSH recall is already governed by any-single-hash collision) the
+    prefilter is skipped entirely, since any extra filter would be strictly
+    tighter than the banding the caller asked for."""
+    from ..kg.resolution import (
+        _banded_ok_buckets,
+        _register_persisted,
+        minhash_signatures,
+        shingles,
+    )
+
+    use_est = bands < n_hashes
+    n_sig = max(n_hashes, estimate_hashes) if use_est else n_hashes
+    if use_est and estimate_margin is None:
+        import math
+
+        estimate_margin = 3.0 * math.sqrt(threshold * (1 - threshold) / n_sig)
 
     base = df.select(F.col(id_col).alias("_id"), F.trim(F.lower(F.col(text_col))).alias("_norm"))
-    pairs = lsh_candidate_pairs(base, "_norm", "_id", n_hashes=n_hashes, bands=bands, k=shingle_k)
+    # one signature pass at full width; persisted (ids + n_sig ints per doc)
+    # and read by the banding and the estimate join
+    sig = minhash_signatures(base, "_norm", "_id", n_hashes=n_sig, k=shingle_k).persist()
+    _register_persisted(sig)
 
-    if bands < n_hashes:
-        n_est = max(n_hashes, estimate_hashes)
-        if estimate_margin is None:
-            import math
+    light = sig.select("_id", *[f"mh{h}" for h in range(n_hashes)])
+    ok = _banded_ok_buckets(light, ["_id"], n_hashes, bands, max_bucket=200)
+    left, right = ok.alias("l"), ok.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
 
-            estimate_margin = 3.0 * math.sqrt(threshold * (1 - threshold) / n_est)
-        sig = minhash_signatures(base, "_norm", "_id", n_hashes=n_est, k=shingle_k)
-        sig_arr = sig.select(F.col("_id"), F.array(*[f"mh{h}" for h in range(n_est)]).alias("_sig"))
+    if use_est:
+        sig_arr = sig.select(F.col("_id"), F.array(*[f"mh{h}" for h in range(n_sig)]).alias("_sig"))
         pairs = (
             pairs.join(sig_arr.withColumnRenamed("_id", "a").withColumnRenamed("_sig", "_sa"), "a")
             .join(sig_arr.withColumnRenamed("_id", "b").withColumnRenamed("_sig", "_sb"), "b")
             .withColumn(
                 "_est",
                 F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m))
-                / F.lit(float(n_est)),
+                / F.lit(float(n_sig)),
             )
             .where(F.col("_est") >= threshold - estimate_margin)
             .select("a", "b")
         )
-    return jaccard_filter(pairs, base, "_norm", "_id", threshold=threshold, k=shingle_k)
+
+    # result-sized; read twice below (candidate-id derivation + the verify
+    # probe) — without the cache the bucket self-join would re-run for each
+    pairs = pairs.persist()
+    _register_persisted(pairs)
+
+    # exact verify over shingle ARRAYS built only for candidate docs: the
+    # semi-join prunes the corpus BEFORE the (interpreted, per-character)
+    # shingle transform runs, where jaccard_filter computed arrays for
+    # every doc in the table
+    ids = pairs.select(F.explode(F.array("a", "b")).alias("_id")).distinct()
+    sh = base.join(ids, "_id", "left_semi").select(
+        "_id", shingles("_norm", shingle_k).alias("_sh")
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
 
 
 def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash signature over whitespace tokens.
 
     Each token contributes +1/-1 per bit of its 60-bit md5 hash; the sign of
-    each accumulated bit-balance becomes the signature bit. Physical plan:
-    explode tokens -> ONE md5 per token -> `bits` map-side-combined sum
-    aggregates -> sign/pack. (An array-lambda formulation would re-evaluate
-    the md5 once per bit after Catalyst collapses projections.)
+    each accumulated bit-balance becomes the signature bit.
 
-    Docs with no tokens get simhash 0 (all balances 0 -> no bits set)."""
-    src = spread_small_input(df)
-    toks = src.select(
-        F.col(id_col),
-        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("_tok"),
-    ).withColumn("_h", hash64(F.col("_tok"), 1))
-    aggs = [
-        F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1).alias(f"_b{i}")
-        for i in range(bits)
-    ]
-    bal = toks.groupBy(id_col).agg(*aggs)
-    sig = None
-    for i in range(bits):
-        term = F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    packed = bal.select(F.col(id_col).alias("_sid"), sig.alias("simhash"))
-    return df.join(packed, df[id_col] == packed["_sid"], "left").drop("_sid").fillna(
-        {"simhash": 0}
+    Physical plan (optimization round 8): the signature depends only on the
+    row's own tokens, so it is ONE per-row expression — a single
+    `aggregate` fold over the token-hash array carrying a `bits`-wide
+    balance struct, packed to the signature in the fold's finish lambda.
+    Zero shuffles; the previous explode -> groupBy(id) -> join-back plan
+    paid two exchanges and re-keyed the whole table for a row-local value.
+    The md5 is evaluated once per token (it sits inside the single
+    `transform` building the hash array; per-bit SUM COLUMNS would instead
+    re-evaluate the inlined transform once per bit after Catalyst collapses
+    projections — the fold has exactly one reference).
+
+    Docs with no tokens get simhash 0 (all balances 0 -> no bits set);
+    NULL text also maps to 0 (the old left-join + fillna behavior)."""
+    df = spread_small_input(df)
+    hs = F.transform(tokens_col(F.lower(F.col(text_col))), lambda t: hash64(t, 1))
+    zero = F.struct(
+        *[F.lit(0).cast("long").alias(f"b{i}") for i in range(bits)]
+    )
+
+    def merge(acc, h):
+        return F.struct(
+            *[
+                (
+                    acc[f"b{i}"]
+                    + (F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1)
+                ).alias(f"b{i}")
+                for i in range(bits)
+            ]
+        )
+
+    def finish(acc):
+        sig = None
+        for i in range(bits):
+            term = F.when(acc[f"b{i}"] > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sig = term if sig is None else sig + term
+        return sig
+
+    return df.withColumn(
+        "simhash", F.coalesce(F.aggregate(hs, zero, merge, finish), F.lit(0).cast("long"))
     )
 
 

@@ -34,17 +34,121 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, rank, vec_id, cosine).
 
-    queries is expected to be small -> broadcast; the corpus scan is a single
-    pass, ranking is a per-query window. Ties break by vec_id ascending."""
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
+    Physical plan (optimization round 8): the query set is tiny (it was
+    already broadcast) so it collects to the driver and ships inside an
+    Arrow-batched mapInPandas kernel over the corpus scan; each batch
+    computes all query scores with vectorized numpy and emits only its
+    per-query top-k (plus any null/NaN-scored rows so degenerate inputs
+    keep the exact JVM ordering semantics), and a final window over the
+    tiny union ranks globally. The previous formulation evaluated the dot
+    products as interpreted higher-order functions over the corpus x
+    queries cross join and sorted the full scored set before the partial
+    window group limit — both now touch k*queries rows per batch instead.
 
-    scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cosine", _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
+    BIT-EXACT with the JVM expression path: the kernel accumulates the dot
+    product and norms dimension-by-dimension in ascending index order —
+    the same IEEE-754 operation sequence as Catalyst's left-fold
+    `aggregate(zip_with(...))` — so every cosine is the identical double.
+
+    Ties break by vec_id ascending."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    vid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, vec_id {vid_t}, cosine double"
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame([], f"query_id {qid_t}, rank int, vec_id {vid_t}, cosine double")
+
+    # group queries by dimensionality (one group in practice); qn uses the
+    # same ascending-index fold as _norm so the divisor is bit-identical
+    by_dim: dict = {}
+    for r in q_rows:
+        v = r["qv"]
+        by_dim.setdefault(-1 if v is None else len(v), []).append((r["query_id"], v))
+    q_groups = []
+    for dim, members in by_dim.items():
+        if dim <= 0:  # null/empty query vector: cosine is NULL for every row
+            q_groups.append((dim, [m[0] for m in members], None, None))
+            continue
+        qv = np.array([m[1] for m in members], dtype=np.float64)
+        qn_acc = np.zeros(len(members))
+        for d in range(dim):
+            qn_acc += qv[:, d] * qv[:, d]
+        q_groups.append((dim, [m[0] for m in members], qv, np.sqrt(qn_acc)))
+
+    def _topk_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col]
+            lens = np.array([-1 if v is None else len(v) for v in vecs])
+            out_q, out_v, out_c = [], [], []
+            for dim, qids, qv, qn in q_groups:
+                if qv is None:
+                    good = np.zeros(len(pdf), dtype=bool)
+                else:
+                    good = lens == dim
+                    if good.any():
+                        cv = np.stack(
+                            [np.asarray(v, dtype=np.float64) for v in vecs[good]]
+                        )
+                        dot = np.zeros((len(cv), len(qids)))
+                        cn_acc = np.zeros(len(cv))
+                        for d in range(dim):
+                            c_d = cv[:, d]
+                            dot += c_d[:, None] * qv[:, d][None, :]
+                            cn_acc += c_d * c_d
+                        cos = dot / (np.sqrt(cn_acc)[:, None] * qn[None, :])
+                        gid = ids[good]
+                        for qi, qid in enumerate(qids):
+                            col = cos[:, qi]
+                            finite = ~np.isnan(col)
+                            ok = np.flatnonzero(finite)
+                            if len(ok) > k:
+                                neg = -col[ok]
+                                kth = np.partition(neg, k - 1)[k - 1]
+                                ok = ok[neg <= kth]  # keep kth-value ties for id tiebreak
+                            keep = sorted(ok, key=lambda i: (-col[i], gid[i]))[:k]
+                            for i in keep:
+                                out_q.append(qid)
+                                out_v.append(gid[i])
+                                out_c.append(float(col[i]))
+                            # NaN scores sort FIRST under Spark's DESC (NaN >
+                            # any double): ship them all; the final window
+                            # applies the exact engine semantics
+                            for i in np.flatnonzero(~finite):
+                                out_q.append(qid)
+                                out_v.append(gid[i])
+                                out_c.append(float(col[i]))
+                # rows whose vector is null / length-mismatched score NULL
+                # (zip_with pads with null in the JVM path); NULLS LAST can
+                # still reach the output when a query has < k scored rows
+                for i in np.flatnonzero(~good):
+                    for qid in qids:
+                        out_q.append(qid)
+                        out_v.append(ids[i])
+                        out_c.append(None)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "vec_id": out_v,
+                    # object dtype: keeps None as SQL NULL (float64 would
+                    # coerce it to NaN, which sorts on the opposite end)
+                    "cosine": pd.Series(out_c, dtype=object),
+                }
+            )
+
+    from ..ops.text import spread_small_input
+
+    # a single-file corpus would run the whole kernel on one task
+    scored = spread_small_input(corpus.select(id_col, vec_col)).mapInPandas(
+        _topk_batches, schema=out_schema
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
