@@ -137,13 +137,13 @@ def minhash_signatures(df: DataFrame, text_col: str, key_col: str, n_hashes: int
     return sh.groupBy(key_col).agg(*aggs)
 
 
-def _banded_ok_buckets(
+def _banded_bucket_frames(
     sig: DataFrame, carry: list, n_hashes: int, bands: int, max_bucket: int,
     block_cols=(),
-) -> DataFrame:
+) -> list:
     """Shared LSH banding: signature rows (mh0..mh{n-1} + carry columns) ->
-    (*carry, band, sig) bucket rows with oversized buckets SPLIT, then
-    capped.
+    TWO frames of (*carry, band, sig) bucket rows — [normal buckets,
+    split-bucket residue] — with oversized buckets SPLIT, then capped.
 
     A bucket larger than max_bucket would make the downstream self-join
     quadratic. Populations with long shared substrings (email domains,
@@ -154,10 +154,31 @@ def _banded_ok_buckets(
     signatures over the FULL n-hash signature (rows 0..n/2 and n/2..n):
     high-similarity pairs survive with probability 1-(1-J^(n/2))^2 while
     the degenerate bucket fragments. Sub-buckets still over the cap are
-    dropped (logged by bench's widevocab stats). The oversized sets are
-    tiny aggregates -> broadcast joins. Single definition so the fused
-    (lsh_similarity_edges) and staged (lsh_candidate_pairs) paths can never
-    diverge on banding, splitting, or capping policy."""
+    dropped (logged by bench's widevocab stats).
+
+    Physical plan (optimization round 8): bucket rows are hash-repartitioned
+    ONCE on the bucket key — explicitly, because the downstream verify
+    stage is CPU-dense relative to its byte size and a planner-inserted
+    exchange gets coalesced by AQE on bytes alone (measured 4 tasks /
+    0.98s straggler on a stage with 2.6s of intersect CPU at sf0.1); the
+    explicit count (default spark.sparkContext.defaultParallelism, conf
+    `spark.nametag.lsh.bucketPartitions`) scales with the cluster. The
+    oversized-bucket sets are keys-only aggregates computed FROM that
+    same exchange (co-partitioned groupBy: no second exchange, payload
+    columns pruned) and joined back as broadcast anti/semi probes, so the
+    heavy shingle-payload rows are shuffled once and never re-sorted for
+    size accounting (a window-count variant measured 20-30% SLOWER at
+    240k surfaces — it re-sorts the payload per branch). Both branch
+    plans are always present and lazy: AQE executes the split side as
+    near-empty broadcast stages when no bucket is oversized, replacing
+    the previous persist + EAGER oversized count that blocked the driver
+    mid-plan and cached the payload rows. The two frames stay SEPARATE —
+    the anti-join preserves the streamed side's partitioning, so each
+    frame self-joins with NO further exchange (a union would discard it).
+    Bucket membership, and therefore the candidate-pair set, is identical
+    to the old policy. Single definition so the fused
+    (lsh_similarity_edges) and staged (lsh_candidate_pairs) paths can
+    never diverge on banding, splitting, or capping policy."""
     rows = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -171,24 +192,22 @@ def _banded_ok_buckets(
     buckets = sig.select(
         *carry, sub1.alias("_s1"), sub2.alias("_s2"), F.explode(F.array(*band_cols)).alias("bk")
     ).select(*carry, "_s1", "_s2", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    # persist: without it the bucket lineage (shingling + n_hashes affine
-    # mins over every surface) is recomputed by the oversized aggregate, the
-    # anti/semi probes, AND both sides of the downstream bucket self-join —
-    # a 4-6x recompute multiplier measured on the 1.4M-surface corpus. The
-    # cached set is bounded by surfaces x bands (vocabulary-, not
-    # corpus-sized); registered for release_persisted().
-    buckets = buckets.persist()
-    _register_persisted(buckets)
+    spark = sig.sparkSession
+    n_part = int(spark.conf.get("spark.nametag.lsh.bucketPartitions", "0") or 0)
+    if n_part <= 0:
+        n_part = spark.sparkContext.defaultParallelism
     bucket_key = list(block_cols) + ["band", "sig"]
+    # persist the repartitioned bucket rows: the exchange alone is not
+    # enough — every consumer stage (size aggregate, anti/semi probes,
+    # each self-join side) would re-deserialize the full payload shuffle,
+    # measured ~1.5x slower at 240k surfaces; the columnar cache makes
+    # those reads cheap. Registered for release_persisted(). Lazy (no
+    # eager count): it materializes inside the first downstream job.
+    buckets = buckets.repartition(n_part, *bucket_key).persist()
+    _register_persisted(buckets)
     oversized = (
         buckets.groupBy(*bucket_key).count().where(F.col("count") > max_bucket).select(*bucket_key)
-    ).persist()
-    _register_persisted(oversized)
-    # tiny aggregate, computed eagerly: when NO bucket is oversized (every
-    # fixture-vocabulary corpus) the split/still-over branch would add four
-    # plan stages of pure overhead — skip it entirely
-    if oversized.count() == 0:
-        return buckets.drop("_s1", "_s2")
+    )
     ok = buckets.join(F.broadcast(oversized), bucket_key, "left_anti").drop("_s1", "_s2")
     split = (
         buckets.join(F.broadcast(oversized), bucket_key, "left_semi")
@@ -206,7 +225,23 @@ def _banded_ok_buckets(
     still_over = (
         split.groupBy(*bucket_key).count().where(F.col("count") > max_bucket).select(*bucket_key)
     )
-    split_ok = split.join(F.broadcast(still_over), bucket_key, "left_anti")
+    # re-keying replaced `sig`, so the split residue lost the bucket
+    # partitioning; pin its self-join exchange at full parallelism too
+    # (its verify is as CPU-dense per byte as the main branch's)
+    split_ok = split.join(F.broadcast(still_over), bucket_key, "left_anti").repartition(
+        n_part, *bucket_key
+    )
+    return [ok, split_ok]
+
+
+def _banded_ok_buckets(
+    sig: DataFrame, carry: list, n_hashes: int, bands: int, max_bucket: int,
+    block_cols=(),
+) -> DataFrame:
+    """Union view of _banded_bucket_frames for consumers that only need the
+    post-policy bucket MEMBERSHIP (histogram/diagnostics); pair-generating
+    callers self-join the frames separately to keep the co-partitioning."""
+    ok, split_ok = _banded_bucket_frames(sig, carry, n_hashes, bands, max_bucket, block_cols)
     return ok.unionByName(split_ok)
 
 
@@ -225,19 +260,20 @@ def lsh_candidate_pairs(
     collides if any band hashes equal.
     """
     sig = minhash_signatures(df, text_col, key_col, n_hashes, k)
-    ok = _banded_ok_buckets(sig, [key_col], n_hashes, bands, max_bucket)
-    left = ok.alias("l")
-    right = ok.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+    frames = _banded_bucket_frames(sig, [key_col], n_hashes, bands, max_bucket)
+    parts = []
+    for ok in frames:
+        left = ok.alias("l")
+        right = ok.alias("r")
+        parts.append(
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.sig") == F.col("r.sig"))
+                & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+            ).select(F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b"))
         )
-        .select(F.col(f"l.{key_col}").alias("a"), F.col(f"r.{key_col}").alias("b"))
-        .distinct()
-    )
+    return parts[0].unionByName(parts[1]).distinct()
 
 
 def _surface_signatures(
@@ -369,11 +405,10 @@ def lsh_similarity_edges(
     then drop (measured on the 240k-surface wide-vocab corpus:
     485 oversized buckets, max 12,895)."""
     sig, carry = _surface_signatures(df, text_col, key_col, n_hashes, k, block_col)
-    ok = _banded_ok_buckets(
+    frames = _banded_bucket_frames(
         sig, carry, n_hashes, bands, max_bucket,
         block_cols=["_blk"] if block_col is not None else (),
     )
-    l, r = ok.alias("l"), ok.alias("r")
     cond = (
         (F.col("l.band") == F.col("r.band"))
         & (F.col("l.sig") == F.col("r.sig"))
@@ -407,11 +442,15 @@ def lsh_similarity_edges(
     )
     inter = F.size(F.array_intersect("l._sh", "r._sh"))
     jac = inter / (F.col("l._n") + F.col("r._n") - inter)
-    out = (
-        l.join(r, cond)
-        .where(((jac_h >= threshold) | ~collision_free) & (jac >= threshold))
-        .select(F.col("l._k").alias("src"), F.col("r._k").alias("dst"))
-    )
+    parts = []
+    for ok in frames:
+        l, r = ok.alias("l"), ok.alias("r")
+        parts.append(
+            l.join(r, cond)
+            .where(((jac_h >= threshold) | ~collision_free) & (jac >= threshold))
+            .select(F.col("l._k").alias("src"), F.col("r._k").alias("dst"))
+        )
+    out = parts[0].unionByName(parts[1])
     return out.distinct() if dedupe else out
 
 

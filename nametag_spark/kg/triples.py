@@ -43,6 +43,19 @@ def triple_evidence(
 
     sel = [*keys, "tok_start", "type", "norm", *[c for c in id_cols if c]]
     m = mention_entities.select(*sel)
+    # one explicit hash partition on (conv_id, turn_idx) serves BOTH joins:
+    # it satisfies the self-join's (conv, turn[, sent]) clustering (subset
+    # partitioning co-locates equal keys) AND leaves the pair output
+    # partitioned for the transcript-context join below, removing that
+    # join's re-exchange of the pair set. Being user-specified it also
+    # pins the pair-generation stage at full parallelism — AQE coalesces
+    # planner exchanges by byte size, and mention rows are tiny relative
+    # to the join's CPU (measured 10 CPU-seconds in this stage at sf0.1).
+    spark = mention_entities.sparkSession
+    n_part = int(spark.conf.get("spark.nametag.triples.pairPartitions", "0") or 0)
+    if n_part <= 0:
+        n_part = spark.sparkContext.defaultParallelism
+    m = m.repartition(n_part, "conv_id", "turn_idx")
 
     rules = m.sparkSession.createDataFrame(
         PREDICATE_RULES, ["subj_type", "obj_type", "pred"]

@@ -74,7 +74,7 @@ def minhash_dup_pairs(
     prefilter is skipped entirely, since any extra filter would be strictly
     tighter than the banding the caller asked for."""
     from ..kg.resolution import (
-        _banded_ok_buckets,
+        _banded_bucket_frames,
         _register_persisted,
         minhash_signatures,
         shingles,
@@ -94,18 +94,19 @@ def minhash_dup_pairs(
     _register_persisted(sig)
 
     light = sig.select("_id", *[f"mh{h}" for h in range(n_hashes)])
-    ok = _banded_ok_buckets(light, ["_id"], n_hashes, bands, max_bucket=200)
-    left, right = ok.alias("l"), ok.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l._id") < F.col("r._id")),
+    frames = _banded_bucket_frames(light, ["_id"], n_hashes, bands, max_bucket=200)
+    cand = []
+    for ok in frames:
+        left, right = ok.alias("l"), ok.alias("r")
+        cand.append(
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.sig") == F.col("r.sig"))
+                & (F.col("l._id") < F.col("r._id")),
+            ).select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
         )
-        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-        .distinct()
-    )
+    pairs = cand[0].unionByName(cand[1]).distinct()
 
     if use_est:
         sig_arr = sig.select(F.col("_id"), F.array(*[f"mh{h}" for h in range(n_sig)]).alias("_sig"))
