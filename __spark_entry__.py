@@ -603,7 +603,11 @@ def q_market_segment_revenue(spark, sf_dir):
 
 
 def q_top_orders_per_customer(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
+    from nametag_spark.ops.text import spread_small_input
+
+    # a single-file orders table would pay the window's partial group-limit
+    # sort on ONE task; the keyed spread is then the window's own exchange
+    orders = spread_small_input(_t(spark, sf_dir, "orders"), by=("o_custkey",))
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         orders.withColumn("rank", F.row_number().over(w))
@@ -613,7 +617,9 @@ def q_top_orders_per_customer(spark, sf_dir):
 
 
 def q_events_turn_order(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    from nametag_spark.ops.text import spread_small_input
+
+    ev = spread_small_input(_t(spark, sf_dir, "events"), by=("user_id",))
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     return (
         ev.withColumn("rn", F.row_number().over(w))

@@ -22,7 +22,7 @@ def hash64(col, salt: int = 0):
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col)), 1, 15), 16, 10).cast("bigint")
 
 
-def spread_small_input(df: DataFrame, min_splits: int | None = None) -> DataFrame:
+def spread_small_input(df: DataFrame, min_splits: int | None = None, by: tuple = ()) -> DataFrame:
     """Defensive parallelism for demonstrably-few-split FILE inputs.
 
     A small table read from one parquet file arrives as one partition and
@@ -32,6 +32,14 @@ def spread_small_input(df: DataFrame, min_splits: int | None = None) -> DataFram
     parallelism and repartitioning the raw text table would be a full
     shuffle), and non-file inputs (createDataFrame, upstream shuffles) are
     already spread by the session's parallelism.
+
+    by: optional hash-partitioning columns. For a pipeline whose next
+    operator needs clustering on those columns (window/groupBy), the
+    spread then IS that operator's exchange — the serial single-task
+    partial stage disappears and no second shuffle is added. Many-split
+    inputs still pass through untouched, keeping the map-side partial
+    (group-limit/aggregate) path that matters when there are many map
+    tasks to reduce.
 
     Uses df.inputFiles() — a driver-side catalog listing — NOT df.rdd, so no
     DataFrame->RDD plan conversion happens (round-2 verdict wart #1).
@@ -59,7 +67,7 @@ def spread_small_input(df: DataFrame, min_splits: int | None = None) -> DataFram
             return df
     except Exception:  # pragma: no cover - plan introspection best-effort
         pass
-    return df.repartition(par)
+    return df.repartition(par, *[F.col(c) for c in by]) if by else df.repartition(par)
 
 
 def tokens_col(col):
