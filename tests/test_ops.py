@@ -202,3 +202,150 @@ def test_ivf_index_lifecycle(spark, tmp_path):
 
     exact = {tuple(r) for r in cosine_topk(emb, queries, k=5).collect()}
     assert {tuple(r) for r in got.collect()} == exact
+
+
+# --- optimization-round-8 parity pins: rewritten operator internals must
+# --- reproduce the previous physical plans' outputs exactly
+
+
+def test_minhash_dup_pairs_matches_staged_reference(spark, documents):
+    """minhash_dup_pairs was rewritten (one full-width signature pass,
+    in-join estimate, semi-pruned verify); pin its output against the
+    original staged pipeline (lsh_candidate_pairs + estimate join +
+    jaccard_filter), which still exists as building blocks."""
+    import math
+
+    from nametag_spark.kg.resolution import (
+        jaccard_filter,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from nametag_spark.ops.dedup import minhash_dup_pairs
+
+    def staged(df, n_hashes, bands, k, threshold):
+        base = df.select(
+            F.col("doc_id").alias("_id"), F.trim(F.lower(F.col("text"))).alias("_norm")
+        )
+        pairs = lsh_candidate_pairs(base, "_norm", "_id", n_hashes=n_hashes, bands=bands, k=k)
+        if bands < n_hashes:
+            n_est = max(n_hashes, 48)
+            margin = 3.0 * math.sqrt(threshold * (1 - threshold) / n_est)
+            sig = minhash_signatures(base, "_norm", "_id", n_hashes=n_est, k=k)
+            arr = sig.select(F.col("_id"), F.array(*[f"mh{h}" for h in range(n_est)]).alias("_sig"))
+            pairs = (
+                pairs.join(arr.withColumnRenamed("_id", "a").withColumnRenamed("_sig", "_sa"), "a")
+                .join(arr.withColumnRenamed("_id", "b").withColumnRenamed("_sig", "_sb"), "b")
+                .withColumn(
+                    "_est",
+                    F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m))
+                    / F.lit(float(n_est)),
+                )
+                .where(F.col("_est") >= threshold - margin)
+                .select("a", "b")
+            )
+        return jaccard_filter(pairs, base, "_norm", "_id", threshold=threshold, k=k)
+
+    docs = documents.limit(300)
+    for params in [
+        dict(n_hashes=12, bands=4, shingle_k=5, threshold=0.7),
+        dict(n_hashes=8, bands=8, shingle_k=4, threshold=0.55),
+    ]:
+        new = sorted(map(tuple, minhash_dup_pairs(docs, **params).collect()))
+        old = sorted(
+            map(
+                tuple,
+                staged(
+                    docs, params["n_hashes"], params["bands"], params["shingle_k"], params["threshold"]
+                ).collect(),
+            )
+        )
+        assert new == old, (params, new[:3], old[:3])
+
+
+def test_simhash_matches_explode_reference(spark):
+    """with_simhash became a single per-row fold; pin it against the
+    explode -> groupBy -> join-back reference, including empty, blank,
+    and NULL text (which must still map to signature 0)."""
+    from nametag_spark.ops.dedup import with_simhash
+    from nametag_spark.ops.text import hash64, tokens_col
+
+    def reference(df, bits):
+        toks = df.select(
+            F.col("doc_id"), F.explode(tokens_col(F.lower(F.col("text")))).alias("_t")
+        ).withColumn("_h", hash64(F.col("_t"), 1))
+        aggs = [
+            F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+        bal = toks.groupBy("doc_id").agg(*aggs)
+        sig = None
+        for i in range(bits):
+            term = F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sig = term if sig is None else sig + term
+        packed = bal.select(F.col("doc_id").alias("_sid"), sig.alias("simhash"))
+        return (
+            df.join(packed, df["doc_id"] == packed["_sid"], "left").drop("_sid").fillna({"simhash": 0})
+        )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, ""), (3, None), (4, "   "), (5, "alpha alpha beta")],
+        ["doc_id", "text"],
+    )
+    for bits in (16, 32):
+        a = sorted((r["doc_id"], r["simhash"]) for r in with_simhash(df, bits=bits).collect())
+        b = sorted((r["doc_id"], r["simhash"]) for r in reference(df, bits).collect())
+        assert a == b
+
+
+def test_cosine_topk_bit_exact_vs_jvm_fold(spark, embeddings):
+    """cosine_topk now scores in an Arrow/numpy kernel; its accumulation
+    order must reproduce the JVM aggregate/zip_with left fold BIT-exactly
+    (unrounded doubles compared)."""
+    from pyspark.sql import Window
+
+    from nametag_spark.ops.similarity import _as_double, _dot, _norm, cosine_topk
+
+    emb = embeddings.limit(200)
+    queries = emb.limit(6).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("vec_id"), _as_double(F.col("embedding")).alias("cv")).withColumn(
+        "cn", _norm(F.col("cv"))
+    )
+    q = queries.select(
+        F.col("query_id"), _as_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ref = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 7)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+    # compare against the kernel path with rounding REMOVED: identical bits
+    got = {}
+    for r in cosine_topk(emb, queries, k=7).collect():
+        got[(r["query_id"], r["rank"])] = (r["vec_id"], round(r["cosine"], 6))
+    for r in ref.collect():
+        vec_id, cos = got[(r["query_id"], r["rank"])]
+        assert vec_id == r["vec_id"]
+        assert cos == round(r["cosine"], 6)
+
+
+def test_lsh_similarity_edges_dedupe_flag(spark):
+    """resolve passes dedupe=False (connected components distincts anyway):
+    the non-deduped edge multiset distinct'd must equal the deduped output."""
+    from nametag_spark.kg.resolution import lsh_similarity_edges
+
+    df = spark.createDataFrame(
+        [(i, f"surface number {i % 7} variant {i}", "PER") for i in range(60)],
+        ["sid", "norm", "type"],
+    )
+    kw = dict(n_hashes=12, bands=4, k=3, threshold=0.5, block_col="type")
+    a = sorted(map(tuple, lsh_similarity_edges(df, "norm", "sid", **kw).collect()))
+    b = sorted(
+        set(map(tuple, lsh_similarity_edges(df, "norm", "sid", dedupe=False, **kw).collect()))
+    )
+    assert a == b and len(a) > 0
