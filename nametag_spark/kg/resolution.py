@@ -137,6 +137,64 @@ def minhash_signatures(df: DataFrame, text_col: str, key_col: str, n_hashes: int
     return sh.groupBy(key_col).agg(*aggs)
 
 
+def minhash_signatures_kernel(
+    df: DataFrame, text_col: str, key_col: str, n_hashes: int = 12, k: int = 3
+) -> DataFrame:
+    """Arrow-kernel evaluation of EXACTLY the minhash_signatures values:
+    per row, distinct character k-shingles -> md5-prefix-28 hash -> n
+    affine permutations -> column minima. Value-identical to the
+    declarative path (hashlib md5 over utf-8 == F.md5; Python character
+    slicing == substring; int64 % == pmod on nonnegative operands) —
+    pinned by a parity test — but one per-row stage instead of a 290x
+    row explosion through a 48-column hash aggregate: each task memoizes
+    shingle hashes (corpus shingle vocabularies are Zipfian, so most md5
+    calls become dict hits) and runs the affine family as one (n_hashes x
+    n_shingles) numpy matrix op. Measured 2.9s -> 0.4s for the 48-hash
+    pass over 50k ~300-char docs at 32 cores. The declarative
+    minhash_signatures remains the oracle-facing reference."""
+    import numpy as np
+    import pandas as pd
+
+    from ..ops.text import spread_small_input
+
+    consts = minhash_affine_constants(n_hashes)
+    a_vec = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+    kt = df.schema[key_col].dataType.simpleString()
+    schema = f"{key_col} {kt}, " + ", ".join(f"mh{i} bigint" for i in range(n_hashes))
+
+    def kernel(batches):
+        import hashlib
+
+        memo: dict = {}
+
+        def h28(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:7], 16)
+                memo[s] = v
+            return v
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            out = np.empty((len(pdf), n_hashes), dtype=np.int64)
+            keep = np.ones(len(pdf), dtype=bool)
+            for pos in range(len(pdf)):
+                t = texts.iloc[pos]
+                if t is None:
+                    # declarative path: explode(shingles(NULL)) drops the row
+                    keep[pos] = False
+                    continue
+                sh = {t} if len(t) < k else {t[i : i + k] for i in range(len(t) - k + 1)}
+                hs = np.fromiter((h28(s) for s in sh), dtype=np.int64, count=len(sh))
+                out[pos] = ((a_vec * hs[None, :] + b_vec) % MINHASH_P).min(axis=1)
+            res = pd.DataFrame(out[keep], columns=[f"mh{i}" for i in range(n_hashes)])
+            res.insert(0, key_col, pdf[key_col].to_numpy()[keep])
+            yield res
+
+    return spread_small_input(df.select(key_col, text_col)).mapInPandas(kernel, schema=schema)
+
+
 def _banded_bucket_frames(
     sig: DataFrame, carry: list, n_hashes: int, bands: int, max_bucket: int,
     block_cols=(),
@@ -318,6 +376,185 @@ def _surface_signatures(
     )
 
 
+def _make_bucket_pair_kernel(
+    n_hashes: int,
+    max_bucket: int,
+    mode: str,
+    has_blk: bool,
+    payload_col: str | None,
+    threshold: float | None = None,
+    cut: float | None = None,
+    n_sig: int | None = None,
+):
+    """mapInPandas kernel factory for banded-LSH pair generation: one
+    partition's bucket rows arrive co-partitioned by the bucket key, so the
+    ENTIRE cap/split/self-join/verify policy of _banded_bucket_frames plus
+    the per-pair verifier runs partition-locally in numpy — one exchange
+    and one stage where the declarative formulation paid a persist, two
+    size aggregates, two broadcast barriers, two anti/semi probes, and two
+    self-joins. Bucket membership, the split policy (oversized buckets
+    re-keyed by the two half-signature tuples, still-oversized sub-buckets
+    dropped), and every verifier value are identical to the declarative
+    path: Jaccard/estimate divisions are int-derived float64 ops — the
+    same IEEE-754 computation Catalyst's size()/lit division performs —
+    and grouping by the raw half-signature TUPLE is equality-equivalent to
+    grouping by its md5 (the md5 was only an equality proxy).
+
+    modes: 'jaccard'  — exact distinct-shingle Jaccard >= threshold over
+                        payload_col (array<string>, pre-distinct);
+           'estimate' — matching-position fraction of the payload_col
+                        signature arrays >= cut;
+           'all'      — emit every in-bucket pair (bands == n_hashes:
+                        banding already is the policy).
+
+    Memory: the kernel holds one partition's bucket rows; partition count
+    comes from the caller's repartition (conf
+    spark.nametag.lsh.bucketPartitions), so at scale partitions stay
+    surface-sized. Emitted pairs are (lo, hi) per bucket occurrence —
+    exactly the l._k < r._k self-join rows."""
+    half = n_hashes // 2
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        ks = pdf["_k"].to_numpy()
+        mh = pdf["_mh"].to_numpy()
+        payload = pdf[payload_col].to_numpy() if payload_col else None
+        bandv = pdf["band"].to_numpy()
+        sigv = pdf["sig"].to_numpy()
+        if has_blk:
+            blkv = pdf["_blk"].to_numpy()
+            keys = np.array(
+                [f"{x}\x00{b}\x00{s}" for x, b, s in zip(blkv, bandv, sigv)], dtype=object
+            )
+        else:
+            keys = np.array([f"{b}\x00{s}" for b, s in zip(bandv, sigv)], dtype=object)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+        out_a: list = []
+        out_b: list = []
+
+        def emit(i0, i1, hit):
+            a, b = ks[i0[hit]], ks[i1[hit]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+
+        def verify(idx):
+            s = len(idx)
+            iu0, iu1 = np.triu_indices(s, 1)
+            if mode == "all":
+                emit(idx[iu0], idx[iu1], np.ones(len(iu0), dtype=bool))
+                return
+            if mode == "estimate":
+                sg = np.stack([np.asarray(payload[i], dtype=np.int64) for i in idx])
+                eq = np.zeros((s, s), dtype=np.int32)
+                for d in range(sg.shape[1]):
+                    col = sg[:, d]
+                    eq += col[:, None] == col[None, :]
+                hit = (eq[iu0, iu1] / np.float64(n_sig)) >= cut
+                emit(idx[iu0], idx[iu1], hit)
+                return
+            # exact distinct-shingle Jaccard: localize shingles to int ids,
+            # pairwise intersection counts via one float32 matmul (counts
+            # are small integers — exact in float32), then the SAME
+            # int/int -> float64 division the JVM size()/size() plan does
+            vocab: dict = {}
+            rows = []
+            ns = np.empty(s, dtype=np.int64)
+            for r, i in enumerate(idx):
+                arr = payload[i]
+                row = np.empty(len(arr), dtype=np.int32)
+                for j, t in enumerate(arr):
+                    v = vocab.get(t)
+                    if v is None:
+                        v = len(vocab)
+                        vocab[t] = v
+                    row[j] = v
+                rows.append(row)
+                ns[r] = len(arr)
+            m = np.zeros((s, len(vocab)), dtype=np.float32)
+            for r, row in enumerate(rows):
+                m[r, row] = 1.0
+            inter = (m @ m.T)[iu0, iu1].astype(np.int64)
+            denom = ns[iu0] + ns[iu1] - inter
+            hit = (inter / denom) >= threshold
+            emit(idx[iu0], idx[iu1], hit)
+
+        for g in range(len(uniq)):
+            idx = order[bounds[g] : bounds[g + 1]]
+            s = len(idx)
+            if s < 2:
+                continue
+            if s <= max_bucket:
+                verify(idx)
+                continue
+            # oversized: re-key every member by BOTH half-signature tuples
+            # (the declarative explode put each row in sub-bucket #1 AND #2);
+            # sub-buckets still over the cap are dropped
+            for sl in (slice(0, half), slice(half, n_hashes)):
+                sub: dict = {}
+                for i in idx:
+                    sub.setdefault(np.asarray(mh[i], dtype=np.int64)[sl].tobytes(), []).append(i)
+                for members in sub.values():
+                    if 2 <= len(members) <= max_bucket:
+                        verify(np.asarray(members))
+        if out_a:
+            yield pd.DataFrame({"src": np.concatenate(out_a), "dst": np.concatenate(out_b)})
+
+    return kernel
+
+
+def _kernel_banded_pairs(
+    sig: DataFrame,
+    n_hashes: int,
+    bands: int,
+    max_bucket: int,
+    block: bool,
+    payload_col: str | None,
+    mode: str,
+    threshold: float | None = None,
+    cut: float | None = None,
+    n_sig: int | None = None,
+) -> DataFrame:
+    """Banding + one hash exchange + the partition-local pair kernel.
+
+    sig: one row per key with _k, mh0..mh{n_hashes-1}, optional _blk, and
+    the verifier payload column. Returns (src, dst) typed like _k, one row
+    per verified in-bucket pair occurrence (callers distinct() if they need
+    the pair LIST semantics)."""
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{h}").cast("string") for h in range(b * rows, (b + 1) * rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
+        )
+    keep = ["_k"] + (["_blk"] if block else []) + ([payload_col] if payload_col else [])
+    buckets = sig.select(
+        *keep,
+        F.array(*[F.col(f"mh{h}") for h in range(n_hashes)]).alias("_mh"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(*keep, "_mh", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    spark = sig.sparkSession
+    n_part = int(spark.conf.get("spark.nametag.lsh.bucketPartitions", "0") or 0)
+    if n_part <= 0:
+        n_part = spark.sparkContext.defaultParallelism
+    bucket_key = (["_blk"] if block else []) + ["band", "sig"]
+    buckets = buckets.repartition(n_part, *bucket_key)
+    kt = sig.schema["_k"].dataType.simpleString()
+    kernel = _make_bucket_pair_kernel(
+        n_hashes, max_bucket, mode, block, payload_col,
+        threshold=threshold, cut=cut, n_sig=n_sig,
+    )
+    return buckets.mapInPandas(kernel, schema=f"src {kt}, dst {kt}")
+
+
 def lsh_bucket_histogram(
     df: DataFrame,
     text_col: str,
@@ -403,54 +640,44 @@ def lsh_similarity_edges(
     prefix shingles dominate a band's row-minima for a few percent of
     surfaces, producing systematic 10^4-member buckets that the cap must
     then drop (measured on the 240k-surface wide-vocab corpus:
-    485 oversized buckets, max 12,895)."""
-    sig, carry = _surface_signatures(df, text_col, key_col, n_hashes, k, block_col)
-    frames = _banded_bucket_frames(
-        sig, carry, n_hashes, bands, max_bucket,
-        block_cols=["_blk"] if block_col is not None else (),
-    )
-    cond = (
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.sig") == F.col("r.sig"))
-        & (F.col("l._k") < F.col("r._k"))
-    )
+    485 oversized buckets, max 12,895).
+
+    Physical plan (optimization round 8): bucket rows repartition ONCE on
+    the bucket key and the whole cap/split/self-join/exact-Jaccard policy
+    runs partition-locally in an Arrow/numpy kernel
+    (_make_bucket_pair_kernel): all members of a bucket are co-partitioned,
+    so the oversized sizes the declarative path computed with global
+    aggregates + broadcast anti/semi probes are known locally, and the
+    within-bucket pair verify is a per-bucket matmul instead of a
+    self-join. Two stages total; the previous formulation paid a persist,
+    two size aggregates, two broadcast barriers, and two self-joins with a
+    ~10-expression fused verify. The r7 two-tier hash prefilter
+    (hash-Jaccard with the collision-free guard) is superseded: the kernel
+    computes the exact distinct-shingle Jaccard directly, so the guarded
+    prefilter's soundness argument — and its collision bypass — are
+    trivially preserved (pinned by the same collision test). Edge SETS are
+    identical; per-band duplicate occurrences (dedupe=False) are emitted
+    per bucket exactly as the self-join did."""
+    sh = shingles(text_col, k)
+    cols = [F.col(key_col).alias("_k")]
     if block_col is not None:
-        cond = cond & (F.col("l._blk") == F.col("r._blk"))
-    # two-tier verify, exact-result-preserving:
-    #   1. hash prefilter — Jaccard over the distinct 28-bit shingle hashes
-    #      (int arrays, ~3x cheaper to intersect than the string arrays).
-    #      A prefilter rejection is trusted ONLY when BOTH surfaces are
-    #      internally collision-free (size(_hd) == _n): then the hash map is
-    #      injective within each set, so every distinct shared string
-    #      contributes a distinct shared hash (hash-∩ >= exact-∩) and the
-    #      hash union |A|+|B|−∩ can only shrink — hash-J >= exact-J, and
-    #      `hash-J < t` soundly rejects. WITHOUT that guard the claim is
-    #      false: two shingles inside A∩B colliding (h(a)=h(b), a,b ∈ A∩B)
-    #      shrink numerator and denominator by 1 each, pushing hash-J BELOW
-    #      exact-J (A={a,b,c}, B={a,b,d}: exact 1/2, hash 1/3). An
-    #      intra-surface collision is detectable per side from the carried
-    #      columns, so colliding rows (~1e-6-grade with 28-bit hashes over
-    #      short surfaces) simply bypass the prefilter to the exact check.
-    #      Survivors ~8% at t=0.6.
-    #   2. exact Jaccard over the string shingles, |A∪B| = |A|+|B|−|A∩B|
-    #      with DISTINCT counts carried per surface — identical value to
-    #      size(array_union) without building the union per pair.
-    ih = F.size(F.array_intersect("l._hd", "r._hd"))
-    jac_h = ih / (F.size("l._hd") + F.size("r._hd") - ih)
-    collision_free = (F.size("l._hd") == F.col("l._n")) & (
-        F.size("r._hd") == F.col("r._n")
+        cols.append(F.col(block_col).alias("_blk"))
+    src = df.select(*cols, sh.alias("_sh")).withColumn(
+        "_h", F.transform("_sh", lambda s: _hash28(s))
     )
-    inter = F.size(F.array_intersect("l._sh", "r._sh"))
-    jac = inter / (F.col("l._n") + F.col("r._n") - inter)
-    parts = []
-    for ok in frames:
-        l, r = ok.alias("l"), ok.alias("r")
-        parts.append(
-            l.join(r, cond)
-            .where(((jac_h >= threshold) | ~collision_free) & (jac >= threshold))
-            .select(F.col("l._k").alias("src"), F.col("r._k").alias("dst"))
-        )
-    out = parts[0].unionByName(parts[1])
+    consts = minhash_affine_constants(n_hashes)
+    mins = [
+        F.array_min(
+            F.transform("_h", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    names0 = ["_k"] + (["_blk"] if block_col is not None else [])
+    sig = src.select(*names0, "_sh", *mins)
+    out = _kernel_banded_pairs(
+        sig, n_hashes, bands, max_bucket, block_col is not None, "_sh",
+        mode="jaccard", threshold=threshold,
+    )
     return out.distinct() if dedupe else out
 
 

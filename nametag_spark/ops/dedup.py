@@ -74,9 +74,9 @@ def minhash_dup_pairs(
     prefilter is skipped entirely, since any extra filter would be strictly
     tighter than the banding the caller asked for."""
     from ..kg.resolution import (
-        _banded_bucket_frames,
+        _kernel_banded_pairs,
         _register_persisted,
-        minhash_signatures,
+        minhash_signatures_kernel,
         shingles,
     )
 
@@ -88,41 +88,32 @@ def minhash_dup_pairs(
         estimate_margin = 3.0 * math.sqrt(threshold * (1 - threshold) / n_sig)
 
     base = df.select(F.col(id_col).alias("_id"), F.trim(F.lower(F.col(text_col))).alias("_norm"))
-    # one signature pass at full width; persisted (ids + n_sig ints per doc)
-    # and read by the banding and the estimate join
-    sig = minhash_signatures(base, "_norm", "_id", n_hashes=n_sig, k=shingle_k).persist()
-    _register_persisted(sig)
+    # one signature pass at full width; consumed exactly once by the bucket
+    # kernel (the r8.0 formulation read it twice — banding + estimate
+    # join-back — and persisted it; the kernel carries the estimate
+    # signature on the bucket rows, so no cache is needed). The Arrow
+    # signature kernel computes the identical pinned values without the
+    # 290x shingle explosion (parity-tested vs minhash_signatures).
+    sig = minhash_signatures_kernel(base, "_norm", "_id", n_hashes=n_sig, k=shingle_k)
 
-    # the estimate signature rides the bucket rows so the minhash-Jaccard
-    # prefilter evaluates INSIDE the bucket self-join: the banding's
+    # banding + cap/split policy + the minhash-Jaccard estimate prefilter
+    # all run partition-locally in the bucket kernel: the banding's
     # candidate mass (measured 3.0M pairs at 50k docs — loosely-similar
-    # corpora fill capped buckets) never reaches a distinct or a join-back;
-    # only estimate survivors (a few thousand) do. The estimate is a pure
-    # function of the pair, so filtering before the distinct is equivalent.
-    carry = ["_id"] + (["_sig"] if use_est else [])
-    light_cols = [F.col("_id"), *[F.col(f"mh{h}") for h in range(n_hashes)]]
+    # corpora fill capped buckets) is cut to estimate survivors (a few
+    # thousand) inside one stage; only they reach the distinct and the
+    # exact-verify join. The estimate is a pure function of the pair, so
+    # filtering before the distinct is equivalent.
+    light_cols = [F.col("_id").alias("_k"), *[F.col(f"mh{h}") for h in range(n_hashes)]]
     if use_est:
-        light_cols.append(F.array(*[f"mh{h}" for h in range(n_sig)]).alias("_sig"))
+        light_cols.append(F.array(*[f"mh{h}" for h in range(n_sig)]).alias("_sg"))
     light = sig.select(*light_cols)
-    frames = _banded_bucket_frames(light, carry, n_hashes, bands, max_bucket=200)
-    est_ok = (
-        F.size(F.filter(F.zip_with("l._sig", "r._sig", lambda x, y: x == y), lambda m: m))
-        / F.lit(float(n_sig))
-        >= threshold - estimate_margin
-    ) if use_est else None
-    cand = []
-    for ok in frames:
-        left, right = ok.alias("l"), ok.alias("r")
-        joined = left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        if use_est:
-            joined = joined.where(est_ok)
-        cand.append(joined.select(F.col("l._id").alias("a"), F.col("r._id").alias("b")))
-    pairs = cand[0].unionByName(cand[1]).distinct()
+    pairs = _kernel_banded_pairs(
+        light, n_hashes, bands, max_bucket=200, block=False,
+        payload_col="_sg" if use_est else None,
+        mode="estimate" if use_est else "all",
+        cut=(threshold - estimate_margin) if use_est else None,
+        n_sig=n_sig,
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b")).distinct()
 
     # result-sized; read twice below (candidate-id derivation + the verify
     # probe) — without the cache the bucket self-join would re-run for each

@@ -349,3 +349,22 @@ def test_lsh_similarity_edges_dedupe_flag(spark):
         set(map(tuple, lsh_similarity_edges(df, "norm", "sid", dedupe=False, **kw).collect()))
     )
     assert a == b and len(a) > 0
+
+
+def test_minhash_signature_kernel_matches_declarative(spark, documents):
+    """minhash_dup_pairs computes signatures in an Arrow kernel; every
+    mh value must equal the declarative explode->groupBy formulation
+    (including empty text; NULL text must DROP the row in both)."""
+    from nametag_spark.kg.resolution import minhash_signatures, minhash_signatures_kernel
+
+    base = documents.limit(200).select(
+        F.col("doc_id").alias("_id"), F.trim(F.lower(F.col("text"))).alias("_norm")
+    )
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, None), (100003, "ab")], ["_id", "_norm"]
+    )
+    base = base.unionByName(extra)
+    for n_hashes, k in [(48, 5), (12, 3), (4, 5)]:
+        a = sorted(map(tuple, minhash_signatures_kernel(base, "_norm", "_id", n_hashes, k).collect()))
+        b = sorted(map(tuple, minhash_signatures(base, "_norm", "_id", n_hashes, k).collect()))
+        assert a == b, (n_hashes, k, a[:2], b[:2])
