@@ -147,47 +147,64 @@ def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     each accumulated bit-balance becomes the signature bit.
 
     Physical plan (optimization round 8): the signature depends only on the
-    row's own tokens, so it is ONE per-row expression — a single
-    `aggregate` fold over the token-hash array carrying a `bits`-wide
-    balance struct, packed to the signature in the fold's finish lambda.
-    Zero shuffles; the previous explode -> groupBy(id) -> join-back plan
-    paid two exchanges and re-keyed the whole table for a row-local value.
-    The md5 is evaluated once per token (it sits inside the single
-    `transform` building the hash array; per-bit SUM COLUMNS would instead
-    re-evaluate the inlined transform once per bit after Catalyst collapses
-    projections — the fold has exactly one reference).
+    row's own tokens, so it is ONE per-row Arrow kernel stage — zero
+    shuffles (the pre-r8 explode -> groupBy(id) -> join-back plan paid two
+    exchanges, and the first r8 rewrite — a JVM `aggregate` fold over a
+    `bits`-wide balance struct — evaluated bits x tokens interpreted
+    higher-order lambdas per row). The kernel replicates the JVM
+    expression semantics EXACTLY (parity-pinned incl. NULL/blank text,
+    non-ASCII whitespace, and bit-sign ties): `trim` strips U+0020 only,
+    the `\\s+` split is Java's ASCII class [ \\t\\n\\x0b\\f\\r], and the
+    token hash is the same md5-prefix-60 integer (per-task memo — token
+    vocabularies are Zipfian, so md5 runs once per distinct token).
 
     Docs with no tokens get simhash 0 (all balances 0 -> no bits set);
-    NULL text also maps to 0 (the old left-join + fillna behavior)."""
+    NULL text also maps to 0."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
     df = spread_small_input(df)
-    hs = F.transform(tokens_col(F.lower(F.col(text_col))), lambda t: hash64(t, 1))
-    zero = F.struct(
-        *[F.lit(0).cast("long").alias(f"b{i}") for i in range(bits)]
-    )
+    split_re = re.compile("[ \t\n\x0b\x0c\r]+")  # Java \s (ASCII), not Python \s
+    shifts = np.arange(bits, dtype=np.int64)
+    weights = (np.int64(1) << shifts)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", simhash bigint"
 
-    def merge(acc, h):
-        return F.struct(
-            *[
-                (
-                    acc[f"b{i}"]
-                    + (F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1)
-                ).alias(f"b{i}")
-                for i in range(bits)
-            ]
-        )
+    def kernel(batches):
+        import hashlib
 
-    def finish(acc):
-        sig = None
-        for i in range(bits):
-            term = F.when(acc[f"b{i}"] > 0, F.lit(1 << i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            sig = term if sig is None else sig + term
-        return sig
+        memo: dict = {}
 
-    return df.withColumn(
-        "simhash", F.coalesce(F.aggregate(hs, zero, merge, finish), F.lit(0).cast("long"))
-    )
+        def h60(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(hashlib.md5(("1|" + tok).encode("utf-8")).hexdigest()[:15], 16)
+                memo[tok] = v
+            return v
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            sigs = np.zeros(len(pdf), dtype=np.int64)
+            for pos in range(len(pdf)):
+                t = texts.iloc[pos]
+                if t is None:
+                    continue
+                t = t.lower().strip(" ")
+                if not t:
+                    continue
+                # Spark's split(limit=-1) keeps leading AND trailing empty
+                # strings — exactly re.split's behavior (probed: "x\t" ->
+                # ['x',''], "\t" -> ['',''])
+                toks = split_re.split(t)
+                hs = np.fromiter((h60(tok) for tok in toks), dtype=np.int64, count=len(toks))
+                balance = (((hs[:, None] >> shifts[None, :]) & 1) * 2 - 1).sum(axis=0)
+                sigs[pos] = weights[balance > 0].sum()
+            yield pdf.assign(simhash=pd.Series(sigs, index=pdf.index))
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 def simhash_dup_pairs(

@@ -290,7 +290,22 @@ def test_simhash_matches_explode_reference(spark):
         )
 
     df = spark.createDataFrame(
-        [(1, "alpha beta gamma delta"), (2, ""), (3, None), (4, "   "), (5, "alpha alpha beta")],
+        [
+            (1, "alpha beta gamma delta"),
+            (2, ""),
+            (3, None),
+            (4, "   "),
+            (5, "alpha alpha beta"),
+            # JVM whitespace semantics the Arrow kernel must replicate:
+            # trim strips U+0020 only; \s+ is the ASCII class; split
+            # keeps leading/trailing empty tokens; \xa0/  are NOT
+            # separators
+            (6, "x\ty\n z\x0b w\x0c v\r u"),
+            (7, "x\t"),
+            (8, "\tx"),
+            (9, "\xa0x y"),
+            (10, "MiXeD CaSe İstanbul"),
+        ],
         ["doc_id", "text"],
     )
     for bits in (16, 32):
