@@ -996,7 +996,11 @@ def connected_components(
         # spill location: executors write it, the DRIVER reads it back, so
         # on a real cluster it must be a shared filesystem — set
         # spark.nametag.cc.spillDir (e.g. the same store the checkpoint
-        # dir lives on). Local mode defaults to a driver tempdir.
+        # dir lives on). Local mode defaults to a driver tempdir. The
+        # cleanup below is shutil-based, so spillDir must be a
+        # locally-MOUNTED shared path (NFS etc.), not a remote URI scheme
+        # (hdfs://, s3a://) — pyarrow's dataset reader would also need a
+        # mounted path; both read-back and cleanup assume one.
         spill_root = spark.conf.get("spark.nametag.cc.spillDir", None)
         if spill_root:
             tmp = os.path.join(spill_root, f"nametag_cc_stream_{uuid.uuid4().hex}")
@@ -1007,13 +1011,27 @@ def connected_components(
             e.write.mode("overwrite").parquet(path)
             e0.unpersist()
             parent = np.arange(len(nodes), dtype=np.int64)
+            n_streamed = 0
             for batch in pads.dataset(path).to_batches(
                 columns=["src", "dst"], batch_size=_STREAM_BATCH_EDGES
             ):
                 s = batch.column("src").to_numpy(zero_copy_only=False)
                 d = batch.column("dst").to_numpy(zero_copy_only=False)
+                n_streamed += len(s)
                 parent = _uf_ingest(
                     parent, np.searchsorted(nodes, s), np.searchsorted(nodes, d)
+                )
+            # read-back validation: executors WROTE the spill, the driver
+            # READ it. On a cluster where spark.nametag.cc.spillDir is
+            # unset or not actually shared, the driver sees zero/partial
+            # files and would silently emit singleton components — fail
+            # loudly instead (r7 advisor, medium).
+            if n_streamed != n_edges:
+                raise RuntimeError(
+                    f"streaming CC read back {n_streamed} of {n_edges} edges from "
+                    f"{path}: the spill directory is not shared between executors "
+                    "and the driver — set spark.nametag.cc.spillDir to a shared "
+                    "filesystem path"
                 )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

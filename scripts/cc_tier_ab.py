@@ -91,6 +91,14 @@ def main() -> None:
                 spark.conf.unset(k)
         release_persisted()
         info = dict(LAST_CC_INFO)
+        # each arm must actually exercise its intended tier — if the corpus
+        # outgrows the 64M-edge collect cap both arms would silently run
+        # streaming and the comparison would be meaningless (r7 advisor)
+        expected = {"collect": "driver-numpy", "streaming": "driver-streaming"}[tier]
+        assert info.get("tier") == expected, (
+            f"{tier} arm took CC tier {info.get('tier')!r}, expected {expected!r} "
+            f"({info.get('n_edges')} edges vs cap {info.get('edge_cap')})"
+        )
         results[tier].append(round(dt, 1))
         key = (int(agg["n"]), int(agg["chk"]), int(n_entities))
         checks.setdefault(tier, key)

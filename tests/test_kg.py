@@ -211,6 +211,36 @@ def test_cc_streaming_tier_multi_batch(spark, monkeypatch):
     assert got[700] == 1  # chain collapsed to the global minimum
 
 
+def test_cc_streaming_tier_detects_unshared_spill(spark, monkeypatch):
+    """If the spill dir is not actually shared (a real-cluster
+    misconfiguration), the driver reads back fewer edges than were
+    written; the tier must raise instead of silently emitting singleton
+    components (r7 advisor, medium)."""
+    import pyarrow.dataset as pads
+    import pytest
+
+    import nametag_spark.kg.resolution as R
+
+    real_dataset = pads.dataset
+
+    def truncated_dataset(path, *a, **k):
+        ds = real_dataset(path, *a, **k)
+
+        class _Trunc:
+            def to_batches(self, **kw):
+                batches = list(ds.to_batches(**kw))
+                return batches[:-1]  # drop the last batch: partial read-back
+
+        return _Trunc()
+
+    monkeypatch.setattr(R, "_STREAM_BATCH_EDGES", 100)
+    monkeypatch.setattr(pads, "dataset", truncated_dataset)
+    edges = [(i, i + 1) for i in range(1, 500)]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(4)
+    with pytest.raises(RuntimeError, match="spill directory is not shared"):
+        R.connected_components(df, driver_threshold=0, contracted_driver_threshold=0)
+
+
 def test_minhash_similar_strings_collide(spark):
     rows = [
         (1, "acme corporation"),
