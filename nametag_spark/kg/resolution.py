@@ -536,7 +536,16 @@ def _kernel_banded_pairs(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
         )
     keep = ["_k"] + (["_blk"] if block else []) + ([payload_col] if payload_col else [])
-    buckets = sig.select(
+    # rows with a NULL key, block, or payload could never produce a pair
+    # under the join formulation (NULL never equality-matches and NULL
+    # arrays verify to NULL); drop them before the exchange so the kernel
+    # (which groups by formatted key strings) cannot pair them either
+    guard = F.col("_k").isNotNull()
+    if block:
+        guard = guard & F.col("_blk").isNotNull()
+    if payload_col:
+        guard = guard & F.col(payload_col).isNotNull()
+    buckets = sig.where(guard).select(
         *keep,
         F.array(*[F.col(f"mh{h}") for h in range(n_hashes)]).alias("_mh"),
         F.explode(F.array(*band_cols)).alias("bk"),

@@ -479,3 +479,25 @@ def test_incremental_ingest(spark, tiny_model_dir, tmp_path):
     assert g2["triples"].count() > n1
     convs = {r["conv_id"] for r in g2["mentions"].select("conv_id").distinct().collect()}
     assert any(c.endswith("-b2") for c in convs)
+
+
+def test_lsh_edges_string_keys_and_tiny_arrow_batches(spark):
+    """The bucket kernel must (a) carry non-numeric key types through its
+    derived output schema (np.minimum on object arrays orders strings),
+    and (b) regroup buckets whose rows span Arrow batch boundaries — the
+    kernel concatenates its partition's batches before grouping. Forcing
+    3-row batches makes every bucket span batches."""
+    from nametag_spark.kg.resolution import lsh_similarity_edges
+
+    rows = [(f"k{i:03d}", f"surface number {i % 5} variant {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["key", "norm"])
+    kw = dict(n_hashes=12, bands=4, k=3, threshold=0.5)
+    baseline = sorted(map(tuple, lsh_similarity_edges(df, "norm", "key", **kw).collect()))
+    assert baseline and all(a < b for a, b in baseline)  # string-ordered pairs
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        tiny = sorted(map(tuple, lsh_similarity_edges(df, "norm", "key", **kw).collect()))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert tiny == baseline
