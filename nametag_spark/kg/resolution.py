@@ -175,20 +175,45 @@ def minhash_signatures_kernel(
                 memo[s] = v
             return v
 
+        m_p = MINHASH_P  # 2^31 - 1, Mersenne: x mod P via shift-add folds
         for pdf in batches:
             texts = pdf[text_col]
-            out = np.empty((len(pdf), n_hashes), dtype=np.int64)
             keep = np.ones(len(pdf), dtype=bool)
+            sh_sets = []
             for pos in range(len(pdf)):
                 t = texts.iloc[pos]
                 if t is None:
                     # declarative path: explode(shingles(NULL)) drops the row
                     keep[pos] = False
                     continue
-                sh = {t} if len(t) < k else {t[i : i + k] for i in range(len(t) - k + 1)}
-                hs = np.fromiter((h28(s) for s in sh), dtype=np.int64, count=len(sh))
-                out[pos] = ((a_vec * hs[None, :] + b_vec) % MINHASH_P).min(axis=1)
-            res = pd.DataFrame(out[keep], columns=[f"mh{i}" for i in range(n_hashes)])
+                sh_sets.append(
+                    {t} if len(t) < k else {t[i : i + k] for i in range(len(t) - k + 1)}
+                )
+            counts = np.fromiter((len(s) for s in sh_sets), dtype=np.int64, count=len(sh_sets))
+            total = int(counts.sum())
+            all_h = np.fromiter(
+                (h28(s) for sh in sh_sets for s in sh), dtype=np.int64, count=total
+            )
+            offsets = np.zeros(len(sh_sets), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            out = np.empty((len(sh_sets), n_hashes), dtype=np.int64)
+            # chunk on doc boundaries so the (n_hashes x m) temp stays small
+            d0 = 0
+            while d0 < len(sh_sets):
+                d1, m = d0, 0
+                while d1 < len(sh_sets) and m < 100_000:
+                    m += counts[d1]
+                    d1 += 1
+                lo = offsets[d0]
+                hi = offsets[d1 - 1] + counts[d1 - 1]
+                x = a_vec * all_h[None, lo:hi] + b_vec  # < 2^59 + 2^31
+                # two folds: 2^31 ≡ 1 (mod P) — exact, no int64 division
+                x = (x >> 31) + (x & m_p)
+                x = (x >> 31) + (x & m_p)  # now in [0, P+2]
+                np.subtract(x, m_p, out=x, where=x >= m_p)
+                out[d0:d1] = np.minimum.reduceat(x, offsets[d0:d1] - lo, axis=1).T
+                d0 = d1
+            res = pd.DataFrame(out, columns=[f"mh{i}" for i in range(n_hashes)])
             res.insert(0, key_col, pdf[key_col].to_numpy()[keep])
             yield res
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..kg.resolution import jaccard_filter, lsh_candidate_pairs
 from .text import hash64, spread_small_input, tokens_col
 
 
@@ -49,22 +48,21 @@ def minhash_dup_pairs(
     a cheap integer compare), and only the survivors pay the exact
     shingle-set verification (no false positives in the output).
 
-    Physical plan (optimization round 8): ONE explode->groupBy signature
-    pass computes all max(n_hashes, estimate_hashes) minhashes (the affine
-    family is prefix-stable, so mh0..mh{n_hashes-1} ARE the banding
-    signature and the full width is the estimate's — the previous
-    formulation ran the 12-hash and 48-hash passes separately, shingling
-    and md5-ing the corpus twice). The 2 MB-grade signature table persists
-    and serves both the banding and the estimate join; the exact-Jaccard
-    verify computes shingle ARRAYS only for docs that appear in a candidate
-    pair (semi-join prune — the previous jaccard_filter pass built the
-    arrays for the whole corpus). Kept codegen-friendly explode+aggregate
-    shape deliberately: an all-array-transform formulation (like the
-    resolve path's _surface_signatures, tuned for 10-30-shingle surfaces)
-    evaluates the 48 affine permutations as interpreted higher-order
-    functions — measured 2.3x SLOWER on 2-4k-shingle documents than the
-    whole-stage-codegen'd hash aggregate. Outputs are identical (same hash
-    family, same margin, same banding policy, same exact-Jaccard verify).
+    Physical plan (optimization round 8): ONE signature pass computes all
+    max(n_hashes, estimate_hashes) minhashes (the affine family is
+    prefix-stable, so mh0..mh{n_hashes-1} ARE the banding signature and
+    the full width is the estimate's — the pre-r8 formulation ran the
+    12-hash and 48-hash passes separately, shingling and md5-ing the
+    corpus twice). The pass is the Arrow signature kernel
+    (minhash_signatures_kernel — value-identical to the declarative
+    explode->groupBy reference, parity-pinned); banding, the cap/split
+    policy, and the estimate prefilter then run partition-locally in the
+    bucket kernel after one hash exchange (_kernel_banded_pairs). The
+    exact-Jaccard verify computes shingle ARRAYS only for docs that
+    appear in a candidate pair (semi-join prune — the pre-r8
+    jaccard_filter pass built the arrays for the whole corpus). Outputs
+    are identical (same hash family, same margin, same banding policy,
+    same exact-Jaccard verify).
 
     The estimate margin is 3 standard deviations of the estimator at the
     threshold, 3*sqrt(t(1-t)/estimate_hashes): at the default 48 hashes a
