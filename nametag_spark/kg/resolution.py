@@ -259,9 +259,18 @@ def _banded_bucket_frames(
     the anti-join preserves the streamed side's partitioning, so each
     frame self-joins with NO further exchange (a union would discard it).
     Bucket membership, and therefore the candidate-pair set, is identical
-    to the old policy. Single definition so the fused
-    (lsh_similarity_edges) and staged (lsh_candidate_pairs) paths can
-    never diverge on banding, splitting, or capping policy."""
+    to the old policy.
+
+    Since the r8 kernel rewrite this declarative machinery is OFF the hot
+    paths: lsh_similarity_edges and minhash_dup_pairs run the same
+    banding/split/cap policy partition-locally in
+    _make_bucket_pair_kernel, and this definition remains for the staged
+    reference path (lsh_candidate_pairs) and keys-only diagnostics
+    (lsh_bucket_histogram). The two implementations of the policy are
+    held together by the staged-reference parity test
+    (tests/test_ops.py::test_minhash_dup_pairs_matches_staged_reference),
+    which drives candidate membership through BOTH and must stay green
+    after any policy change."""
     rows = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -410,6 +419,7 @@ def _make_bucket_pair_kernel(
     threshold: float | None = None,
     cut: float | None = None,
     n_sig: int | None = None,
+    mh_in_payload_prefix: bool = False,
 ):
     """mapInPandas kernel factory for banded-LSH pair generation: one
     partition's bucket rows arrive co-partitioned by the bucket key, so the
@@ -448,8 +458,10 @@ def _make_bucket_pair_kernel(
             return
         pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
         ks = pdf["_k"].to_numpy()
-        mh = pdf["_mh"].to_numpy()
         payload = pdf[payload_col].to_numpy() if payload_col else None
+        # split keys come from the payload's prefix (prefix-stable family)
+        # when the caller didn't ship a separate _mh array
+        mh = payload if mh_in_payload_prefix else pdf["_mh"].to_numpy()
         bandv = pdf["band"].to_numpy()
         sigv = pdf["sig"].to_numpy()
         if has_blk:
@@ -465,10 +477,18 @@ def _make_bucket_pair_kernel(
         out_a: list = []
         out_b: list = []
 
+        n_pending = 0
+
         def emit(i0, i1, hit):
+            nonlocal n_pending
             a, b = ks[i0[hit]], ks[i1[hit]]
-            out_a.append(np.minimum(a, b))
-            out_b.append(np.maximum(a, b))
+            # duplicate key VALUES in one bucket (duplicate input ids) must
+            # not produce (k, k) rows — the join formulation's strict
+            # l._k < r._k excluded equal keys entirely
+            neq = a != b
+            out_a.append(np.minimum(a[neq], b[neq]))
+            out_b.append(np.maximum(a[neq], b[neq]))
+            n_pending += len(out_a[-1])
 
         def verify(idx):
             s = len(idx)
@@ -511,6 +531,15 @@ def _make_bucket_pair_kernel(
             hit = (inter / denom) >= threshold
             emit(idx[iu0], idx[iu1], hit)
 
+        def flush():
+            nonlocal n_pending
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            out_a.clear()
+            out_b.clear()
+            n_pending = 0
+            return pd.DataFrame({"src": a, "dst": b})
+
         for g in range(len(uniq)):
             idx = order[bounds[g] : bounds[g + 1]]
             s = len(idx)
@@ -518,19 +547,25 @@ def _make_bucket_pair_kernel(
                 continue
             if s <= max_bucket:
                 verify(idx)
-                continue
-            # oversized: re-key every member by BOTH half-signature tuples
-            # (the declarative explode put each row in sub-bucket #1 AND #2);
-            # sub-buckets still over the cap are dropped
-            for sl in (slice(0, half), slice(half, n_hashes)):
-                sub: dict = {}
-                for i in idx:
-                    sub.setdefault(np.asarray(mh[i], dtype=np.int64)[sl].tobytes(), []).append(i)
-                for members in sub.values():
-                    if 2 <= len(members) <= max_bucket:
-                        verify(np.asarray(members))
-        if out_a:
-            yield pd.DataFrame({"src": np.concatenate(out_a), "dst": np.concatenate(out_b)})
+            else:
+                # oversized: re-key every member by BOTH half-signature
+                # tuples (the declarative explode put each row in sub-bucket
+                # #1 AND #2); sub-buckets still over the cap are dropped
+                for sl in (slice(0, half), slice(half, n_hashes)):
+                    sub: dict = {}
+                    for i in idx:
+                        sub.setdefault(
+                            np.asarray(mh[i], dtype=np.int64)[sl].tobytes(), []
+                        ).append(i)
+                    for members in sub.values():
+                        if 2 <= len(members) <= max_bucket:
+                            verify(np.asarray(members))
+            # stream emitted pairs out in bounded chunks instead of holding
+            # every pair of the partition for one final yield
+            if n_pending >= 500_000:
+                yield flush()
+        if n_pending:
+            yield flush()
 
     return kernel
 
@@ -546,13 +581,19 @@ def _kernel_banded_pairs(
     threshold: float | None = None,
     cut: float | None = None,
     n_sig: int | None = None,
+    mh_in_payload_prefix: bool = False,
 ) -> DataFrame:
     """Banding + one hash exchange + the partition-local pair kernel.
 
     sig: one row per key with _k, mh0..mh{n_hashes-1}, optional _blk, and
     the verifier payload column. Returns (src, dst) typed like _k, one row
     per verified in-bucket pair occurrence (callers distinct() if they need
-    the pair LIST semantics)."""
+    the pair LIST semantics).
+
+    mh_in_payload_prefix: the payload array's first n_hashes elements ARE
+    mh0..mh{n_hashes-1} (prefix-stable affine family) — skip carrying the
+    redundant _mh array through the exchange; the kernel slices the
+    payload for the oversized-bucket split keys instead."""
     rows = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -570,11 +611,16 @@ def _kernel_banded_pairs(
         guard = guard & F.col("_blk").isNotNull()
     if payload_col:
         guard = guard & F.col(payload_col).isNotNull()
+    carry_mh = (
+        [] if mh_in_payload_prefix
+        else [F.array(*[F.col(f"mh{h}") for h in range(n_hashes)]).alias("_mh")]
+    )
+    mh_names = [] if mh_in_payload_prefix else ["_mh"]
     buckets = sig.where(guard).select(
         *keep,
-        F.array(*[F.col(f"mh{h}") for h in range(n_hashes)]).alias("_mh"),
+        *carry_mh,
         F.explode(F.array(*band_cols)).alias("bk"),
-    ).select(*keep, "_mh", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    ).select(*keep, *mh_names, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
     spark = sig.sparkSession
     n_part = int(spark.conf.get("spark.nametag.lsh.bucketPartitions", "0") or 0)
     if n_part <= 0:
@@ -585,6 +631,7 @@ def _kernel_banded_pairs(
     kernel = _make_bucket_pair_kernel(
         n_hashes, max_bucket, mode, block, payload_col,
         threshold=threshold, cut=cut, n_sig=n_sig,
+        mh_in_payload_prefix=mh_in_payload_prefix,
     )
     return buckets.mapInPandas(kernel, schema=f"src {kt}, dst {kt}")
 

@@ -111,6 +111,9 @@ def minhash_dup_pairs(
         mode="estimate" if use_est else "all",
         cut=(threshold - estimate_margin) if use_est else None,
         n_sig=n_sig,
+        # _sg's first n_hashes entries ARE the banding signature (prefix-
+        # stable family): no redundant _mh array through the exchange
+        mh_in_payload_prefix=use_est,
     ).select(F.col("src").alias("a"), F.col("dst").alias("b")).distinct()
 
     # result-sized; read twice below (candidate-id derivation + the verify
@@ -151,10 +154,15 @@ def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     `bits`-wide balance struct — evaluated bits x tokens interpreted
     higher-order lambdas per row). The kernel replicates the JVM
     expression semantics EXACTLY (parity-pinned incl. NULL/blank text,
-    non-ASCII whitespace, and bit-sign ties): `trim` strips U+0020 only,
-    the `\\s+` split is Java's ASCII class [ \\t\\n\\x0b\\f\\r], and the
-    token hash is the same md5-prefix-60 integer (per-task memo — token
-    vocabularies are Zipfian, so md5 runs once per distinct token).
+    non-ASCII whitespace, Greek final sigma, and bit-sign ties): `trim`
+    strips U+0020 only, the `\\s+` split is Java's ASCII class
+    [ \\t\\n\\x0b\\f\\r], Python str.lower() matches JVM lower() (both
+    implement Unicode special casing incl. contextual final sigma —
+    probed; caveat: a JVM running under a tr_TR default locale would
+    diverge on dotted/dotless I, as Spark's non-ASCII path uses the
+    default locale), and the token hash is the same md5-prefix-60
+    integer (per-task memo — token vocabularies are Zipfian, so md5
+    runs once per distinct token).
 
     Docs with no tokens get simhash 0 (all balances 0 -> no bits set);
     NULL text also maps to 0."""

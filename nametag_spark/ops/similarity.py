@@ -49,6 +49,12 @@ def cosine_topk(
     product and norms dimension-by-dimension in ascending index order —
     the same IEEE-754 operation sequence as Catalyst's left-fold
     `aggregate(zip_with(...))` — so every cosine is the identical double.
+    Degenerate inputs match the JVM NULL semantics too (null vectors,
+    null ELEMENTS inside vectors — detected JVM-side, since Arrow coerces
+    in-array None to NaN — and dimension mismatches all yield NULL,
+    sorting last), except empty query vectors, whose JVM fold would hit
+    ANSI DIVIDE_BY_ZERO against an empty corpus row: the kernel maps them
+    to NULL instead of raising.
 
     Ties break by vec_id ascending."""
     import numpy as np
@@ -65,14 +71,24 @@ def cosine_topk(
         return spark.createDataFrame([], f"query_id {qid_t}, rank int, vec_id {vid_t}, cosine double")
 
     # group queries by dimensionality (one group in practice); qn uses the
-    # same ascending-index fold as _norm so the divisor is bit-identical
+    # same ascending-index fold as _norm so the divisor is bit-identical.
+    # Degenerate semantics:
+    #   - NULL query vector, or a NULL ELEMENT inside it: zip_with's
+    #     product is NULL somewhere -> the JVM fold is NULL -> cosine NULL
+    #     for every corpus row (grouped as dim -1; Arrow would silently
+    #     turn the None into NaN, which sorts on the OPPOSITE end)
+    #   - EMPTY query vector: the JVM fold against an empty corpus row is
+    #     0.0/0.0, which under ANSI mode (Spark 4 default) THROWS
+    #     DIVIDE_BY_ZERO — there is no runnable JVM semantics to match, so
+    #     the kernel maps empty queries to NULL cosine like null ones
     by_dim: dict = {}
     for r in q_rows:
         v = r["qv"]
-        by_dim.setdefault(-1 if v is None else len(v), []).append((r["query_id"], v))
+        key = -1 if v is None or len(v) == 0 or any(x is None for x in v) else len(v)
+        by_dim.setdefault(key, []).append((r["query_id"], v))
     q_groups = []
     for dim, members in by_dim.items():
-        if dim <= 0:  # null/empty query vector: cosine is NULL for every row
+        if dim <= 0:
             q_groups.append((dim, [m[0] for m in members], None, None))
             continue
         qv = np.array([m[1] for m in members], dtype=np.float64)
@@ -88,12 +104,17 @@ def cosine_topk(
             ids = pdf[id_col].to_numpy()
             vecs = pdf[vec_col]
             lens = np.array([-1 if v is None else len(v) for v in vecs])
+            # corpus rows with a NULL ELEMENT inside the vector: the JVM
+            # fold is NULL (Arrow already coerced the None to NaN inside
+            # the array, so it is detected JVM-side — `_hasnull` — not
+            # from the converted values)
+            hasnull = np.array([bool(h) for h in pdf["_hasnull"]])
             out_q, out_v, out_c = [], [], []
             for dim, qids, qv, qn in q_groups:
                 if qv is None:
                     good = np.zeros(len(pdf), dtype=bool)
                 else:
-                    good = lens == dim
+                    good = (lens == dim) & ~hasnull
                     if good.any():
                         cv = np.stack(
                             [np.asarray(v, dtype=np.float64) for v in vecs[good]]
@@ -147,9 +168,13 @@ def cosine_topk(
     from ..ops.text import spread_small_input
 
     # a single-file corpus would run the whole kernel on one task
-    scored = spread_small_input(corpus.select(id_col, vec_col)).mapInPandas(
-        _topk_batches, schema=out_schema
-    )
+    scored = spread_small_input(
+        corpus.select(
+            id_col,
+            vec_col,
+            F.exists(F.col(vec_col), lambda x: x.isNull()).alias("_hasnull"),
+        )
+    ).mapInPandas(_topk_batches, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -305,6 +305,10 @@ def test_simhash_matches_explode_reference(spark):
             (8, "\tx"),
             (9, "\xa0x y"),
             (10, "MiXeD CaSe İstanbul"),
+            # Unicode special casing: contextual final sigma — JVM lower()
+            # and Python str.lower() both produce 'ς' word-finally (probed)
+            (11, "ΛΟΓΟΣ ΣΊΣΥΦΟΣ"),
+            (12, "ẞÄÖÜ µ"),
         ],
         ["doc_id", "text"],
     )
@@ -383,3 +387,81 @@ def test_minhash_signature_kernel_matches_declarative(spark, documents):
         a = sorted(map(tuple, minhash_signatures_kernel(base, "_norm", "_id", n_hashes, k).collect()))
         b = sorted(map(tuple, minhash_signatures(base, "_norm", "_id", n_hashes, k).collect()))
         assert a == b, (n_hashes, k, a[:2], b[:2])
+
+
+def test_bucket_kernel_duplicate_ids_no_self_pairs(spark):
+    """Duplicate key values in the input must not yield (k, k) rows — the
+    join formulation's strict l._k < r._k excluded equal keys entirely."""
+    from nametag_spark.ops.dedup import minhash_dup_pairs
+
+    text = "the same exact document body repeated verbatim many times over"
+    df = spark.createDataFrame(
+        [(7, text), (7, text), (9, text), (3, "something else entirely here")],
+        ["doc_id", "text"],
+    )
+    out = minhash_dup_pairs(df, n_hashes=12, bands=4, shingle_k=5, threshold=0.7).collect()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert all(a < b for a, b in pairs)
+    assert (7, 7) not in pairs
+    assert (7, 9) in pairs
+
+
+def test_cosine_topk_degenerate_vectors_match_jvm(spark):
+    """NULL elements inside vectors, empty vectors, and NULL vectors must
+    reproduce the JVM fold's semantics exactly (NULL sorts last, NaN
+    first) — Arrow coerces in-array None to NaN, so the kernel detects
+    them JVM-side."""
+    from pyspark.sql import Window
+
+    from nametag_spark.ops.similarity import _as_double, _dot, _norm, cosine_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (2, [1.0, None, 3.0]),  # null element -> cosine NULL
+            (3, []),                # empty -> NULL vs 3-dim query
+            (4, None),              # null vector -> NULL
+            (5, [3.0, 2.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [
+            (10, [1.0, 1.0, 1.0]),
+            (11, [None, 1.0, 1.0]),  # null element -> NULL everywhere
+            (13, None),
+        ],
+        "query_id long, embedding array<double>",
+    )
+    # an EMPTY query vector has no runnable JVM reference (its fold vs an
+    # empty corpus row is 0.0/0.0 -> ANSI DIVIDE_BY_ZERO): the kernel maps
+    # it to NULL cosine like a null query — checked kernel-only below
+    empty_q = spark.createDataFrame([(12, [])], "query_id long, embedding array<double>")
+
+    def ref(c, q, k):
+        cd = c.select("vec_id", _as_double(F.col("embedding")).alias("cv"))
+        qd = q.select("query_id", _as_double(F.col("embedding")).alias("qv"))
+        scored = cd.crossJoin(F.broadcast(qd)).withColumn(
+            "cosine", _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+        )
+
+    def key(df):
+        rows = []
+        for r in df.collect():
+            c = r["cosine"]
+            rows.append((r["query_id"], r["rank"], r["vec_id"],
+                         "nan" if c is not None and c != c else c))
+        return sorted(rows)
+
+    got = key(cosine_topk(corpus, queries, k=4))
+    exp = key(ref(corpus, queries, 4))
+    assert got == exp, (got, exp)
+
+    ek = key(cosine_topk(corpus, empty_q, k=4))
+    assert all(c is None for (_q, _r, _v, c) in ek) and len(ek) == 4
